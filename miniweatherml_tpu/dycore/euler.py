@@ -1,0 +1,455 @@
+"""Compressible-Euler WENO finite-volume dynamical core, TPU-native.
+
+Re-design of the reference ``Dynamics_Euler_Stratified_WenoFV``
+(model/modules/dynamics_euler_stratified_wenofv.h) as pure jax functions:
+A-grid cell-centered FV, WENO-limited reconstruction to cell edges, acoustic
++ advective upwind (Godunov) fluxes, FCT positivity for tracers, SSP-RK3
+with CFL sub-cycling, hydrostatic background-state splitting, gravity,
+Coriolis, and immersed boundaries.
+
+Structural differences from the reference (behavioral equivalence noted):
+
+* The dycore prognostic state lives only inside one jitted step: coupler ->
+  (state, tracers) -> ncycles x SSPRK3 -> coupler, exactly the reference's
+  time_step flow (dynamics...h:81-198) but with no mutable class storage.
+* Halo/edge MPI exchanges (dynamics...h:574-1082) are replaced by global
+  arrays + BC padding; under sharding, XLA emits ICI collective-permutes for
+  the shifted stencil windows.  Reconstruction is also done for the one ghost
+  cell adjacent to each face so both Riemann inputs exist locally -- the
+  halo-widening transformation of the reference's separate edge exchange.
+* WENO is dense linear algebra (see ops/weno.py) instead of per-cell scalar
+  kernels.
+* FCT (dynamics...h:498-516) is functional: a per-cell limiter factor is
+  computed and applied to faces by upwind-side selection.  At interior faces
+  this matches the reference exactly; at the periodic seam faces the
+  reference keeps two independently-scaled copies (its faces 0 and nx), which
+  we reproduce by keeping nx+1 face entries.
+
+State variable order matches the reference (dynamics...h:34-38):
+idR, idU, idV, idW, idT = rho', rho*u, rho*v, rho*w, (rho*theta)'.
+Array layout: (nvar, nens, nz, ny, nx).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.coupler import CouplerState
+from ..ops.stencil import BC_OPEN, BC_PERIODIC, BC_WALL, gather_stencils, pad_bc
+from ..ops.weno import reconstruct_edges, weno_matrices
+
+__all__ = ["Dycore", "IDR", "IDU", "IDV", "IDW", "IDT"]
+
+IDR, IDU, IDV, IDW, IDT = 0, 1, 2, 3, 4
+NUM_STATE = 5
+
+# Directions: name, field axis (negative, on (nens,nz,ny,nx)), normal momentum id
+_AX_X, _AX_Y, _AX_Z = -1, -2, -3
+
+# Fixed max wave speed and CFL (reference dynamics...h:70-77) and the frozen
+# acoustic speed used by the Riemann solver (dynamics...h:402).
+_MAXWAVE = 350.0 + 80.0
+_CFL = 0.6
+_CS = 350.0
+
+
+def _slice_axis(a, axis, start, stop):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(start, stop)
+    return a[tuple(idx)]
+
+
+def _index_axis(a, axis, i):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = i
+    return tuple(idx)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Consts:
+    """Physical constants snapshot, baked into the compiled step."""
+
+    R_d: float
+    R_v: float
+    C0: float
+    gamma: float
+    grav: float
+    fcor: float
+    enable_gravity: bool
+    use_immersed: bool
+    bc_x: int
+    bc_y: int
+    bc_z: int
+
+
+class Dycore:
+    """Order-``ord`` WENO FV Euler dycore (ord in {3,5,7,9}; reference
+    -DMW_ORD, dynamics...h:24-28)."""
+
+    def __init__(self, ord: int = 5, cutoff: float = 0.0):
+        if ord not in (3, 5, 7, 9):
+            raise ValueError("ord must be 3, 5, 7 or 9")
+        self.ord = ord
+        self.hs = (ord - 1) // 2
+        self.cutoff = cutoff
+        self.mats = weno_matrices(ord)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def init(self, state: CouplerState) -> CouplerState:
+        """Register coupler fields, set constant options with defaults, build
+        hydrostatic profiles and the test-case initial condition
+        (reference dynamics...h:1197-1683)."""
+        from . import init_cases
+
+        g = state.grid
+        # Physical-constant defaults (reference dynamics...h:1227-1248).
+        state = state.setdefault_options(
+            R_d=287.0, cp_d=1003.0, R_v=461.0, cp_v=1859.0,
+            p0=1.0e5, grav=9.81, earthrot=7.292115e-5,
+        )
+        o = state.options
+        cp_d, R_d = o["cp_d"], o["R_d"]
+        state = state.setdefault_options(cv_d=cp_d - R_d)
+        cv_d = state.options["cv_d"]
+        state = state.setdefault_options(
+            gamma_d=cp_d / cv_d, kappa_d=R_d / cp_d, cv_v=o["R_v"] - o["cp_v"]
+        )
+        kappa = state.options["kappa_d"]
+        gamma = state.options["gamma_d"]
+        state = state.setdefault_options(
+            C0=(R_d * o["p0"] ** (-kappa)) ** gamma, latitude=0.0
+        )
+        state = state.setdefault_options(
+            enable_gravity=True, use_immersed_boundaries=False, out_freq=-1.0
+        )
+
+        if state.meta.idWV < 0:
+            raise ValueError(
+                "dycore requires a 'water_vapor' tracer to be registered "
+                "before init (reference dynamics...h:1292)"
+            )
+
+        # Coupler prognostic fields (reference dynamics...h:1253-1257).
+        for name in ("density_dry", "uvel", "vvel", "wvel", "temp"):
+            if name not in state:
+                state = state.register_field(name)
+        if "immersed_proportion" not in state:
+            state = state.register_field("immersed_proportion")
+
+        # Test case dispatch (reference dynamics...h:1306-1310).
+        init_data = state.get_option("init_data", "supercell")
+        case = {
+            "thermal": init_cases.init_thermal,
+            "supercell": partial(init_cases.init_supercell, ord=self.ord),
+            "city": init_cases.init_city,
+            "building": init_cases.init_building,
+        }.get(init_data)
+        if case is None:
+            raise ValueError(f"invalid init_data {init_data!r}")
+        state, s_dyn, tr_dyn = case(state)
+
+        state = state.replace_fields(
+            **self._dyn_to_coupler_fields(state, s_dyn, tr_dyn)
+        )
+        return state
+
+    # ------------------------------------------------------------------
+    # public stepping API
+    # ------------------------------------------------------------------
+    def compute_time_step(self, state: CouplerState) -> float:
+        """Max stable dt from fixed max wave speed (dynamics...h:70-77)."""
+        g = state.grid
+        return _CFL * min(g.dx, g.dy, g.dz) / _MAXWAVE
+
+    def time_step(self, state: CouplerState, dt_phys: float) -> CouplerState:
+        """One physics step: CFL sub-cycled SSPRK3 (dynamics...h:81-181).
+
+        ``dt_phys`` is a static Python float, so ``ncycles`` and the RK
+        coefficients fold into the compiled program (the driver's auto-CFL
+        path makes dt_phys constant, so this compiles once).
+        """
+        g = state.grid
+        dt_dyn = self.compute_time_step(state)
+        ncycles = max(1, int(math.ceil(dt_phys / dt_dyn - 1e-12)))
+        dt = dt_phys / ncycles
+
+        s, tr = self.convert_coupler_to_dynamics(state)
+        consts = self._consts(state)
+        hy = self._hy(state)
+        immersed = state["immersed_proportion"]
+        positive = np.array([t.positive for t in state.meta.tracers])
+
+        for _ in range(ncycles):
+            s, tr = self._ssprk3(state.grid, consts, hy, immersed, positive, s, tr, dt)
+
+        return state.replace_fields(**self._dyn_to_coupler_fields(state, s, tr))
+
+    # ------------------------------------------------------------------
+    # conversions (reference dynamics...h:1891-2015)
+    # ------------------------------------------------------------------
+    def convert_coupler_to_dynamics(self, state: CouplerState):
+        o = state.options
+        R_d, R_v, gamma, C0 = o["R_d"], o["R_v"], o["gamma_d"], o["C0"]
+        hyc, hyt = state["hy_dens_cells"], state["hy_dens_theta_cells"]
+        hyc = hyc[:, :, None, None]
+        hyt = hyt[:, :, None, None]
+
+        rho_d = state["density_dry"]
+        u, v, w = state["uvel"], state["vvel"], state["wvel"]
+        temp = state["temp"]
+        tr = state.tracer_stack()
+        rho_v = tr[state.meta.idWV]
+        press = rho_d * R_d * temp + rho_v * R_v * temp
+        adds = np.array([t.adds_mass for t in state.meta.tracers])
+        rho = rho_d + jnp.sum(tr * jnp.asarray(adds, tr.dtype)[:, None, None, None, None], axis=0)
+        theta = (press / C0) ** (1.0 / gamma) / rho
+        s = jnp.stack([rho - hyc, rho * u, rho * v, rho * w, rho * theta - hyt])
+        return s, tr
+
+    def _dyn_to_coupler_fields(self, state: CouplerState, s, tr):
+        o = state.options
+        R_d, R_v, gamma, C0 = o["R_d"], o["R_v"], o["gamma_d"], o["C0"]
+        hyc = state["hy_dens_cells"][:, :, None, None]
+        hyt = state["hy_dens_theta_cells"][:, :, None, None]
+        rho = s[IDR] + hyc
+        u, v, w = s[IDU] / rho, s[IDV] / rho, s[IDW] / rho
+        theta = (s[IDT] + hyt) / rho
+        press = C0 * (rho * theta) ** gamma
+        adds = np.array([t.adds_mass for t in state.meta.tracers])
+        rho_d = rho - jnp.sum(tr * jnp.asarray(adds, tr.dtype)[:, None, None, None, None], axis=0)
+        rho_v = tr[state.meta.idWV]
+        temp = press / (rho_d * R_d + rho_v * R_v)
+        out = dict(density_dry=rho_d, uvel=u, vvel=v, wvel=w, temp=temp)
+        out.update({n: tr[i] for i, n in enumerate(state.meta.tracer_names)})
+        return out
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _consts(self, state: CouplerState) -> _Consts:
+        o = state.options
+        return _Consts(
+            R_d=o["R_d"], R_v=o["R_v"], C0=o["C0"], gamma=o["gamma_d"],
+            grav=o["grav"],
+            fcor=2.0 * o["earthrot"] * math.sin(o.get("latitude", 0.0)),
+            enable_gravity=bool(o.get("enable_gravity", True)),
+            use_immersed=bool(o.get("use_immersed_boundaries", False)),
+            bc_x=int(o["bc_x"]), bc_y=int(o["bc_y"]), bc_z=int(o["bc_z"]),
+        )
+
+    def _hy(self, state: CouplerState):
+        return (
+            state["hy_dens_cells"], state["hy_dens_theta_cells"],
+            state["hy_dens_edges"], state["hy_dens_theta_edges"],
+        )
+
+    def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt):
+        """Three-stage SSPRK3 with per-stage tracer positivity clamp
+        (reference dynamics...h:110-175; FCT dt per stage 1, 1/4, 2/3)."""
+        tend = partial(
+            self._tendencies, grid, consts, hy, immersed, positive
+        )
+
+        def clamp(tr_new):
+            pos = jnp.asarray(positive, bool)[:, None, None, None, None]
+            return jnp.where(pos, jnp.maximum(tr_new, 0.0), tr_new)
+
+        st, tt = tend(s, tr, dt)
+        s1 = s + dt * st
+        t1 = clamp(tr + dt * tt)
+
+        st, tt = tend(s1, t1, dt / 4.0)
+        s2 = 0.75 * s + 0.25 * s1 + 0.25 * dt * st
+        t2 = clamp(0.75 * tr + 0.25 * t1 + 0.25 * dt * tt)
+
+        st, tt = tend(s2, t2, 2.0 * dt / 3.0)
+        s3 = (1.0 / 3.0) * s + (2.0 / 3.0) * s2 + (2.0 / 3.0) * dt * st
+        t3 = clamp((1.0 / 3.0) * tr + (2.0 / 3.0) * t2 + (2.0 / 3.0) * dt * tt)
+        return s3, t3
+
+    def _recon_direction(self, prim, axis, n, bc, normal_id, sim_active=True):
+        """WENO-reconstruct all vars along ``axis`` and map to faces.
+
+        Returns (L, R): per-face left/right limits of the de-densitized
+        variables, face axis length n+1 at position ``axis``.
+        Equivalent to the reconstruction loop (dynamics...h:271-388) plus the
+        halo semantics of halo_exchange (dynamics...h:574-827); ghost-cell
+        reconstruction replaces the reference's separate edge exchange.
+        """
+        hp = self.hs + 1
+        padded = pad_bc(prim, axis, hp, bc)
+        if bc == BC_WALL:
+            # Wall: zero the normal-velocity halos (negative axis index is
+            # valid for the one-fewer-dim per-var array too).
+            padded = padded.at[normal_id].set(
+                pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True)
+            )
+        sten = gather_stencils(padded, axis, n + 2, self.ord)
+        edges = reconstruct_edges(sten, self.mats, self.cutoff)
+        gll_l, gll_r = edges[..., 0], edges[..., 1]
+        L = _slice_axis(gll_r, axis, 0, n + 1)   # face f <- right edge of cell f-1
+        R = _slice_axis(gll_l, axis, 1, n + 2)   # face f <- left edge of cell f
+        return L, R
+
+    def _apply_edge_bcs(self, SL, SR, TRL, TRR, axis, n, bc, normal_id):
+        """Physical-boundary overwrite of face limits
+        (reference edge_exchange BC section, dynamics...h:1005-1081)."""
+        if bc == BC_PERIODIC:
+            return SL, SR, TRL, TRR
+        lo = _index_axis(SL, axis, 0)
+        hi = _index_axis(SL, axis, n)
+        # exterior side copies interior side
+        SL = SL.at[lo].set(SR[lo])
+        SR = SR.at[hi].set(SL[hi])
+        TRL = TRL.at[lo].set(TRR[lo])
+        TRR = TRR.at[hi].set(TRL[hi])
+        if bc == BC_WALL:
+            lo_n = _index_axis(SL[normal_id], axis, 0)
+            hi_n = _index_axis(SL[normal_id], axis, n)
+            zl = jnp.zeros_like(SL[normal_id][lo_n])
+            zh = jnp.zeros_like(SL[normal_id][hi_n])
+            SL = SL.at[(normal_id,) + lo_n].set(zl)
+            SR = SR.at[(normal_id,) + lo_n].set(zl)
+            SL = SL.at[(normal_id,) + hi_n].set(zh)
+            SR = SR.at[(normal_id,) + hi_n].set(zh)
+        return SL, SR, TRL, TRR
+
+    @staticmethod
+    def _riemann(SL, SR, TRL, TRR, normal_id, C0, gamma):
+        """Acoustic characteristic upwinding for pressure/normal momentum,
+        advective upwinding for everything else (dynamics...h:395-474)."""
+        ruL, ruR = SL[normal_id], SR[normal_id]
+        rtL, rtR = SL[IDT], SR[IDT]
+        pL = C0 * rtL**gamma
+        pR = C0 * rtR**gamma
+        w1 = 0.5 * (pR - _CS * ruR)
+        w2 = 0.5 * (pL + _CS * ruL)
+        p_upw = w1 + w2
+        ru_upw = (w2 - w1) / _CS
+        useL = (ruL + ruR) > 0.0
+        q = jnp.where(useL[None], SL, SR)
+        r_upw = q[IDR]
+        flux = ru_upw * q / r_upw
+        flux = flux.at[IDR].set(ru_upw)
+        flux = flux.at[normal_id].add(p_upw)
+        tr_flux = ru_upw * jnp.where(useL[None], TRL, TRR) / r_upw
+        return flux, tr_flux
+
+    def _direction_fluxes(self, grid, consts, hy, s, tr, full_r, axis, n, bc,
+                          normal_id):
+        """Full per-direction pipeline: de-densitize -> pad/BC -> WENO ->
+        backgrounds/density at faces -> face BCs -> Riemann."""
+        hyc, hyt, hye, hyte = hy
+        # de-densitized variables (dynamics...h:248-255): rho', u, v, w,
+        # (rho theta)', tracer concentrations
+        prim = jnp.concatenate(
+            [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
+        )
+        L, R = self._recon_direction(prim, axis, n, bc, normal_id)
+
+        # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
+        if axis == _AX_Z:
+            hy_r = hye[:, :, None, None]       # (nens, nz+1, 1, 1) at faces
+            hy_t = hyte[:, :, None, None]
+        else:
+            hy_r = hyc[:, :, None, None]
+            hy_t = hyt[:, :, None, None]
+        rL = L[IDR] + hy_r
+        rR = R[IDR] + hy_r
+        SL = jnp.stack([rL, L[IDU] * rL, L[IDV] * rL, L[IDW] * rL, L[IDT] + hy_t])
+        SR = jnp.stack([rR, R[IDU] * rR, R[IDV] * rR, R[IDW] * rR, R[IDT] + hy_t])
+        TRL = L[NUM_STATE:] * rL
+        TRR = R[NUM_STATE:] * rR
+
+        SL, SR, TRL, TRR = self._apply_edge_bcs(SL, SR, TRL, TRR, axis, n, bc, normal_id)
+        return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
+
+    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt):
+        """Flux-corrected transport: scale outgoing tracer fluxes so no cell
+        can be driven negative (dynamics...h:498-516), rewritten functionally:
+        compute a per-cell multiplier, apply it to each face from the
+        upwind (outflow) side."""
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        vol = dx * dy * dz
+        mass_avail = jnp.maximum(tr, 0.0) * vol
+        fo_x = (jnp.maximum(_slice_axis(Fx, _AX_X, 1, grid.nx + 1), 0.0)
+                - jnp.minimum(_slice_axis(Fx, _AX_X, 0, grid.nx), 0.0)) / dx
+        fo_z = (jnp.maximum(_slice_axis(Fz, _AX_Z, 1, grid.nz + 1), 0.0)
+                - jnp.minimum(_slice_axis(Fz, _AX_Z, 0, grid.nz), 0.0)) / dz
+        if Fy is not None:
+            fo_y = (jnp.maximum(_slice_axis(Fy, _AX_Y, 1, grid.ny + 1), 0.0)
+                    - jnp.minimum(_slice_axis(Fy, _AX_Y, 0, grid.ny), 0.0)) / dy
+        else:
+            fo_y = 0.0
+        mass_out = (fo_x + fo_y + fo_z) * dt * vol
+        need = mass_out > mass_avail
+        mult = jnp.where(need, mass_avail / jnp.maximum(mass_out, 1e-300 if tr.dtype == jnp.float64 else 1e-30), 1.0)
+        pos = jnp.asarray(positive, bool)[:, None, None, None, None]
+        mult = jnp.where(pos, mult, 1.0)
+
+        def scale(F, axis, ncells):
+            ones_shape = list(mult.shape)
+            ones_shape[axis] = 1
+            one = jnp.ones(ones_shape, mult.dtype)
+            mult_left = jnp.concatenate([one, mult], axis=axis)   # face f <- cell f-1
+            mult_right = jnp.concatenate([mult, one], axis=axis)  # face f <- cell f
+            return F * jnp.where(F > 0, mult_left, jnp.where(F < 0, mult_right, 1.0))
+
+        Fx = scale(Fx, _AX_X, grid.nx)
+        Fz = scale(Fz, _AX_Z, grid.nz)
+        if Fy is not None:
+            Fy = scale(Fy, _AX_Y, grid.ny)
+        return Fx, Fy, Fz
+
+    def _tendencies(self, grid, consts, hy, immersed, positive, s, tr, dt):
+        """One semi-discrete RHS evaluation (dynamics...h:204-552)."""
+        hyc = hy[0][:, :, None, None]
+        full_r = s[IDR] + hyc
+        sim2d = grid.sim2d
+
+        SFx, TFx = self._direction_fluxes(
+            grid, consts, hy, s, tr, full_r, _AX_X, grid.nx, consts.bc_x, IDU)
+        SFz, TFz = self._direction_fluxes(
+            grid, consts, hy, s, tr, full_r, _AX_Z, grid.nz, consts.bc_z, IDW)
+        if sim2d:
+            SFy = TFy = None
+        else:
+            SFy, TFy = self._direction_fluxes(
+                grid, consts, hy, s, tr, full_r, _AX_Y, grid.ny, consts.bc_y, IDV)
+
+        TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt)
+
+        def div(F, axis, n, dxi):
+            return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi
+
+        s_tend = div(SFx, _AX_X, grid.nx, grid.dx) + div(SFz, _AX_Z, grid.nz, grid.dz)
+        t_tend = div(TFx, _AX_X, grid.nx, grid.dx) + div(TFz, _AX_Z, grid.nz, grid.dz)
+        if not sim2d:
+            s_tend = s_tend + div(SFy, _AX_Y, grid.ny, grid.dy)
+            t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
+
+        # Gravity + Coriolis sources (dynamics...h:524-527).
+        if consts.enable_gravity:
+            s_tend = s_tend.at[IDW].add(-consts.grav * full_r)
+        if consts.fcor != 0.0:
+            s_tend = s_tend.at[IDU].add(consts.fcor * s[IDV])
+            s_tend = s_tend.at[IDV].add(-consts.fcor * s[IDU])
+        if sim2d:
+            s_tend = s_tend.at[IDV].set(0.0)
+
+        # Immersed-boundary relaxation blending (dynamics...h:534-550).
+        if consts.use_immersed:
+            tau = 1.0e3 * dt
+            fac = -min(1.0, dt / tau) / dt
+            imm_tend = fac * s
+            prop = immersed[None]
+            s_tend = prop * imm_tend + (1.0 - prop) * s_tend
+        return s_tend, t_tend

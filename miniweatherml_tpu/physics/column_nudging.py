@@ -1,0 +1,40 @@
+"""Column nudging (reference model/modules/column_nudging.h).
+
+Stores the initial horizontal-mean column of {density_dry, uvel, vvel, temp,
+water_vapor} and nudges the state toward it with a 900 s time scale each
+step.  MPI_Allreduce column averages (column_nudging.h:70-106) become plain
+means over the global y/x axes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.coupler import CouplerState
+
+__all__ = ["ColumnNudger"]
+
+_FIELDS = ("density_dry", "uvel", "vvel", "temp", "water_vapor")
+_TIME_SCALE = 900.0  # (column_nudging.h:61)
+
+
+class ColumnNudger:
+    """Functional port: the stored column rides in the coupler state as the
+    field ``nudging_column`` of shape (num_fields, nens, nz)."""
+
+    def set_column(self, state: CouplerState) -> CouplerState:
+        col = jnp.stack(
+            [jnp.mean(state[n], axis=(2, 3)) for n in _FIELDS])
+        if "nudging_column" in state.fields:
+            return state.replace_fields(nudging_column=col)
+        return state.register_field("nudging_column", value=col)
+
+    def nudge_to_column(self, state: CouplerState, dt: float) -> CouplerState:
+        column = state["nudging_column"]
+        updates = {}
+        for l, name in enumerate(_FIELDS):
+            f = state[name]
+            avg = jnp.mean(f, axis=(2, 3), keepdims=True)
+            updates[name] = f + dt * (column[l][:, :, None, None] - avg) / _TIME_SCALE
+        return state.replace_fields(**updates)
