@@ -1,0 +1,73 @@
+"""Timed benchmark experiment (reference experiments/community_benchmark/
+driver.cpp): identical physics chain to supercell_example, output disabled,
+with a timer around the simulation loop and a throughput report in
+cell-updates/sec.
+
+Usage: python -m miniweatherml_tpu.experiments.community_benchmark <input.yaml>
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ..config import load_config
+from .driver import Timers, run_main_loop
+from .supercell_example import build
+
+__all__ = ["main", "run_benchmark"]
+
+
+def run_benchmark(config, warmup_steps: int = 2, quiet: bool = False):
+    state, mods, dycore = build(config)
+    g = config.grid
+
+    # Warm up compilation outside the timed region.
+    dt = dycore.compute_time_step(state) if config.dt_phys <= 0 else config.dt_phys
+    warm = state
+    step = jax.jit(lambda s: _chain(mods, s, dt))
+    for _ in range(warmup_steps):
+        warm = step(warm)
+    jax.block_until_ready(warm.fields["temp"])
+
+    timers = Timers()
+    nsteps = [0]
+    state = run_main_loop(
+        state, config, mods, dycore, writer=None, timers=timers,
+        on_step=lambda s, d, e: nsteps.__setitem__(0, nsteps[0] + 1),
+        quiet=quiet,
+    )
+    jax.block_until_ready(state.fields["temp"])
+    # re-measure the loop time after the block (captures async dispatch)
+    elapsed = timers.acc["simulation_loop"]
+    cells = g.nx * g.ny * g.nz * g.nens
+    cu_per_s = cells * nsteps[0] / max(elapsed, 1e-12)
+    result = {
+        "steps": nsteps[0],
+        "elapsed_s": elapsed,
+        "steps_per_s": nsteps[0] / max(elapsed, 1e-12),
+        "mcellups": cu_per_s / 1e6,
+    }
+    if not quiet:
+        print(f"simulation_loop: {elapsed:.3f} s, {nsteps[0]} steps, "
+              f"{result['mcellups']:.2f} Mcell-updates/s")
+    return state, result
+
+
+def _chain(mods, s, dt):
+    for m in mods:
+        s = m(s, dt)
+    return s
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        raise SystemExit("usage: community_benchmark <input.yaml>")
+    config = load_config(argv[0])
+    return run_benchmark(config)
+
+
+if __name__ == "__main__":
+    main()

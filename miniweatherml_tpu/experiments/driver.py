@@ -1,0 +1,114 @@
+"""Shared experiment-driver machinery.
+
+Mirrors the reference driver pattern (experiments/supercell_example/
+driver.cpp:9-88): read YAML -> allocate coupler -> module init -> main loop
+{compute dt, module time_steps} -> finalize, plus the ``Etime, dtphys, maxw``
+heartbeat (dynamics...h:186-196) and periodic NetCDF output.
+
+Differences: output/heartbeat live in the driver loop instead of inside the
+dycore's time_step (identical content and cadence), and the composed module
+chain for one physics step is jit-compiled as a single function per distinct
+dt (the auto-CFL path keeps dt constant, so normally two compiles per run:
+main dt + the final partial step).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..core.coupler import CouplerState, make_coupler_state
+from ..io.netcdf import StateWriter
+
+__all__ = ["setup_state", "run_main_loop", "Timers"]
+
+
+class Timers:
+    """Wall-clock section timers (the reference uses yakl::timer_start/stop,
+    e.g. community_benchmark/driver.cpp:66,82)."""
+
+    def __init__(self):
+        self.acc: dict[str, float] = {}
+        self._open: dict[str, float] = {}
+
+    def start(self, name: str):
+        self._open[name] = time.perf_counter()
+
+    def stop(self, name: str):
+        self.acc[name] = self.acc.get(name, 0.0) + time.perf_counter() - self._open.pop(name)
+
+    def report(self) -> str:
+        return "\n".join(f"  {k:<24s} {v:10.3f} s" for k, v in self.acc.items())
+
+
+def setup_state(config: SimConfig) -> CouplerState:
+    """Allocate the coupler state and stash driver-level options
+    (reference driver.cpp:34-47)."""
+    if config.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    state = make_coupler_state(config.grid, dtype=config.dtype)
+    return state.set_options(
+        out_prefix=config.out_prefix,
+        init_data=config.init_data,
+        out_freq=config.out_freq,
+        enable_gravity=config.enable_gravity,
+        file_per_process=config.file_per_process,
+        standalone_input_file=config.config_path,
+    )
+
+
+def run_main_loop(
+    state: CouplerState,
+    config: SimConfig,
+    step_modules: Sequence[Callable[[CouplerState, float], CouplerState]],
+    dycore,
+    writer: StateWriter | None = None,
+    timers: Timers | None = None,
+    on_step: Callable[[CouplerState, float, float], None] | None = None,
+    quiet: bool = False,
+) -> CouplerState:
+    """The reference main loop (driver.cpp:64-80) with heartbeat + output."""
+    timers = timers or Timers()
+    etime = 0.0
+    num_out = 0
+    dtphys_in = config.dt_phys
+    out_freq = config.out_freq
+
+    compiled: dict[float, Callable] = {}
+
+    def get_step(dt: float):
+        if dt not in compiled:
+            def whole_step(s):
+                for mod in step_modules:
+                    s = mod(s, dt)
+                return s
+            compiled[dt] = jax.jit(whole_step)
+        return compiled[dt]
+
+    if writer is not None and out_freq >= 0.0:
+        writer.write(state, 0.0)
+
+    timers.start("simulation_loop")
+    while etime < config.sim_time:
+        dtphys = dycore.compute_time_step(state) if dtphys_in <= 0.0 else dtphys_in
+        if etime + dtphys > config.sim_time:
+            dtphys = config.sim_time - etime
+        state = get_step(dtphys)(state)
+        etime += dtphys
+        if on_step is not None:
+            on_step(state, dtphys, etime)
+        if out_freq >= 0.0 and etime / out_freq >= num_out + 1:
+            if writer is not None:
+                writer.write(state, etime)
+            num_out += 1
+            maxw = float(jnp.max(jnp.abs(state["wvel"])))
+            if not quiet:
+                # heartbeat format mirrors dynamics...h:193-195
+                print(f"Etime , dtphys, maxw: {etime:10.6e} , "
+                      f"{dtphys:10.6e} , {maxw:10.6e}", flush=True)
+    timers.stop("simulation_loop")
+    return state

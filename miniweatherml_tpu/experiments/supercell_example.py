@@ -1,0 +1,70 @@
+"""The canonical supercell experiment.
+
+TPU-native port of experiments/supercell_example/driver.cpp: Kessler
+microphysics + WENO dycore + top sponge + column nudging, seeded with a
+deterministic thermal temperature perturbation.
+
+Usage:  python -m miniweatherml_tpu.experiments.supercell_example <input.yaml>
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..config import SimConfig, load_config
+from ..core.coupler import CouplerState
+from ..dycore.euler import Dycore
+from ..io.netcdf import StateWriter
+from ..physics.column_nudging import ColumnNudger
+from ..physics.kessler import MicrophysicsKessler
+from ..physics.perturb import perturb_temperature
+from ..physics.sponge import sponge_layer
+from .driver import Timers, run_main_loop, setup_state
+
+__all__ = ["build", "main"]
+
+
+def build(config: SimConfig):
+    """Initialize coupler + modules; returns (state, step_modules, dycore).
+
+    Module order matches the reference main loop (driver.cpp:72-77):
+    dycore -> micro -> sponge -> nudge.
+    """
+    state = setup_state(config)
+    micro = MicrophysicsKessler()
+    dycore = Dycore()
+    nudger = ColumnNudger()
+
+    state = micro.init(state)          # driver.cpp:58
+    state = dycore.init(state)         # driver.cpp:59
+    state = nudger.set_column(state)   # driver.cpp:60
+    state = perturb_temperature(state) # driver.cpp:61
+
+    step_modules = [
+        dycore.time_step,
+        micro.time_step,
+        lambda s, dt: sponge_layer(s, dt),
+        nudger.nudge_to_column,
+    ]
+    return state, step_modules, dycore
+
+
+def main(argv=None) -> CouplerState:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        raise SystemExit("usage: supercell_example <input.yaml>")
+    config = load_config(argv[0])
+    state, mods, dycore = build(config)
+    writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
+    timers = Timers()
+    timers.start("main")
+    state = run_main_loop(state, config, mods, dycore, writer, timers)
+    timers.stop("main")
+    if writer:
+        writer.close()
+    print(timers.report())
+    return state
+
+
+if __name__ == "__main__":
+    main()

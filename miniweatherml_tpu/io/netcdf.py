@@ -1,0 +1,75 @@
+"""NetCDF output with the reference's file schema.
+
+The reference writes NetCDF/PNetCDF with dims (t, z, y, x), coordinate
+variables x/y/z/t, and one variable per coupler state field + tracer
+(dynamics_euler_stratified_wenofv.h:2019-2191).  Here a single global file is
+written via scipy's NetCDF3 writer (the Python environment has no netCDF4);
+data is gathered from device to host at each snapshot.  Falls back to ``.npz``
+snapshots if scipy is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.coupler import CouplerState
+
+try:
+    from scipy.io import netcdf_file as _netcdf_file
+except Exception:  # pragma: no cover
+    _netcdf_file = None
+
+__all__ = ["StateWriter"]
+
+_STATE_VARS = ("density_dry", "uvel", "vvel", "wvel", "temp")
+
+
+class StateWriter:
+    """Snapshot writer mirroring the reference output() variable layout.
+
+    Writes ensemble member 0 like the reference (dynamics...h:2034).
+    """
+
+    def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0):
+        self.iens = iens
+        self.varnames = list(_STATE_VARS) + list(state.meta.tracer_names)
+        g = state.grid
+        if _netcdf_file is None:
+            self.path = path_prefix + ".npz"
+            self._nc = None
+            self._frames: list[dict] = []
+            return
+        self.path = path_prefix if path_prefix.endswith(".nc") else path_prefix + ".nc"
+        nc = _netcdf_file(self.path, "w")
+        nc.createDimension("t", None)  # scipy requires unlimited dim first
+        nc.createDimension("x", g.nx)
+        nc.createDimension("y", g.ny)
+        nc.createDimension("z", g.nz)
+        for dim, n, d in (("x", g.nx, g.dx), ("y", g.ny, g.dy), ("z", g.nz, g.dz)):
+            v = nc.createVariable(dim, "d", (dim,))
+            v[:] = (np.arange(n) + 0.5) * d
+        self._tvar = nc.createVariable("t", "d", ("t",))
+        self._vars = {
+            name: nc.createVariable(name, "d", ("t", "z", "y", "x"))
+            for name in self.varnames
+        }
+        self._nc = nc
+        self._n = 0
+
+    def write(self, state: CouplerState, etime: float) -> None:
+        if self._nc is None:
+            self._frames.append(
+                {"t": etime, **{n: np.asarray(state[n][self.iens]) for n in self.varnames}}
+            )
+            np.savez(self.path, frames=np.array(self._frames, dtype=object))
+            return
+        i = self._n
+        self._tvar[i] = etime
+        for name in self.varnames:
+            self._vars[name][i] = np.asarray(state[name][self.iens], np.float64)
+        self._nc.flush()
+        self._n += 1
+
+    def close(self) -> None:
+        if self._nc is not None:
+            self._nc.close()

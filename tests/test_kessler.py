@@ -1,0 +1,107 @@
+"""Kessler microphysics unit tests (reference microphysics_kessler.h)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from miniweatherml_tpu.physics.kessler import kessler_column
+
+
+def _column(nz=40, ncol=3, dz=500.0, dtype=jnp.float64):
+    """A moist unstable column."""
+    rng = np.random.default_rng(0)
+    z = ((np.arange(nz) + 0.5) * dz)[:, None] * np.ones((1, ncol))
+    rho = 1.2 * np.exp(-z / 8000.0)
+    p = 1e5 * np.exp(-z / 8000.0)
+    exner = (p / 1e5) ** (287.0 / 1003.0)
+    theta = 300.0 + 10.0 * z / 20000.0 + rng.uniform(0, 1, (nz, ncol))
+    qv = 0.016 * np.exp(-z / 3000.0)
+    qc = np.where(z < 5000.0, 1e-4, 0.0) * np.ones((1, ncol))
+    qr = np.where(z < 3000.0, 5e-4, 0.0) * np.ones((1, ncol))
+    to = lambda a: jnp.asarray(a, dtype)
+    return tuple(map(to, (theta, qv, qc, qr, rho, z, exner)))
+
+
+def test_positivity_and_finiteness():
+    theta, qv, qc, qr, rho, z, pk = _column()
+    th2, qv2, qc2, qr2, precl = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=10.0, Rd=287.0, cp=1003.0, p0=1e5)
+    for a in (th2, qv2, qc2, qr2, precl):
+        assert np.isfinite(np.asarray(a)).all()
+    assert float(qv2.min()) >= 0
+    assert float(qc2.min()) >= 0
+    assert float(qr2.min()) >= 0
+    assert float(precl.min()) >= 0
+
+
+def test_water_conservation_without_sedimentation():
+    """With zero rain there is no sedimentation/precip, so total water
+    qv+qc+qr is conserved exactly by the adjustment terms
+    (microphysics_kessler.h:302-328 move mass only between categories)."""
+    theta, qv, qc, qr, rho, z, pk = _column()
+    qr = jnp.zeros_like(qr)
+    th2, qv2, qc2, qr2, precl = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=5.0, Rd=287.0, cp=1003.0, p0=1e5)
+    tot0 = np.asarray(qv + qc + qr)
+    tot1 = np.asarray(qv2 + qc2 + qr2)
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-12, atol=1e-15)
+
+
+def test_saturation_adjustment_direction():
+    """Supersaturated moist cells must condense (qc up, qv down, theta up)."""
+    theta, qv, qc, qr, rho, z, pk = _column()
+    qv = qv * 3.0  # force strong supersaturation at low levels
+    th2, qv2, qc2, qr2, _ = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=5.0, Rd=287.0, cp=1003.0, p0=1e5)
+    low = np.s_[0:4]
+    assert (np.asarray(qc2)[low] > np.asarray(qc)[low]).all()
+    assert (np.asarray(qv2)[low] < np.asarray(qv)[low]).all()
+    assert (np.asarray(th2)[low] > np.asarray(theta)[low]).all()
+
+
+def test_rain_falls_and_precipitates():
+    """Rain aloft sediments downward and produces surface precip."""
+    theta, qv, qc, qr, rho, z, pk = _column(nz=20)
+    qr = jnp.zeros_like(qr).at[10:12].set(2e-3)
+    qv = jnp.zeros_like(qv)   # dry: no new rain formation
+    qc = jnp.zeros_like(qc)
+    th2, qv2, qc2, qr2, precl = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=60.0, Rd=287.0, cp=1003.0, p0=1e5)
+    qr_prof0 = np.asarray(qr).mean(1)
+    qr_prof1 = np.asarray(qr2).mean(1)
+    # center of mass moved down
+    zc = np.asarray(z)[:, 0]
+    com0 = (qr_prof0 * zc).sum() / qr_prof0.sum()
+    com1 = (qr_prof1 * zc).sum() / max(qr_prof1.sum(), 1e-30)
+    assert com1 < com0
+
+
+def test_subcycling_stability_large_dt():
+    """A big dt forces rainsplit > 1 via the while_loop; results stay finite
+    (reference CFL subcycling, microphysics_kessler.h:276-285)."""
+    theta, qv, qc, qr, rho, z, pk = _column(nz=30)
+    qr = qr + 5e-3
+    th2, qv2, qc2, qr2, precl = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=300.0, Rd=287.0, cp=1003.0, p0=1e5)
+    for a in (th2, qv2, qc2, qr2, precl):
+        assert np.isfinite(np.asarray(a)).all()
+    assert float(precl.max()) > 0
+
+
+def test_jit_and_vectorized_shapes():
+    """Works under jit on 4-D (nens, nz, ny, nx) with z_axis=1."""
+    nz, ny, nx = 10, 3, 4
+    rng = np.random.default_rng(1)
+    shape = (2, nz, ny, nx)
+    z = ((np.arange(nz) + 0.5) * 500.0)[None, :, None, None] * np.ones(shape)
+    theta = jnp.asarray(300 + rng.uniform(0, 5, shape))
+    qv = jnp.asarray(0.01 * np.ones(shape))
+    qc = jnp.asarray(1e-4 * np.ones(shape))
+    qr = jnp.asarray(1e-4 * np.ones(shape))
+    rho = jnp.asarray(np.ones(shape))
+    pk = jnp.asarray(0.9 * np.ones(shape))
+    f = jax.jit(lambda *a: kessler_column(*a, dt=5.0, Rd=287.0, cp=1003.0,
+                                          p0=1e5, z_axis=1))
+    th2, qv2, qc2, qr2, precl = f(theta, qv, qc, qr, rho, jnp.asarray(z), pk)
+    assert th2.shape == shape
+    assert precl.shape == (2, ny, nx)
