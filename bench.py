@@ -1,0 +1,85 @@
+"""Headline benchmark: supercell cell-updates/sec on one chip.
+
+Runs the community_benchmark physics chain (WENO Euler dycore + Kessler +
+sponge + nudging, reference experiments/community_benchmark/driver.cpp) on a
+single-chip supercell grid, times a fixed number of fully-compiled steps, and
+prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "Mcellups", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by the 10 Mcell-updates/s
+nominal CPU-node figure from BASELINE.md's north-star target (the reference
+publishes no numbers; BASELINE.json's target is >=10x a CPU node, so
+vs_baseline >= 10 means the target is met).
+
+Env overrides: MWML_BENCH_NX/NY/NZ/STEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+from miniweatherml_tpu.config import config_from_dict
+from miniweatherml_tpu.experiments.supercell_example import build
+
+_BASELINE_MCELLUPS = 10.0  # nominal CPU-node throughput (BASELINE.md north star)
+
+
+def main() -> None:
+    on_tpu = jax.devices()[0].platform == "tpu"
+    nx = int(os.environ.get("MWML_BENCH_NX", 512 if on_tpu else 64))
+    ny = int(os.environ.get("MWML_BENCH_NY", 512 if on_tpu else 64))
+    nz = int(os.environ.get("MWML_BENCH_NZ", 64 if on_tpu else 32))
+    steps = int(os.environ.get("MWML_BENCH_STEPS", 10 if on_tpu else 3))
+
+    # community_benchmark supercell geometry (819.2 km x 819.2 km x 20 km,
+    # reference experiments/community_benchmark/inputs/input_euler3d*.yaml),
+    # scaled to the chosen grid at the same ~400 m/200 m resolution class.
+    config = config_from_dict(dict(
+        sim_time=1.0e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
+        xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
+        init_data="supercell", out_prefix="bench", dt_phys=0.0, out_freq=-1.0,
+    ))
+    state, mods, dycore = build(config)
+    dt = dycore.compute_time_step(state)
+
+    @jax.jit
+    def step(s):
+        for m in mods:
+            s = m(s, dt)
+        return s
+
+    # Force full device sync by fetching a scalar: on the experimental axon
+    # TPU platform block_until_ready returns before execution finishes.
+    def sync(s):
+        return float(jax.numpy.max(s.fields["temp"]))
+
+    # Warm-up (compile + one synced execution) outside the timed region.
+    state = step(state)
+    sync(state)
+    state = step(state)
+    sync(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step(state)
+    sync(state)
+    elapsed = time.perf_counter() - t0
+
+    cells = nx * ny * nz
+    mcellups = cells * steps / elapsed / 1e6
+    print(json.dumps({
+        "metric": "supercell cell-updates/sec/chip "
+                  f"({nx}x{ny}x{nz}, {steps} steps, {jax.devices()[0].platform})",
+        "value": round(mcellups, 3),
+        "unit": "Mcellups",
+        "vs_baseline": round(mcellups / _BASELINE_MCELLUPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
