@@ -23,14 +23,8 @@ def run_benchmark(config, warmup_steps: int = 2, quiet: bool = False):
     state, mods, dycore = build(config)
     g = config.grid
 
-    # Warm up compilation outside the timed region.
-    dt = dycore.compute_time_step(state) if config.dt_phys <= 0 else config.dt_phys
-    warm = state
-    step = jax.jit(lambda s: _chain(mods, s, dt))
-    for _ in range(warmup_steps):
-        warm = step(warm)
-    jax.block_until_ready(warm.fields["temp"])
-
+    # Compilation happens outside the timed region: run_main_loop AOT-compiles
+    # every step executable before starting the simulation_loop timer.
     timers = Timers()
     nsteps = [0]
     state = run_main_loop(
@@ -38,8 +32,6 @@ def run_benchmark(config, warmup_steps: int = 2, quiet: bool = False):
         on_step=lambda s, d, e: nsteps.__setitem__(0, nsteps[0] + 1),
         quiet=quiet,
     )
-    jax.block_until_ready(state.fields["temp"])
-    # re-measure the loop time after the block (captures async dispatch)
     elapsed = timers.acc["simulation_loop"]
     cells = g.nx * g.ny * g.nz * g.nens
     cu_per_s = cells * nsteps[0] / max(elapsed, 1e-12)

@@ -1,0 +1,91 @@
+"""Lateral (horizontal) inflow/outflow sponge.
+
+TPU-native re-design of the reference ``Horizontal_Sponge``
+(experiments/simple_city/custom_modules/horizontal_sponge.h): stores one
+reference column of {density_dry, uvel, vvel, wvel, temp, water_vapor} at
+init (the reference takes local column (0,0) of rank 0 and MPI_Bcasts it,
+horizontal_sponge.h:54-86 -- here that is simply the global (j=0, i=0)
+column), then each step relaxes a cosine-weighted band of ``sponge_cells``
+cells at the selected x/y walls toward that column
+(horizontal_sponge.h:100-193).
+
+Functional port: the stored column rides in the coupler state as the field
+``horiz_sponge_column`` of shape (6, nens, nz), so the whole module stays
+inside the jitted step.  Under sharding the column is replicated (the
+broadcast analog).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.coupler import CouplerState
+
+__all__ = ["HorizontalSponge"]
+
+_FIELDS = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor")
+
+
+class HorizontalSponge:
+    """Relax lateral boundary bands toward a fixed reference column."""
+
+    def __init__(self, sponge_cells: int = 10, time_scale: float = 1.0):
+        self.sponge_cells = sponge_cells
+        self.time_scale = time_scale
+
+    def init(self, state: CouplerState) -> CouplerState:
+        """Capture the global (j=0, i=0) column (horizontal_sponge.h:54-68)."""
+        col = jnp.stack([state[n][:, :, 0, 0] for n in _FIELDS])  # (6, nens, nz)
+        if "horiz_sponge_column" in state.fields:
+            return state.replace_fields(horiz_sponge_column=col)
+        return state.register_field("horiz_sponge_column", value=col)
+
+    def override(self, state: CouplerState, **values: float) -> CouplerState:
+        """Set a stored column to a constant (reference override_* methods)."""
+        col = state["horiz_sponge_column"]
+        for name, val in values.items():
+            col = col.at[_FIELDS.index(name)].set(val)
+        return state.replace_fields(horiz_sponge_column=col)
+
+    def apply(self, state: CouplerState, dt: float,
+              x1: bool = True, x2: bool = True,
+              y1: bool = True, y2: bool = True) -> CouplerState:
+        """Cosine-in-space, dt/time_scale-in-time blend toward the column at
+        the selected walls (horizontal_sponge.h:100-193)."""
+        g = state.grid
+        jd = state.meta.jdtype
+        n_sp = self.sponge_cells
+        time_factor = dt / self.time_scale
+        col = state["horiz_sponge_column"]  # (6, nens, nz)
+
+        def wall_weight(idx, n):
+            # weight(i) = (cos(pi * i/(n_sp-1)) + 1)/2 for i < n_sp, else 0
+            loc = idx.astype(jd) / (n_sp - 1.0)
+            w = jnp.where(idx < n_sp, (jnp.cos(jnp.pi * loc) + 1.0) / 2.0, 0.0)
+            return w * time_factor
+
+        ix = jnp.arange(g.nx)
+        jy = jnp.arange(g.ny)
+        weight = jnp.zeros((g.ny, g.nx), jd)
+
+        # Later walls overwrite earlier ones where bands overlap, matching the
+        # reference's sequential kernel launches (x1 -> x2 -> y1 -> y2).
+        def merge(weight, w_new):
+            return jnp.where(w_new > 0.0, w_new, weight)
+
+        if x1:
+            weight = merge(weight, jnp.broadcast_to(wall_weight(ix, g.nx)[None, :], weight.shape))
+        if x2:
+            weight = merge(weight, jnp.broadcast_to(wall_weight(g.nx - 1 - ix, g.nx)[None, :], weight.shape))
+        if y1:
+            weight = merge(weight, jnp.broadcast_to(wall_weight(jy, g.ny)[:, None], weight.shape))
+        if y2:
+            weight = merge(weight, jnp.broadcast_to(wall_weight(g.ny - 1 - jy, g.ny)[:, None], weight.shape))
+
+        w = weight[None, None, :, :]  # (1, 1, ny, nx)
+        updates = {}
+        for l, name in enumerate(_FIELDS):
+            f = state[name]
+            c = col[l][:, :, None, None]  # (nens, nz, 1, 1)
+            updates[name] = w * c + (1.0 - w) * f
+        return state.replace_fields(**updates)
