@@ -43,6 +43,7 @@ import numpy as np
 from ..core.coupler import CouplerState
 from ..ops.stencil import BC_OPEN, BC_PERIODIC, BC_WALL, gather_stencils, pad_bc
 from ..ops.weno import reconstruct_edges, weno_matrices
+from ..ops.weno_fused import reconstruct_edges_shifted
 
 __all__ = ["Dycore", "IDR", "IDU", "IDV", "IDW", "IDT"]
 
@@ -92,12 +93,16 @@ class Dycore:
     """Order-``ord`` WENO FV Euler dycore (ord in {3,5,7,9}; reference
     -DMW_ORD, dynamics...h:24-28)."""
 
-    def __init__(self, ord: int = 5, cutoff: float = 0.0):
+    def __init__(self, ord: int = 5, cutoff: float = 0.0,
+                 recon_impl: str = "fused"):
         if ord not in (3, 5, 7, 9):
             raise ValueError("ord must be 3, 5, 7 or 9")
+        if recon_impl not in ("fused", "dense"):
+            raise ValueError("recon_impl must be 'fused' or 'dense'")
         self.ord = ord
         self.hs = (ord - 1) // 2
         self.cutoff = cutoff
+        self.recon_impl = recon_impl
         self.mats = weno_matrices(ord)
 
     # ------------------------------------------------------------------
@@ -292,9 +297,13 @@ class Dycore:
             padded = padded.at[normal_id].set(
                 pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True)
             )
-        sten = gather_stencils(padded, axis, n + 2, self.ord)
-        edges = reconstruct_edges(sten, self.mats, self.cutoff)
-        gll_l, gll_r = edges[..., 0], edges[..., 1]
+        if self.recon_impl == "fused":
+            gll_l, gll_r = reconstruct_edges_shifted(
+                padded, axis, n + 2, self.mats, self.cutoff)
+        else:
+            sten = gather_stencils(padded, axis, n + 2, self.ord)
+            edges = reconstruct_edges(sten, self.mats, self.cutoff)
+            gll_l, gll_r = edges[..., 0], edges[..., 1]
         L = _slice_axis(gll_r, axis, 0, n + 1)   # face f <- right edge of cell f-1
         R = _slice_axis(gll_l, axis, 1, n + 2)   # face f <- left edge of cell f
         return L, R
