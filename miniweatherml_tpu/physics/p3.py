@@ -1,0 +1,458 @@
+"""P3-class ice microphysics, TPU-native.
+
+Re-design of the reference's P3 integration (model/modules/microphysics_p3.h
++ the vendored SCREAM P3 v4.1.1 Fortran in
+model/modules/helpers/microphysics_p3/micro_p3.F90).  The reference calls
+``p3_main_fortran`` on host-staged arrays; here the whole scheme is a
+vectorized jax function that runs inside the jitted physics step (all
+columns at once on the VPU), with a C++ native twin
+(miniweatherml_tpu/native) mirroring the reference's native-language tier.
+
+Integration parity with the reference wrapper (microphysics_p3.h):
+  * 9 tracers with identical names/positivity/mass flags (:100-116)
+  * persistent ``qv_prev`` / ``t_prev`` fields (:118-121)
+  * physical constants (:74-88)
+  * instantaneous saturation pre-adjustment by bisection
+    (compute_adjusted_state, :467-550) -- implemented exactly, vectorized,
+    fixed iteration count (60 halvings ~ 2^-60 * rho_v << the 1e-6 tol)
+  * dry-mixing-ratio conversions in, theta/frozen-exner conversions out,
+    with non-negative clamps (:425-439)
+
+Scheme fidelity tiers (documented per process):
+  [P3]     process-rate formula identical to micro_p3.F90 (published
+           closed-form parameterizations)
+  [approx] continuous approximation standing in for the reference's
+           ice lookup-table interpolation (micro_p3.F90:1508-1773); the
+           table-driven path is staged for a later round.
+
+Processes:
+  * cloud->rain autoconversion: Khairoutdinov & Kogan 2000,
+    1350 qc^2.47 (nc rho 1e-6)^-1.79          [P3] (micro_p3.F90:2750-2784)
+  * cloud->rain accretion: 67 (qc qr)^1.15    [P3] (:2655-2703, iparam=3)
+  * rain self-collection + breakup: 5.78 nr qr rho with Verlinde-Cotton
+    breakup factor (D > 280um)                [P3] (:2705-2747)
+  * rain evaporation: relaxation of subsaturation over the rain
+    distribution's relaxation timescale       [approx] (:2358-2410 tables)
+  * cloud immersion freezing (Bigg 1953) and rain immersion freezing
+    below -4 C                                [P3 form] (:2504-2573)
+  * ice nucleation (Cooper 1986 capped)       [P3 form] (:2576-2618)
+  * vapor<->ice deposition/sublimation by relaxation toward ice
+    saturation                                [approx] (:2322-2355)
+  * riming of cloud by ice (continuous collection kernel)  [approx]
+  * ice melting above freezing (thermal relaxation)        [approx]
+  * sedimentation of rain and ice with CFL sub-cycling, upstream
+    differencing (same structure as the dycore-facing Kessler)
+  * sink-vs-source conservation rescaling per species      [P3 form]
+    (:2966-3060 *_conservation)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.coupler import CouplerState
+
+__all__ = ["MicrophysicsP3", "compute_adjusted_state", "p3_scheme"]
+
+# -- constants (reference microphysics_p3.h:74-88, micro_p3_utils.F90) -----
+R_D = 287.042
+CP_D = 1004.64
+R_V = 461.505
+CP_V = 1859.0
+P0 = 1.0e5
+GRAV = 9.80616
+CP_L = 4188.0
+RHO_H2O = 1000.0
+LATVAP = 2501000.0
+LATICE = 333700.0
+TMELT = 273.15
+QSMALL = 1.0e-14      # micro_p3_utils.F90:18
+NSMALL = 1.0e-16      # micro_p3_utils.F90:19
+NCCNST = 200.0e6      # prescribed droplet number (micro_p3_utils.F90:115)
+# 1/(pi/6*rho_h2o*(25um)^3): new raindrops are 25 um (micro_p3_utils.F90:175)
+CONS3 = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 25.0e-6 ** 3)
+
+
+def saturation_vapor_pressure(temp):
+    """Liquid svp, Magnus form (reference microphysics_p3.h:446-449)."""
+    tc = temp - 273.15
+    return 610.94 * jnp.exp(17.625 * tc / (243.04 + tc))
+
+
+def saturation_vapor_pressure_ice(temp):
+    """Ice svp, Magnus form (stands in for wv_sat_scream.F90's ice branch)."""
+    tc = temp - 273.15
+    return 611.21 * jnp.exp(22.587 * tc / (273.86 + tc))
+
+
+def latent_heat_condensation(temp):
+    """(reference microphysics_p3.h:452-455)"""
+    tc = temp - 273.15
+    return (2500.8 - 2.36 * tc + 0.0016 * tc * tc
+            - 0.00006 * tc * tc * tc) * 1000.0
+
+
+def _cp_moist(rho_d, rho_v, rho_c):
+    """(reference microphysics_p3.h:458-462)"""
+    rho = rho_d + rho_v + rho_c
+    return (rho_d * CP_D + rho_v * CP_V + rho_c * CP_L) / rho
+
+
+def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp, iters: int = 60):
+    """Instantaneous saturation adjustment by bisection, vectorized.
+
+    Exactly the reference's compute_adjusted_state
+    (microphysics_p3.h:467-550): supersaturated cells condense, subsaturated
+    cells with cloud evaporate, each by bisecting the transferred mass until
+    the post-transfer vapor pressure matches the post-transfer saturation
+    pressure.  ``iters`` fixed halvings replace the data-dependent while
+    loop (2^-60 of any physical rho_v is far below the 1e-6 tolerance).
+    Returns (rho_v, rho_c, temp).
+    """
+    svp = saturation_vapor_pressure(temp)
+    pv = rho_v * R_V * temp
+    condensing = pv > svp
+    evaporating = (pv < svp) & (rho_c > 0.0)
+
+    # Bisect on the signed transfer: positive = condense, negative = evap.
+    lo = jnp.where(condensing, 0.0, jnp.where(evaporating, -rho_c, 0.0))
+    hi = jnp.where(condensing, rho_v, 0.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        x = 0.5 * (lo + hi)
+        rv = jnp.maximum(rho_v - x, 0.0)
+        rc = jnp.maximum(rho_c + x, 0.0)
+        Lv = latent_heat_condensation(temp)
+        cp = _cp_moist(rho_d, rv, rc)
+        t_loc = temp + x * Lv / (rho * cp)
+        super_sat = rv * R_V * t_loc > saturation_vapor_pressure(t_loc)
+        # supersaturated -> transfer more (raise lo); else lower hi.
+        return jnp.where(super_sat, x, lo), jnp.where(super_sat, hi, x)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    x = 0.5 * (lo + hi)
+    active = condensing | evaporating
+    x = jnp.where(active, x, 0.0)
+    rv = jnp.maximum(rho_v - x, 0.0)
+    rc = jnp.maximum(rho_c + x, 0.0)
+    Lv = latent_heat_condensation(temp)
+    cp = _cp_moist(rho_d, rv, rc)
+    t_new = temp + x * Lv / (rho * cp)
+    return rv, rc, t_new
+
+
+def _conserve(avail, dt, *sinks):
+    """Rescale sink tendencies so their dt-integral cannot exceed ``avail``
+    (the reference's *_conservation subroutines, micro_p3.F90:2966-3060)."""
+    total = sum(sinks) * dt
+    ratio = jnp.where(total > avail, avail / jnp.maximum(total, 1e-300), 1.0)
+    return [s * ratio for s in sinks]
+
+
+def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
+              rho_d, dz, dt, z_axis: int = 1):
+    """The P3-class column scheme on dry mixing ratios.
+
+    All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
+    Returns updated (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta) plus
+    (precip_liq_surf, precip_ice_surf) in m/s, shaped without the z axis.
+    """
+    temp = theta * exner
+    rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
+    inv_rho = 1.0 / rho
+    Lv = latent_heat_condensation(temp)
+    Ls = Lv + LATICE
+    Lf = LATICE
+    cp = CP_D
+    nz = qc.shape[z_axis]
+
+    def ax(a, sl):
+        idx = [slice(None)] * a.ndim
+        idx[z_axis] = sl
+        return a[tuple(idx)]
+
+    # prescribed droplet number (do_predict_nc = false, microphysics_p3.h:314;
+    # micro_p3.F90 uses nccnst/rho when number prediction is off)
+    nc = jnp.full_like(nc, NCCNST) * inv_rho
+
+    # -- warm process rates (in-cloud = cell values; cld_frac == 1,
+    #    microphysics_p3.h:303-309) -------------------------------------
+    qc_gt = qc >= 1.0e-8
+    au = jnp.where(
+        qc_gt,
+        1350.0 * jnp.maximum(qc, QSMALL) ** 2.47
+        * jnp.maximum(nc * 1.0e-6 * rho, NSMALL) ** (-1.79),
+        0.0)                                     # [P3] KK2000 autoconversion
+    both = (qc >= QSMALL) & (qr >= QSMALL)
+    ac = jnp.where(both, 67.0 * jnp.maximum(qc * qr, 1e-300) ** 1.15, 0.0)
+    # rain self-collection with breakup factor  [P3]
+    dm_r = jnp.cbrt(jnp.maximum(qr, QSMALL)
+                    / (jnp.pi * RHO_H2O * jnp.maximum(nr, NSMALL)))
+    brk = jnp.where(dm_r < 280.0e-6, 1.0,
+                    2.0 - jnp.exp(2300.0 * (dm_r - 280.0e-6)))
+    nr_self = jnp.where(qr >= QSMALL, brk * 5.78 * nr * qr * rho, 0.0)
+
+    # rain evaporation toward liquid saturation  [approx: relaxation over
+    # tau_r ~ (2 pi N0r / (rho qsat_deficit diffusivity)) -> use 50 s scaled
+    # by amount of rain surface area ~ (rho qr)^0.525 like Kessler's vent.]
+    qsl = saturation_vapor_pressure(temp) / (R_V * temp * rho_d)
+    subsat = jnp.maximum(qsl - qv, 0.0) / jnp.maximum(qsl, QSMALL)
+    tau_evap = 150.0 / jnp.maximum((rho * qr) ** 0.35, 1e-4)
+    ev = jnp.where((qr >= QSMALL) & (qc < QSMALL),
+                   subsat * qr / tau_evap, 0.0)
+
+    # -- ice process rates ---------------------------------------------
+    tc = temp - TMELT
+    qv_si = saturation_vapor_pressure_ice(temp) / (R_V * temp * rho_d)
+    sup_i = qv / jnp.maximum(qv_si, QSMALL) - 1.0
+
+    # ice nucleation: Cooper 1986 N = 0.005 exp(0.304 (T0-T)), capped
+    # [P3 form] (micro_p3.F90:2576-2618)
+    n_coop = jnp.minimum(0.005 * jnp.exp(0.304 * jnp.maximum(-tc, 0.0)),
+                         208.9e3) * 1.0e3 * inv_rho
+    nucleate = (tc < -15.0) & (sup_i > 0.05)
+    qinuc = jnp.where(nucleate,
+                      jnp.maximum(n_coop - ni, 0.0) * 1.0e-12 / dt, 0.0)
+    ninuc = jnp.where(nucleate, jnp.maximum(n_coop - ni, 0.0) / dt, 0.0)
+
+    # immersion freezing, Bigg 1953: rate ~ volume * (exp(a(-tc)) - 1)
+    # [P3 form] (micro_p3.F90:2504-2573)
+    # Bigg: dq/dt = B (exp(a(-tc)) - 1) * rho q^2 / (6 rho_w n)
+    big_a, big_b = 0.66, 100.0
+    bigg = jnp.where(tc < -4.0,
+                     big_b * (jnp.exp(big_a * jnp.minimum(-tc, 40.0)) - 1.0),
+                     0.0)
+    qc_frz = bigg * rho * qc * qc / (
+        RHO_H2O * jnp.maximum(nc * rho, NSMALL) * 6.0)
+    qr_frz = bigg * rho * qr * qr / (
+        RHO_H2O * jnp.maximum(nr * rho, NSMALL) * 6.0)
+    nc_frz = qc_frz * nc / jnp.maximum(qc, QSMALL)
+    nr_frz = qr_frz * nr / jnp.maximum(qr, QSMALL)
+
+    # deposition/sublimation: relax vapor toward ice saturation below
+    # freezing [approx for the table-driven relaxation timescale,
+    # micro_p3.F90:2322-2355]
+    tau_dep = 300.0 / jnp.maximum((rho * qi) ** 0.25, 1e-3)
+    has_ice = (qi >= QSMALL) & (tc < 0.0)
+    dep = jnp.where(has_ice & (sup_i > 0.0), (qv - qv_si) / tau_dep, 0.0)
+    sub = jnp.where(has_ice & (sup_i < 0.0), (qv_si - qv) / tau_dep, 0.0)
+
+    # riming: continuous collection of cloud by falling ice  [approx]
+    vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+    erim = 0.7
+    # swept kernel ~ 3/4 E vi qi / (rho_i D_i); fold unknowns into coef
+    rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
+                    erim * 2.0 * vi * qi * qc, 0.0)
+
+    # melting above freezing: thermal relaxation  [approx]
+    melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
+
+    # -- conservation rescaling (P3's *_conservation form) --------------
+    au, ac, qc_frz, rim = _conserve(qc, dt, au, ac, qc_frz, rim)
+    ev, qr_frz = _conserve(qr, dt, ev, qr_frz)
+    sub, melt = _conserve(qi, dt, sub, melt)
+    dep, qinuc = _conserve(jnp.maximum(qv - qv_si, 0.0), dt, dep, qinuc)
+
+    # -- apply process tendencies (all ratios use pre-update values) ----
+    qc_new = qc + dt * (-au - ac - qc_frz - rim)
+    qr_new = qr + dt * (au + ac - ev - qr_frz + melt)
+    qi_new = qi + dt * (qc_frz + qr_frz + dep + qinuc - sub - melt + rim)
+    qv_new = qv + dt * (ev + sub - dep - qinuc)
+    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz
+                        - ev * nr / jnp.maximum(qr, QSMALL))
+    ni_new = ni + dt * (ninuc + nc_frz + nr_frz
+                        - melt * ni / jnp.maximum(qi, QSMALL))
+    qm_new = qm + dt * (rim + qr_frz
+                        - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
+    bm_new = bm + dt * (rim / 400.0 + qr_frz / 900.0
+                        - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
+    qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
+    nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
+    # latent heating (theta via frozen exner)
+    theta = theta + dt / (cp * exner) * (
+        Lv * (-ev) + Ls * (dep + qinuc - sub) + Lf * (qc_frz + qr_frz + rim - melt))
+
+    qc = jnp.maximum(qc, 0.0)
+    qr = jnp.maximum(qr, 0.0)
+    qi = jnp.maximum(qi, 0.0)
+    qv = jnp.maximum(qv, 0.0)
+    nr = jnp.maximum(nr, 0.0)
+    ni = jnp.maximum(ni, 0.0)
+    qm = jnp.clip(qm, 0.0, None)
+    bm = jnp.maximum(bm, 0.0)
+
+    # -- sedimentation (rain + ice), upstream, CFL sub-cycled -----------
+    vr = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
+                  * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
+    vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+    vmax = jnp.maximum(jnp.max(vr), jnp.max(vi))
+    dz_min = jnp.min(dz)
+    nsub = jnp.maximum(jnp.ceil(dt * vmax / (0.9 * dz_min)), 1.0)
+    dts = dt / nsub
+
+    def fall(q, v, precl):
+        """One upstream sedimentation sub-step; returns (q, precl_inc)."""
+        flux = rho * q * v  # downward mass flux at cell centers
+        out_bot = ax(flux, slice(0, 1))
+        gain = ax(flux, slice(1, nz))  # from the cell above
+        loss = ax(flux, slice(0, nz))
+        dq_lower = dts * (gain - ax(loss, slice(0, nz - 1))) / (
+            ax(rho, slice(0, nz - 1)) * ax(dz, slice(0, nz - 1)))
+        dq_top = -dts * ax(loss, slice(nz - 1, nz)) / (
+            ax(rho, slice(nz - 1, nz)) * ax(dz, slice(nz - 1, nz)))
+        q = q + jnp.concatenate([dq_lower, dq_top], axis=z_axis)
+        return jnp.maximum(q, 0.0), precl + dts * out_bot / RHO_H2O
+
+    def sub_body(carry):
+        it, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+        vr_ = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
+                       * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
+        vi_ = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+        qr, pl = fall(qr, vr_, pl)
+        nr, _ = fall(nr, vr_, jnp.zeros_like(pl))
+        qi, pi_ = fall(qi, vi_, pi_)
+        ni, _ = fall(ni, vi_, jnp.zeros_like(pl))
+        qm, _ = fall(qm, vi_, jnp.zeros_like(pl))
+        bm, _ = fall(bm, vi_, jnp.zeros_like(pl))
+        return it + 1.0, qr, nr, qi, ni, qm, bm, pl, pi_
+
+    zero_srf = jnp.zeros_like(ax(qc, slice(0, 1)))
+    carry = (jnp.zeros(()), qr, nr, qi, ni, qm, bm, zero_srf, zero_srf)
+    carry = jax.lax.while_loop(lambda c: c[0] < nsub, sub_body, carry)
+    _, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+    precip_liq = jnp.squeeze(pl, axis=z_axis) / dt
+    precip_ice = jnp.squeeze(pi_, axis=z_axis) / dt
+
+    return qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, precip_liq, precip_ice
+
+
+def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
+                               exner, pres, rho_d, dz, dt):
+    """Route the column step to the C++ twin on host via pure_callback."""
+    nens, nz, ny, nx = qc.shape
+
+    # Canonical float dtype (f64 with jax_enable_x64, else f32); the C++
+    # twin always computes in double internally.
+    odt = jnp.zeros((), jnp.float64).dtype
+
+    def host(*arrs):
+        import numpy as np
+        from ..native import p3_column_step_native
+        cols = [np.ascontiguousarray(
+            np.moveaxis(np.asarray(a, np.float64), 1, -1).reshape(-1, nz))
+            for a in arrs]
+        out = p3_column_step_native(*cols, dt)
+        prog = [np.moveaxis(a.reshape(nens, ny, nx, nz), -1, 1).astype(odt)
+                for a in out[:10]]
+        srf = [a.reshape(nens, ny, nx).astype(odt) for a in out[10:]]
+        return tuple(prog + srf)
+
+    dtp = qc.dtype
+    out_shapes = ([jax.ShapeDtypeStruct(qc.shape, odt)] * 10
+                  + [jax.ShapeDtypeStruct((nens, ny, nx), odt)] * 2)
+    args = [a.astype(odt)
+            for a in (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
+                      pres, rho_d, dz)]
+    out = jax.pure_callback(host, tuple(out_shapes), *args)
+    return tuple(o.astype(dtp) for o in out)
+
+
+class MicrophysicsP3:
+    """P3 coupler module: registers the 9 P3 tracers and persistent fields,
+    runs saturation adjustment + the P3-class scheme each step
+    (reference microphysics_p3.h:96-444).
+
+    ``backend="jax"`` runs the TPU-resident vectorized scheme;
+    ``backend="native"`` calls the C++ twin (native/p3_kernels.cpp) on host
+    through ``jax.pure_callback`` -- the analog of the reference's
+    host-staged Fortran call (microphysics_p3.h:364-376)."""
+
+    num_tracers = 9
+
+    TRACERS = (
+        # name, description, positive, adds_mass (microphysics_p3.h:103-112)
+        ("cloud_water", "Cloud Water Mass", True, True),
+        ("cloud_water_num", "Cloud Water Number", True, False),
+        ("rain", "Rain Water Mass", True, True),
+        ("rain_num", "Rain Water Number", True, False),
+        ("ice", "Ice Mass", True, True),
+        ("ice_num", "Ice Number", True, False),
+        ("ice_rime", "Ice-Rime Mass", True, False),
+        ("ice_rime_vol", "Ice-Rime Volume", True, False),
+        ("water_vapor", "Water Vapor", True, True),
+    )
+
+    def __init__(self, backend: str = "jax"):
+        if backend not in ("jax", "native"):
+            raise ValueError("backend must be 'jax' or 'native'")
+        self.backend = backend
+
+    def init(self, state: CouplerState) -> CouplerState:
+        g = state.grid
+        for name, desc, pos, mass in self.TRACERS:
+            state = state.add_tracer(name, desc, pos, mass)
+        state = state.register_field("qv_prev")
+        state = state.register_field("t_prev")
+        state = state.register_field("precl", shape=(g.nens, g.ny, g.nx))
+        state = state.register_field("precl_ice", shape=(g.nens, g.ny, g.nx))
+        cv_d = CP_D - R_D
+        return state.set_options(
+            micro="p3",
+            R_d=R_D, cp_d=CP_D, cv_d=cv_d, gamma_d=CP_D / cv_d,
+            kappa_d=R_D / CP_D, R_v=R_V, cp_v=CP_V, cv_v=R_V - CP_V,
+            p0=P0, grav=GRAV,
+        )
+
+    def time_step(self, state: CouplerState, dt: float) -> CouplerState:
+        g = state.grid
+        rho_d = state["density_dry"]
+        temp = state["temp"]
+        names = [t[0] for t in self.TRACERS]
+        rho_c, rho_nc, rho_r, rho_nr, rho_i, rho_ni, rho_m, rho_bm, rho_v = (
+            state[n] for n in names)
+
+        # saturation pre-adjustment on densities (microphysics_p3.h:273-276)
+        rho = rho_d + rho_c + rho_r + rho_i + rho_v
+        rho_v, rho_c, temp = compute_adjusted_state(
+            rho, rho_d, rho_v, rho_c, temp)
+
+        inv_rd = 1.0 / rho_d
+        qc, nc = rho_c * inv_rd, rho_nc * inv_rd
+        qr, nr = rho_r * inv_rd, rho_nr * inv_rd
+        qi, ni = rho_i * inv_rd, rho_ni * inv_rd
+        qm, bm = rho_m * inv_rd, rho_bm * inv_rd
+        qv = rho_v * inv_rd
+        pressure = R_D * rho_d * temp + R_V * rho_v * temp
+        exner = (pressure / P0) ** (R_D / CP_D)
+        theta = temp / exner
+        dz = jnp.full_like(temp, g.dz)
+
+        if self.backend == "native":
+            qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = (
+                _p3_scheme_native_callback(
+                    qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
+                    pressure, rho_d, dz, dt))
+        else:
+            qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = p3_scheme(
+                qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
+                rho_d, dz, dt, z_axis=1)
+
+        clamp = lambda q: jnp.maximum(q * rho_d, 0.0)
+        temp_new = theta * exner  # frozen exner (microphysics_p3.h:434-436)
+        return state.replace_fields(
+            cloud_water=clamp(qc), cloud_water_num=clamp(nc),
+            rain=clamp(qr), rain_num=clamp(nr),
+            ice=clamp(qi), ice_num=clamp(ni),
+            ice_rime=clamp(qm), ice_rime_vol=clamp(bm),
+            water_vapor=clamp(qv),
+            temp=temp_new,
+            qv_prev=jnp.maximum(qv, 0.0),
+            t_prev=temp_new,
+            precl=pl, precl_ice=pi_,
+        )
+
+    @property
+    def micro_name(self) -> str:
+        return "p3"

@@ -1,0 +1,160 @@
+"""P3-class microphysics tests: saturation adjustment, process invariants,
+module integration (reference model/modules/microphysics_p3.h +
+helpers/microphysics_p3/micro_p3.F90)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miniweatherml_tpu.config import config_from_dict
+from miniweatherml_tpu.core.coupler import Grid, make_coupler_state
+from miniweatherml_tpu.dycore.euler import Dycore
+from miniweatherml_tpu.physics.p3 import (MicrophysicsP3, R_V,
+                                          compute_adjusted_state, p3_scheme,
+                                          saturation_vapor_pressure)
+
+
+def test_saturation_adjustment_condenses_to_saturation():
+    """Supersaturated air must condense until pv == svp (reference
+    microphysics_p3.h:476-508)."""
+    rho_d = jnp.asarray([1.0, 1.0])
+    temp = jnp.asarray([285.0, 285.0])
+    svp = saturation_vapor_pressure(temp)
+    rho_v_sat = svp / (R_V * temp)
+    rho_v = rho_v_sat * jnp.asarray([1.5, 3.0])   # 50% / 200% supersaturated
+    rho_c = jnp.zeros(2)
+    rho = rho_d + rho_v + rho_c
+    rv, rc, t = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp)
+    pv = np.asarray(rv * R_V * t)
+    svp_new = np.asarray(saturation_vapor_pressure(t))
+    np.testing.assert_allclose(pv, svp_new, rtol=1e-4)
+    # mass conserved, condensation warms
+    np.testing.assert_allclose(np.asarray(rv + rc),
+                               np.asarray(rho_v + rho_c), rtol=1e-12)
+    assert (np.asarray(t) > 285.0).all()
+
+
+def test_saturation_adjustment_evaporates_cloud():
+    """Subsaturated air with cloud evaporates toward saturation
+    (microphysics_p3.h:510-545)."""
+    rho_d = jnp.asarray([1.0])
+    temp = jnp.asarray([290.0])
+    svp = saturation_vapor_pressure(temp)
+    rho_v = 0.3 * svp / (R_V * temp)
+    rho_c = jnp.asarray([0.002])
+    rho = rho_d + rho_v + rho_c
+    rv, rc, t = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp)
+    assert float(rv[0]) > float(rho_v[0])     # vapor increased
+    assert float(rc[0]) < float(rho_c[0])     # cloud decreased
+    assert float(t[0]) < 290.0                # evaporative cooling
+    np.testing.assert_allclose(float((rv + rc)[0]), float((rho_v + rho_c)[0]),
+                               rtol=1e-12)
+
+
+def test_saturation_adjustment_noop_when_unsaturated_dry():
+    rho_d = jnp.asarray([1.0])
+    temp = jnp.asarray([290.0])
+    rho_v = jnp.asarray([1e-4])
+    rho_c = jnp.asarray([0.0])
+    rv, rc, t = compute_adjusted_state(rho_d + rho_v, rho_d, rho_v, rho_c, temp)
+    np.testing.assert_allclose(float(rv[0]), 1e-4, rtol=1e-12)
+    assert float(rc[0]) == 0.0
+    np.testing.assert_allclose(float(t[0]), 290.0, rtol=1e-12)
+
+
+def _column(nz=30, tsurf=300.0, qv0=0.012, qc0=0.0, qr0=0.0, qi0=0.0):
+    """Idealized column, bottom-up, shape (1, nz, 1, 1)."""
+    z = (np.arange(nz) + 0.5) * 400.0
+    temp = tsurf - 7.0e-3 * z
+    pres = 1.0e5 * (temp / tsurf) ** 6.0
+    rho_d = pres / (287.042 * temp)
+    shape = (1, nz, 1, 1)
+    arr = lambda v: jnp.asarray(np.broadcast_to(
+        np.asarray(v, np.float64).reshape(1, nz, 1, 1), shape))
+    exner = jnp.asarray((pres / 1e5) ** (287.042 / 1004.64)).reshape(shape)
+    theta = arr(temp) / exner
+    z3 = lambda c: jnp.full(shape, c, jnp.float64)
+    return dict(
+        qc=z3(qc0), nc=z3(100e6) / arr(rho_d), qr=z3(qr0), nr=z3(qr0 * 1e8),
+        qi=z3(qi0), ni=z3(qi0 * 1e6), qm=z3(0.0), bm=z3(0.0), qv=z3(qv0),
+        theta=theta, exner=exner, pres=arr(pres), rho_d=arr(rho_d),
+        dz=z3(400.0))
+
+
+def test_p3_scheme_warm_rain_forms():
+    """A cloud-heavy column must autoconvert cloud to rain (KK2000) and rain
+    must fall out as surface precip."""
+    col = _column(qc0=2e-3, qv0=0.017)
+    out = p3_scheme(**col, dt=20.0)
+    qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = out
+    assert float(jnp.max(qr)) > 0.0          # rain formed
+    assert float(jnp.min(qc)) >= 0.0
+    assert np.isfinite(np.asarray(theta)).all()
+
+
+def test_p3_scheme_ice_forms_when_cold():
+    """A cold supersaturated column must nucleate/deposit ice."""
+    col = _column(tsurf=260.0, qv0=2.5e-3, qc0=5e-4)
+    out = p3_scheme(**col, dt=20.0)
+    qi = out[4]
+    assert float(jnp.max(qi)) > 0.0
+
+
+def test_p3_scheme_water_mass_conserved_without_sedimentation():
+    """Total water (qv+qc+qr+qi) is conserved by process exchanges; only
+    sedimentation removes mass through the surface."""
+    col = _column(qc0=1e-3, qr0=5e-4, qv0=0.015)
+    tot0 = sum(np.asarray(col[k]) for k in ("qc", "qr", "qi", "qv"))
+    out = p3_scheme(**col, dt=10.0)
+    qc, nc, qr, nr, qi, ni, qm, bm, qv = out[:9]
+    pl, pi_ = out[10], out[11]
+    tot1 = np.asarray(qc + qr + qi + qv)
+    rho_d = np.asarray(col["rho_d"])
+    dz = np.asarray(col["dz"])
+    # column-integrated dry-mass-weighted water, before vs after + precip out
+    m0 = (tot0 * rho_d * dz).sum()
+    m1 = (tot1 * rho_d * dz).sum()
+    # surface precip in kg/m^2 over the step (precl is m/s of liquid)
+    rho = rho_d * (1 + np.asarray(col["qv"]))
+    precip_mass = float((pl + pi_).sum()) * 10.0 * 1000.0
+    np.testing.assert_allclose(m1 + precip_mass, m0, rtol=0.05)
+
+
+def _p3_supercell_state(nx=24, nz=16):
+    g = Grid(nx=nx, ny=1, nz=nz, xlen=50000.0, ylen=50000.0, zlen=16000.0)
+    st = make_coupler_state(g, dtype="float64",
+                            options={"init_data": "supercell",
+                                     "out_freq": -1.0})
+    micro = MicrophysicsP3()
+    dy = Dycore()
+    st = micro.init(st)
+    st = dy.init(st)
+    return st, dy, micro
+
+
+def test_p3_module_integration_with_dycore():
+    """P3's 9 tracers ride through dycore + micro steps; state stays valid
+    (the reference's supercell-with-P3 configuration)."""
+    st, dy, micro = _p3_supercell_state()
+    assert st.meta.num_tracers == 9
+    assert st.meta.idWV == 8   # water_vapor registered last (p3 ordering)
+    dt = dy.compute_time_step(st)
+    step = jax.jit(lambda s: micro.time_step(dy.time_step(s, dt), dt))
+    for _ in range(3):
+        st = step(st)
+    assert st.validate() == {}
+    # qv_prev/t_prev updated
+    np.testing.assert_allclose(
+        np.asarray(st["t_prev"]), np.asarray(st["temp"]), rtol=1e-12)
+
+
+def test_p3_adds_mass_flags():
+    """Number/rime tracers must not add mass (microphysics_p3.h:103-112):
+    the dycore conversion counts only qc/qr/qi/qv into total density."""
+    st, dy, micro = _p3_supercell_state(nx=8, nz=8)
+    adds = {t.name: t.adds_mass for t in st.meta.tracers}
+    assert adds == {
+        "cloud_water": True, "cloud_water_num": False, "rain": True,
+        "rain_num": False, "ice": True, "ice_num": False,
+        "ice_rime": False, "ice_rime_vol": False, "water_vapor": True}
