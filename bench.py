@@ -35,6 +35,9 @@ def main() -> None:
     ny = int(os.environ.get("MWML_BENCH_NY", 512 if on_tpu else 64))
     nz = int(os.environ.get("MWML_BENCH_NZ", 64 if on_tpu else 32))
     steps = int(os.environ.get("MWML_BENCH_STEPS", 10 if on_tpu else 3))
+    # Steps fused into one device call via lax.scan: amortizes the per-call
+    # dispatch latency of the axon TPU tunnel (~0.4 s/call measured).
+    inner = int(os.environ.get("MWML_BENCH_INNER", 5 if on_tpu else 1))
 
     # community_benchmark supercell geometry (819.2 km x 819.2 km x 20 km,
     # reference experiments/community_benchmark/inputs/input_euler3d*.yaml),
@@ -49,8 +52,11 @@ def main() -> None:
 
     @jax.jit
     def step(s):
-        for m in mods:
-            s = m(s, dt)
+        def body(s, _):
+            for m in mods:
+                s = m(s, dt)
+            return s, None
+        s, _ = jax.lax.scan(body, s, None, length=inner)
         return s
 
     # Force full device sync by fetching a scalar: on the experimental axon
@@ -71,10 +77,11 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     cells = nx * ny * nz
-    mcellups = cells * steps / elapsed / 1e6
+    mcellups = cells * steps * inner / elapsed / 1e6
     print(json.dumps({
         "metric": "supercell cell-updates/sec/chip "
-                  f"({nx}x{ny}x{nz}, {steps} steps, {jax.devices()[0].platform})",
+                  f"({nx}x{ny}x{nz}, {steps}x{inner} steps, "
+                  f"{jax.devices()[0].platform})",
         "value": round(mcellups, 3),
         "unit": "Mcellups",
         "vs_baseline": round(mcellups / _BASELINE_MCELLUPS, 3),

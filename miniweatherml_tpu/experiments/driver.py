@@ -71,6 +71,9 @@ def run_main_loop(
     on_step: Callable[[CouplerState, float, float], None] | None = None,
     quiet: bool = False,
     jit_chain: bool = True,
+    etime0: float = 0.0,
+    checkpoint_freq: float = -1.0,
+    checkpoint_path: str = "",
 ) -> CouplerState:
     """The reference main loop (driver.cpp:64-80) with heartbeat + output.
 
@@ -80,10 +83,11 @@ def run_main_loop(
     surrogate data-harvesting drivers whose hooks accumulate on host.
     """
     timers = timers or Timers()
-    etime = 0.0
-    num_out = 0
+    etime = etime0
     dtphys_in = config.dt_phys
     out_freq = config.out_freq
+    num_out = int(etime0 / out_freq) if out_freq > 0 else 0
+    num_chk = int(etime0 / checkpoint_freq) if checkpoint_freq > 0 else 0
 
     compiled: dict[float, Callable] = {}
 
@@ -126,12 +130,12 @@ def run_main_loop(
     # and the final partial step -- are known up front.
     dt_main = dycore.compute_time_step(state) if dtphys_in <= 0.0 else dtphys_in
     get_step(dt_main)
-    nfull = int(config.sim_time / dt_main)
-    dt_last = config.sim_time - nfull * dt_main
+    nfull = int((config.sim_time - etime0) / dt_main)
+    dt_last = config.sim_time - etime0 - nfull * dt_main
     if 1e-12 * dt_main < dt_last < dt_main:
         get_step(dt_last)
 
-    if writer is not None and out_freq >= 0.0:
+    if writer is not None and out_freq >= 0.0 and etime0 == 0.0:
         writer.write(state, 0.0)
 
     timers.start("simulation_loop")
@@ -152,6 +156,11 @@ def run_main_loop(
                 # heartbeat format mirrors dynamics...h:193-195
                 print(f"Etime , dtphys, maxw: {etime:10.6e} , "
                       f"{dtphys:10.6e} , {maxw:10.6e}", flush=True)
+        if (checkpoint_freq > 0.0 and checkpoint_path
+                and etime / checkpoint_freq >= num_chk + 1):
+            from ..io.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, state, etime)
+            num_chk += 1
     # Force device sync with a value fetch so the timer is honest:
     # block_until_ready returns early on the experimental axon TPU platform.
     float(jnp.max(state["temp"]))

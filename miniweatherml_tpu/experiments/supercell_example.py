@@ -55,10 +55,24 @@ def main(argv=None) -> CouplerState:
         raise SystemExit("usage: supercell_example <input.yaml>")
     config = load_config(argv[0])
     state, mods, dycore = build(config)
+
+    # Checkpoint/restart (capability the reference lacks -- SURVEY.md sec. 5):
+    # YAML keys `restart_file` (resume from a .npz checkpoint) and
+    # `checkpoint_freq` (write `<out_prefix>_chkpt.npz` every N sim-seconds).
+    etime0 = 0.0
+    if config.extras.get("restart_file"):
+        from ..io.checkpoint import load_checkpoint
+        state, etime0 = load_checkpoint(str(config.extras["restart_file"]))
+        print(f"restarted from {config.extras['restart_file']} at "
+              f"etime={etime0:g}")
+    chk_freq = float(config.extras.get("checkpoint_freq", -1.0))
+
     writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
     timers = Timers()
     timers.start("main")
-    state = run_main_loop(state, config, mods, dycore, writer, timers)
+    state = run_main_loop(state, config, mods, dycore, writer, timers,
+                          etime0=etime0, checkpoint_freq=chk_freq,
+                          checkpoint_path=config.out_prefix + "_chkpt.npz")
     timers.stop("main")
     if writer:
         writer.close()
