@@ -35,6 +35,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,28 @@ from ..ops.stencil import BC_OPEN, BC_PERIODIC, BC_WALL, gather_stencils, pad_bc
 from ..ops.weno import reconstruct_edges, weno_matrices
 from ..ops.weno_fused import reconstruct_edges_shifted
 
-__all__ = ["Dycore", "IDR", "IDU", "IDV", "IDW", "IDT"]
+__all__ = ["Dycore", "SpmdCtx", "IDR", "IDU", "IDV", "IDW", "IDT"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmdCtx:
+    """Explicit-SPMD context for running the dycore inside shard_map.
+
+    ``axes`` maps a field axis (-1 = x, -2 = y) to its (mesh axis name,
+    shard count).  When set, halo data comes from ring lax.ppermute
+    exchanges (parallel/halo.py) instead of global-array padding -- the
+    TPU-native analog of the reference's MPI halo/edge exchange
+    (dynamics...h:574-1082).
+    """
+
+    axes: Any  # Mapping[int, tuple[str, int]]
+
+    def get(self, axis: int):
+        return self.axes.get(axis) if self.axes else None
+
+    @property
+    def axis_names(self) -> tuple[str, ...]:
+        return tuple(name for name, _ in self.axes.values())
 
 IDR, IDU, IDV, IDW, IDT = 0, 1, 2, 3, 4
 NUM_STATE = 5
@@ -174,12 +196,19 @@ class Dycore:
         g = state.grid
         return _CFL * min(g.dx, g.dy, g.dz) / _MAXWAVE
 
-    def time_step(self, state: CouplerState, dt_phys: float) -> CouplerState:
+    def time_step(self, state: CouplerState, dt_phys: float,
+                  spmd: SpmdCtx | None = None) -> CouplerState:
         """One physics step: CFL sub-cycled SSPRK3 (dynamics...h:81-181).
 
         ``dt_phys`` is a static Python float, so ``ncycles`` and the RK
         coefficients fold into the compiled program (the driver's auto-CFL
         path makes dt_phys constant, so this compiles once).
+
+        ``spmd`` runs the halo traffic through explicit ppermute exchanges;
+        use only inside shard_map (parallel/spmd.py), with ``state`` holding
+        shard-local arrays and local grid metadata.  ``compute_time_step``
+        must be called with the *global* grid either way (it only uses cell
+        sizes, which are shard-invariant).
         """
         g = state.grid
         dt_dyn = self.compute_time_step(state)
@@ -193,7 +222,8 @@ class Dycore:
         positive = np.array([t.positive for t in state.meta.tracers])
 
         for _ in range(ncycles):
-            s, tr = self._ssprk3(state.grid, consts, hy, immersed, positive, s, tr, dt)
+            s, tr = self._ssprk3(state.grid, consts, hy, immersed, positive,
+                                 s, tr, dt, spmd)
 
         return state.replace_fields(**self._dyn_to_coupler_fields(state, s, tr))
 
@@ -256,11 +286,12 @@ class Dycore:
             state["hy_dens_edges"], state["hy_dens_theta_edges"],
         )
 
-    def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt):
+    def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt,
+                spmd=None):
         """Three-stage SSPRK3 with per-stage tracer positivity clamp
         (reference dynamics...h:110-175; FCT dt per stage 1, 1/4, 2/3)."""
         tend = partial(
-            self._tendencies, grid, consts, hy, immersed, positive
+            self._tendencies, grid, consts, hy, immersed, positive, spmd
         )
 
         def clamp(tr_new):
@@ -280,7 +311,7 @@ class Dycore:
         t3 = clamp((1.0 / 3.0) * tr + (2.0 / 3.0) * t2 + (2.0 / 3.0) * dt * tt)
         return s3, t3
 
-    def _recon_direction(self, prim, axis, n, bc, normal_id, sim_active=True):
+    def _recon_direction(self, prim, axis, n, bc, normal_id, spmd=None):
         """WENO-reconstruct all vars along ``axis`` and map to faces.
 
         Returns (L, R): per-face left/right limits of the de-densitized
@@ -290,6 +321,15 @@ class Dycore:
         reconstruction replaces the reference's separate edge exchange.
         """
         hp = self.hs + 1
+        mesh_ax = spmd.get(axis) if spmd is not None else None
+        if mesh_ax is not None:
+            from ..parallel.halo import exchange_halos
+            name, ns = mesh_ax
+            padded = exchange_halos(prim, axis, hp, name, ns, bc)
+            if bc == BC_WALL:
+                padded = padded.at[normal_id].set(exchange_halos(
+                    prim[normal_id], axis, hp, name, ns, bc, zero_halo=True))
+            return self._recon_from_padded(padded, axis, n)
         padded = pad_bc(prim, axis, hp, bc)
         if bc == BC_WALL:
             # Wall: zero the normal-velocity halos (negative axis index is
@@ -297,6 +337,9 @@ class Dycore:
             padded = padded.at[normal_id].set(
                 pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True)
             )
+        return self._recon_from_padded(padded, axis, n)
+
+    def _recon_from_padded(self, padded, axis, n):
         if self.recon_impl == "fused":
             gll_l, gll_r = reconstruct_edges_shifted(
                 padded, axis, n + 2, self.mats, self.cutoff)
@@ -308,27 +351,42 @@ class Dycore:
         R = _slice_axis(gll_l, axis, 1, n + 2)   # face f <- left edge of cell f
         return L, R
 
-    def _apply_edge_bcs(self, SL, SR, TRL, TRR, axis, n, bc, normal_id):
+    def _apply_edge_bcs(self, SL, SR, TRL, TRR, axis, n, bc, normal_id,
+                        spmd=None):
         """Physical-boundary overwrite of face limits
-        (reference edge_exchange BC section, dynamics...h:1005-1081)."""
+        (reference edge_exchange BC section, dynamics...h:1005-1081).
+
+        Under spmd the overwrites apply only on the shards holding the
+        global domain boundary (selected by lax.axis_index)."""
         if bc == BC_PERIODIC:
             return SL, SR, TRL, TRR
+        mesh_ax = spmd.get(axis) if spmd is not None else None
+        if mesh_ax is not None:
+            name, ns = mesh_ax
+            idx = jax.lax.axis_index(name)
+            first, last = idx == 0, idx == ns - 1
+        else:
+            first = last = True
         lo = _index_axis(SL, axis, 0)
         hi = _index_axis(SL, axis, n)
-        # exterior side copies interior side
-        SL = SL.at[lo].set(SR[lo])
-        SR = SR.at[hi].set(SL[hi])
-        TRL = TRL.at[lo].set(TRR[lo])
-        TRR = TRR.at[hi].set(TRL[hi])
+        # exterior side copies interior side (boundary shards only)
+        SL = SL.at[lo].set(jnp.where(first, SR[lo], SL[lo]))
+        SR = SR.at[hi].set(jnp.where(last, SL[hi], SR[hi]))
+        TRL = TRL.at[lo].set(jnp.where(first, TRR[lo], TRL[lo]))
+        TRR = TRR.at[hi].set(jnp.where(last, TRL[hi], TRR[hi]))
         if bc == BC_WALL:
             lo_n = _index_axis(SL[normal_id], axis, 0)
             hi_n = _index_axis(SL[normal_id], axis, n)
             zl = jnp.zeros_like(SL[normal_id][lo_n])
             zh = jnp.zeros_like(SL[normal_id][hi_n])
-            SL = SL.at[(normal_id,) + lo_n].set(zl)
-            SR = SR.at[(normal_id,) + lo_n].set(zl)
-            SL = SL.at[(normal_id,) + hi_n].set(zh)
-            SR = SR.at[(normal_id,) + hi_n].set(zh)
+            SL = SL.at[(normal_id,) + lo_n].set(
+                jnp.where(first, zl, SL[normal_id][lo_n]))
+            SR = SR.at[(normal_id,) + lo_n].set(
+                jnp.where(first, zl, SR[normal_id][lo_n]))
+            SL = SL.at[(normal_id,) + hi_n].set(
+                jnp.where(last, zh, SL[normal_id][hi_n]))
+            SR = SR.at[(normal_id,) + hi_n].set(
+                jnp.where(last, zh, SR[normal_id][hi_n]))
         return SL, SR, TRL, TRR
 
     @staticmethod
@@ -353,7 +411,7 @@ class Dycore:
         return flux, tr_flux
 
     def _direction_fluxes(self, grid, consts, hy, s, tr, full_r, axis, n, bc,
-                          normal_id):
+                          normal_id, spmd=None):
         """Full per-direction pipeline: de-densitize -> pad/BC -> WENO ->
         backgrounds/density at faces -> face BCs -> Riemann."""
         hyc, hyt, hye, hyte = hy
@@ -362,7 +420,7 @@ class Dycore:
         prim = jnp.concatenate(
             [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
         )
-        L, R = self._recon_direction(prim, axis, n, bc, normal_id)
+        L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
         if axis == _AX_Z:
@@ -378,10 +436,11 @@ class Dycore:
         TRL = L[NUM_STATE:] * rL
         TRR = R[NUM_STATE:] * rR
 
-        SL, SR, TRL, TRR = self._apply_edge_bcs(SL, SR, TRL, TRR, axis, n, bc, normal_id)
+        SL, SR, TRL, TRR = self._apply_edge_bcs(SL, SR, TRL, TRR, axis, n, bc,
+                                                normal_id, spmd)
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
 
-    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt):
+    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None):
         """Flux-corrected transport: scale outgoing tracer fluxes so no cell
         can be driven negative (dynamics...h:498-516), rewritten functionally:
         compute a per-cell multiplier, apply it to each face from the
@@ -405,11 +464,17 @@ class Dycore:
         mult = jnp.where(pos, mult, 1.0)
 
         def scale(F, axis, ncells):
-            ones_shape = list(mult.shape)
-            ones_shape[axis] = 1
-            one = jnp.ones(ones_shape, mult.dtype)
-            mult_left = jnp.concatenate([one, mult], axis=axis)   # face f <- cell f-1
-            mult_right = jnp.concatenate([mult, one], axis=axis)  # face f <- cell f
+            mesh_ax = spmd.get(axis) if spmd is not None else None
+            if mesh_ax is not None:
+                from ..parallel.halo import exchange_face_scalar
+                name, ns = mesh_ax
+                left, right = exchange_face_scalar(mult, axis, name, ns)
+            else:
+                ones_shape = list(mult.shape)
+                ones_shape[axis] = 1
+                left = right = jnp.ones(ones_shape, mult.dtype)
+            mult_left = jnp.concatenate([left, mult], axis=axis)   # face f <- cell f-1
+            mult_right = jnp.concatenate([mult, right], axis=axis)  # face f <- cell f
             return F * jnp.where(F > 0, mult_left, jnp.where(F < 0, mult_right, 1.0))
 
         Fx = scale(Fx, _AX_X, grid.nx)
@@ -418,23 +483,27 @@ class Dycore:
             Fy = scale(Fy, _AX_Y, grid.ny)
         return Fx, Fy, Fz
 
-    def _tendencies(self, grid, consts, hy, immersed, positive, s, tr, dt):
+    def _tendencies(self, grid, consts, hy, immersed, positive, spmd, s, tr,
+                    dt):
         """One semi-discrete RHS evaluation (dynamics...h:204-552)."""
         hyc = hy[0][:, :, None, None]
         full_r = s[IDR] + hyc
         sim2d = grid.sim2d
 
         SFx, TFx = self._direction_fluxes(
-            grid, consts, hy, s, tr, full_r, _AX_X, grid.nx, consts.bc_x, IDU)
+            grid, consts, hy, s, tr, full_r, _AX_X, grid.nx, consts.bc_x,
+            IDU, spmd)
         SFz, TFz = self._direction_fluxes(
-            grid, consts, hy, s, tr, full_r, _AX_Z, grid.nz, consts.bc_z, IDW)
+            grid, consts, hy, s, tr, full_r, _AX_Z, grid.nz, consts.bc_z,
+            IDW, spmd)
         if sim2d:
             SFy = TFy = None
         else:
             SFy, TFy = self._direction_fluxes(
-                grid, consts, hy, s, tr, full_r, _AX_Y, grid.ny, consts.bc_y, IDV)
+                grid, consts, hy, s, tr, full_r, _AX_Y, grid.ny, consts.bc_y,
+                IDV, spmd)
 
-        TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt)
+        TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt, spmd)
 
         def div(F, axis, n, dxi):
             return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi

@@ -43,8 +43,25 @@ def make_mesh(devices=None, ens: int = 1, y: int | None = None,
     return Mesh(dev, ("ens", "y", "x"))
 
 
+# Known field names whose layout is ambiguous by shape alone (e.g. nz == ny
+# collisions): name -> PartitionSpec.
+_NAMED_SPECS = {
+    "hy_dens_cells": P("ens"),
+    "hy_dens_theta_cells": P("ens"),
+    "hy_dens_edges": P("ens"),
+    "hy_dens_theta_edges": P("ens"),
+    "nudging_column": P(None, "ens"),
+    "horiz_sponge_column": P(None, "ens"),
+    "surrogate_diffs": P(),
+    "time_avg_etime": P(),
+}
+
+
 def field_pspec(name: str, shape: tuple[int, ...], grid: Grid) -> P:
-    """PartitionSpec for a coupler field by shape convention."""
+    """PartitionSpec for a coupler field: known names first, then shape
+    convention."""
+    if name in _NAMED_SPECS:
+        return _NAMED_SPECS[name]
     g = grid
     if shape == (g.nens, g.nz, g.ny, g.nx):
         return P("ens", None, "y", "x")
@@ -52,7 +69,10 @@ def field_pspec(name: str, shape: tuple[int, ...], grid: Grid) -> P:
         return P("ens", "y", "x")
     if len(shape) >= 1 and shape[0] == g.nens and g.ny not in shape[1:] and g.nx not in shape[1:]:
         return P("ens")
-    return P()  # replicate (e.g. per-level profiles stacked oddly)
+    if len(shape) == 3 and shape[1] == g.nens and shape[2] == g.nz:
+        # stacked per-field columns shaped (nfields, nens, nz)
+        return P(None, "ens")
+    return P()  # replicate (unknown auxiliary data)
 
 
 def shard_state(state: CouplerState, mesh: Mesh) -> CouplerState:

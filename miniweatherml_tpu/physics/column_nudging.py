@@ -30,11 +30,17 @@ class ColumnNudger:
             return state.replace_fields(nudging_column=col)
         return state.register_field("nudging_column", value=col)
 
-    def nudge_to_column(self, state: CouplerState, dt: float) -> CouplerState:
+    def nudge_to_column(self, state: CouplerState, dt: float,
+                        spmd_axes: tuple = ()) -> CouplerState:
+        """``spmd_axes``: horizontal mesh axis names to pmean the column
+        average over inside shard_map (the MPI_Allreduce analog,
+        column_nudging.h:89-99)."""
         column = state["nudging_column"]
         updates = {}
         for l, name in enumerate(_FIELDS):
             f = state[name]
             avg = jnp.mean(f, axis=(2, 3), keepdims=True)
+            for ax_name in spmd_axes:
+                avg = jax.lax.pmean(avg, ax_name)
             updates[name] = f + dt * (column[l][:, :, None, None] - avg) / _TIME_SCALE
         return state.replace_fields(**updates)

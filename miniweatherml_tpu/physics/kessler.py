@@ -54,8 +54,13 @@ class MicrophysicsKessler:
             p0=self.p0, grav=self.grav,
         )
 
-    def time_step(self, state: CouplerState, dt: float) -> CouplerState:
-        """(reference microphysics_kessler.h:99-162)"""
+    def time_step(self, state: CouplerState, dt: float,
+                  spmd_axes: tuple = ()) -> CouplerState:
+        """(reference microphysics_kessler.h:99-162)
+
+        ``spmd_axes``: mesh axis names to pmin the sedimentation sub-cycle
+        count over when running inside shard_map (the reference's per-rank
+        reduction becomes a global one, matching the global-array path)."""
         g = state.grid
         rho_d = state["density_dry"]
         temp = state["temp"]
@@ -73,7 +78,7 @@ class MicrophysicsKessler:
 
         theta, qv, qc, qr, precl = kessler_column(
             theta, qv, qc, qr, rho_d, zmid, exner, dt,
-            self.R_d, self.cp_d, self.p0, z_axis=1,
+            self.R_d, self.cp_d, self.p0, z_axis=1, spmd_axes=spmd_axes,
         )
 
         return state.replace_fields(
@@ -87,7 +92,8 @@ class MicrophysicsKessler:
         )
 
 
-def kessler_column(theta, qv, qc, qr, rho, z, pk, dt, Rd, cp, p0, z_axis=0):
+def kessler_column(theta, qv, qc, qr, rho, z, pk, dt, Rd, cp, p0, z_axis=0,
+                   spmd_axes: tuple = ()):
     """The Kessler scheme itself (reference microphysics_kessler.h:234-339,
     after Klemp & Wilhelmson 1978 via Ullrich's kessler.f90 v2).
 
@@ -122,6 +128,8 @@ def kessler_column(theta, qv, qc, qr, rho, z, pk, dt, Rd, cp, p0, z_axis=0):
     vel_lo = ax(velqr, slice(0, nz - 1))
     dt2d = jnp.where(vel_lo > 1e-10, 0.8 * dz_lev / vel_lo, dt)
     dt_max = jnp.minimum(jnp.min(dt2d), dt)
+    for ax_name in spmd_axes:
+        dt_max = jax.lax.pmin(dt_max, ax_name)
     rainsplit = jnp.ceil(dt / dt_max).astype(jnp.int32)
     dt0 = dt / rainsplit.astype(dtype)
 

@@ -18,7 +18,11 @@ __all__ = ["sponge_layer"]
 
 
 def sponge_layer(state: CouplerState, dt: float, time_scale: float = 60.0,
-                 num_layers: int = 10) -> CouplerState:
+                 num_layers: int = 10,
+                 spmd_axes: tuple = ()) -> CouplerState:
+    """``spmd_axes``: horizontal mesh axis names to pmean the horizontal
+    mean over when running inside shard_map (the Allreduce analog)."""
+    import jax
     g = state.grid
     names = ["density_dry", "uvel", "vvel", "wvel", "temp"] + \
         list(state.meta.tracer_names)
@@ -35,6 +39,11 @@ def sponge_layer(state: CouplerState, dt: float, time_scale: float = 60.0,
         f = state[name]
         top = f[:, -num_layers:]
         # w is relaxed toward zero, not its mean (sponge_layer.h:23,50)
-        havg = 0.0 if name == "wvel" else jnp.mean(top, axis=(2, 3), keepdims=True)
+        if name == "wvel":
+            havg = 0.0
+        else:
+            havg = jnp.mean(top, axis=(2, 3), keepdims=True)
+            for ax_name in spmd_axes:
+                havg = jax.lax.pmean(havg, ax_name)
         updates[name] = f.at[:, -num_layers:].set(top + (havg - top) * factor)
     return state.replace_fields(**updates)

@@ -1,0 +1,77 @@
+"""Explicit shard_map + ppermute halo-exchange step: must match the
+single-device and auto-SPMD results (shard-count invariance the reference
+cannot test without a cluster -- SURVEY.md section 4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from miniweatherml_tpu.config import config_from_dict
+from miniweatherml_tpu.experiments.supercell_example import build
+from miniweatherml_tpu.parallel.mesh import make_mesh, shard_state
+from miniweatherml_tpu.parallel.spmd import make_spmd_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _build(nx=64, ny=32, nz=16, nens=2):
+    cfg = config_from_dict(dict(
+        sim_time=10.0, nens=nens, nx_glob=nx, ny_glob=ny, nz=nz,
+        xlen=100000.0, ylen=100000.0, zlen=20000.0,
+        init_data="supercell", out_prefix="t", dt_phys=0.0, out_freq=-1.0))
+    return build(cfg)
+
+
+_CHECK = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor",
+          "cloud_liquid", "precip_liquid", "precl")
+
+
+def test_spmd_step_matches_single_device():
+    state, mods, dycore = _build()
+    from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
+    from miniweatherml_tpu.physics.column_nudging import ColumnNudger
+    micro = MicrophysicsKessler()
+    nudger = ColumnNudger()
+    dt = dycore.compute_time_step(state)
+
+    # single-device reference chain (same modules as make_spmd_step)
+    def ref_step(s):
+        s = dycore.time_step(s, dt)
+        s = micro.time_step(s, dt)
+        from miniweatherml_tpu.physics.sponge import sponge_layer
+        s = sponge_layer(s, dt)
+        return nudger.nudge_to_column(s, dt)
+
+    ref = jax.jit(ref_step)(state)
+    for _ in range(1):
+        pass
+
+    # explicit shard_map step over a (2, 2, 2) mesh
+    mesh = make_mesh(devices=jax.devices()[:8], ens=2)
+    assert mesh.shape == {"ens": 2, "y": 2, "x": 2}
+    st = shard_state(state, mesh)
+    step = make_spmd_step(state, mesh, dycore, micro=micro, nudger=nudger)
+    out = jax.jit(lambda s: step(s, dt))(st)
+
+    for name in _CHECK:
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]),
+            rtol=5e-5, atol=1e-7, err_msg=name)
+
+
+def test_spmd_step_multiple_steps_stay_valid():
+    state, mods, dycore = _build(nx=32, ny=16, nz=12, nens=1)
+    from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
+    micro = MicrophysicsKessler()
+    dt = dycore.compute_time_step(state)
+    mesh = make_mesh(devices=jax.devices()[:8], ens=1)  # y=2, x=4
+    st = shard_state(state, mesh)
+    step = jax.jit(lambda s: make_spmd_step(state, mesh, dycore,
+                                            micro=micro)(s, dt))
+    for _ in range(3):
+        st = step(st)
+    assert st.validate() == {}
+    # output stays sharded on the mesh
+    assert "x" in str(st["temp"].sharding.spec) or \
+        st["temp"].sharding.spec == ("ens", None, "y", "x")
