@@ -152,12 +152,18 @@ def _conserve(avail, dt, *sinks):
 
 
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
-              rho_d, dz, dt, z_axis: int = 1):
+              rho_d, dz, dt, z_axis: int = 1, tables=None):
     """The P3-class column scheme on dry mixing ratios.
 
     All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
     Returns updated (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta) plus
     (precip_liq_surf, precip_ice_surf) in m/s, shaped without the z axis.
+
+    ``tables`` (physics/p3_tables.P3Tables) upgrades the ice fall speed and
+    cloud-ice riming from the continuous [approx] tier to the reference's
+    lookup-table tier: V_i = rhofaci * table(2), riming =
+    rhofaci * table(4) * qc * eci * rho * ni (ice_cldliq_collection,
+    micro_p3.F90:2054-2100; rhofaci = (rho_600mb/rho)^0.54, :411).
     """
     temp = theta * exner
     rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
@@ -239,12 +245,28 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     dep = jnp.where(has_ice & (sup_i > 0.0), (qv - qv_si) / tau_dep, 0.0)
     sub = jnp.where(has_ice & (sup_i < 0.0), (qv_si - qv) / tau_dep, 0.0)
 
-    # riming: continuous collection of cloud by falling ice  [approx]
-    vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
-    erim = 0.7
-    # swept kernel ~ 3/4 E vi qi / (rho_i D_i); fold unknowns into coef
-    rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
-                    erim * 2.0 * vi * qi * qc, 0.0)
+    if tables is not None:
+        from .p3_tables import ice_table_indices, interp_ice
+        # bulk rime density rhop = qm/bm clipped to the table's 50-900 range
+        # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
+        rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
+        idx = ice_table_indices(qi, ni, qm, rhop)
+        rho_600mb = 60000.0 / (287.042 * 253.15)
+        rhofaci = (rho_600mb * inv_rho) ** 0.54
+        eci = 0.5
+        # riming: qccol = rhofaci * table(4) * qc * eci * rho * ni  [P3]
+        rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
+                        rhofaci * interp_ice(tables, 4, *idx)
+                        * qc * eci * rho * ni, 0.0)
+        vi_table = rhofaci * interp_ice(tables, 2, *idx)
+    else:
+        # riming: continuous collection of cloud by falling ice  [approx]
+        vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+        erim = 0.7
+        # swept kernel ~ 3/4 E vi qi / (rho_i D_i); fold unknowns into coef
+        rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
+                        erim * 2.0 * vi * qi * qc, 0.0)
+        vi_table = None
 
     # melting above freezing: thermal relaxation  [approx]
     melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
@@ -284,9 +306,20 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     bm = jnp.maximum(bm, 0.0)
 
     # -- sedimentation (rain + ice), upstream, CFL sub-cycled -----------
+    def ice_fallspeed(qi_, ni_, qm_, bm_):
+        if tables is None:
+            return jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
+                            0.3, 3.0)
+        from .p3_tables import ice_table_indices, interp_ice
+        rhop_ = jnp.clip(qm_ / jnp.maximum(bm_, 1e-30), 50.0, 900.0)
+        idx_ = ice_table_indices(qi_, ni_, qm_, rhop_)
+        rho_600mb = 60000.0 / (287.042 * 253.15)
+        v = (rho_600mb * inv_rho) ** 0.54 * interp_ice(tables, 2, *idx_)
+        return jnp.where(qi_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+
     vr = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
                   * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
-    vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+    vi = ice_fallspeed(qi, ni, qm, bm)
     vmax = jnp.maximum(jnp.max(vr), jnp.max(vi))
     dz_min = jnp.min(dz)
     nsub = jnp.maximum(jnp.ceil(dt * vmax / (0.9 * dz_min)), 1.0)
@@ -309,7 +342,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         it, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
         vr_ = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
                        * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
-        vi_ = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
+        vi_ = ice_fallspeed(qi, ni, qm, bm)
         qr, pl = fall(qr, vr_, pl)
         nr, _ = fall(nr, vr_, jnp.zeros_like(pl))
         qi, pi_ = fall(qi, vi_, pi_)
@@ -384,10 +417,22 @@ class MicrophysicsP3:
         ("water_vapor", "Water Vapor", True, True),
     )
 
-    def __init__(self, backend: str = "jax"):
+    def __init__(self, backend: str = "jax", table_path: str | None = None,
+                 use_tables: bool | None = None):
         if backend not in ("jax", "native"):
             raise ValueError("backend must be 'jax' or 'native'")
         self.backend = backend
+        # Lookup-table tier (physics/p3_tables): on when a table asset is
+        # available (or explicitly requested), jax backend only.
+        self.tables = None
+        if backend == "jax" and use_tables is not False:
+            from .p3_tables import default_table_path, load_p3_tables
+            path = table_path or default_table_path()
+            if path is not None:
+                self.tables = load_p3_tables(path)
+            elif use_tables:
+                raise FileNotFoundError(
+                    "use_tables=True but no P3 lookup table found")
 
     def init(self, state: CouplerState) -> CouplerState:
         g = state.grid
@@ -437,7 +482,7 @@ class MicrophysicsP3:
         else:
             qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = p3_scheme(
                 qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
-                rho_d, dz, dt, z_axis=1)
+                rho_d, dz, dt, z_axis=1, tables=self.tables)
 
         clamp = lambda q: jnp.maximum(q * rho_d, 0.0)
         temp_new = theta * exner  # frozen exner (microphysics_p3.h:434-436)

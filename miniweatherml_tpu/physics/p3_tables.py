@@ -1,0 +1,194 @@
+"""P3 ice lookup tables: ASCII loader + vectorized JAX interpolation.
+
+The reference's P3 reads its ice process-rate lookup table at init
+(micro_p3.F90 p3_init_a:133-204: ASCII file ``p3_lookup_table_1.dat-v4.1.1``
+with a VERSION header, then ``densize x rimsize x isize`` ice rows of 12
+process values and ``densize x rimsize x isize x rcollsize`` ice-rain
+collection rows, log10-transformed) and interpolates it tri/quad-linearly
+per cell per process (access_lookup_table, :1508-1556;
+find_lookupTable_indices_1a/1b, :1620-1720).
+
+Here the table is parsed once on host into dense numpy arrays and the
+index-finding + interpolation are vectorized jnp gathers that run on-device
+for the whole grid at once -- the groundwork for replacing the continuous
+[approx]-tier ice rates in physics/p3.py with the table-driven values.
+
+Table dimensions (micro_p3_utils.F90:43-46):
+  isize=50 (normalized size), rimsize=4 (rime fraction),
+  densize=5 (rime density), rcollsize=30 (rain size).
+
+Ice table column meaning (by access_lookup_table call sites,
+micro_p3.F90:657-672): 1 ni_fallspd, 2 qi_fallspd, 3 ni_self_collect,
+4 qc2qi_collect, 5 qi2qr_melting, 6 eff_radius, 7 nr_collect (via coll
+table), ... 12 columns total stored.
+
+The table file itself is DATA shipped with the reference (not code); the
+loader takes any path -- set ``MWML_P3_TABLE`` or pass explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["P3Tables", "load_p3_tables", "default_table_path",
+           "ice_table_indices", "rain_collection_index",
+           "interp_ice", "interp_collect"]
+
+ISIZE, RIMSIZE, DENSIZE, RCOLLSIZE = 50, 4, 5, 30
+# 1/(0.1*log10(261.7)) (micro_p3_utils.F90:34)
+_DUM1_C = 4.135985029041767
+QSMALL = 1.0e-14
+RHO_H2O = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class P3Tables:
+    """ice: (densize, rimsize, isize, 12); collect: (densize, rimsize,
+    isize, rcollsize, 2) with log10 applied (p3_init_a:192-194)."""
+
+    version: str
+    ice: np.ndarray
+    collect: np.ndarray
+
+
+def default_table_path() -> str | None:
+    env = os.environ.get("MWML_P3_TABLE")
+    if env:
+        return env
+    ref = ("/root/reference/model/modules/helpers/microphysics_p3/"
+           "p3_lookup_table_1.dat-v4.1.1")
+    return ref if os.path.exists(ref) else None
+
+
+def load_p3_tables(path: str | None = None) -> P3Tables:
+    """Parse the v4.1.1 ASCII table (p3_init_a row layout)."""
+    path = path or default_table_path()
+    if path is None:
+        raise FileNotFoundError(
+            "no P3 lookup table available; set MWML_P3_TABLE")
+    with open(path) as f:
+        header = f.readline().split()
+        version = header[-1]
+        ice = np.zeros((DENSIZE, RIMSIZE, ISIZE, 12))
+        coll = np.zeros((DENSIZE, RIMSIZE, ISIZE, RCOLLSIZE, 2))
+        for jj in range(DENSIZE):
+            for ii in range(RIMSIZE):
+                for i in range(ISIZE):
+                    vals = []
+                    while len(vals) < 17:
+                        vals += f.readline().split()
+                    v = [float(x) for x in vals]
+                    # row: i, ?, dum, dum, k1..k8, dum, k9..k12
+                    # (p3_init_a:183-186)
+                    ice[jj, ii, i, :8] = v[4:12]
+                    ice[jj, ii, i, 8:] = v[13:17]
+                for i in range(ISIZE):
+                    for j in range(RCOLLSIZE):
+                        vals = []
+                        while len(vals) < 8:
+                            vals += f.readline().split()
+                        v = [float(x) for x in vals]
+                        # row: i, j, dum, dum, dum, k1, k2, dum (:188-194)
+                        coll[jj, ii, i, j, 0] = np.log10(v[5])
+                        coll[jj, ii, i, j, 1] = np.log10(v[6])
+    return P3Tables(version=version, ice=ice, collect=coll)
+
+
+def ice_table_indices(qi, ni, qm, rhop):
+    """Vectorized find_lookupTable_indices_1a (micro_p3.F90:1620-1677).
+
+    Returns (i0, fi, ii0, fii, jj0, fjj): 0-based base indices and the
+    Fortran-style fractional positions (dum - dumi) for the size, rime
+    fraction, and rime density axes.
+    """
+    dum1 = (jnp.log10(jnp.maximum(qi, QSMALL)
+                      / jnp.maximum(ni, 1e-30)) + 18.0) * _DUM1_C - 10.0
+    dumi = jnp.floor(dum1).astype(jnp.int32)
+    dum1 = jnp.clip(dum1, 1.0, float(ISIZE))
+    dumi = jnp.clip(dumi, 1, ISIZE - 1)
+
+    dum4 = (qm / jnp.maximum(qi, QSMALL)) * 3.0 + 1.0
+    dumii = jnp.floor(dum4).astype(jnp.int32)
+    dum4 = jnp.clip(dum4, 1.0, float(RIMSIZE))
+    dumii = jnp.clip(dumii, 1, RIMSIZE - 1)
+
+    dum5 = jnp.where(rhop <= 650.0,
+                     (rhop - 50.0) * 0.005 + 1.0,
+                     (rhop - 650.0) * 0.004 + 4.0)
+    dumjj = jnp.floor(dum5).astype(jnp.int32)
+    dum5 = jnp.clip(dum5, 1.0, float(DENSIZE))
+    dumjj = jnp.clip(dumjj, 1, DENSIZE - 1)
+
+    # convert to 0-based plus fractional offsets
+    return (dumi - 1, dum1 - dumi.astype(dum1.dtype),
+            dumii - 1, dum4 - dumii.astype(dum4.dtype),
+            dumjj - 1, dum5 - dumjj.astype(dum5.dtype))
+
+
+def rain_collection_index(qr, nr):
+    """Vectorized find_lookupTable_indices_1b (micro_p3.F90:1681-1720)."""
+    has_rain = (qr >= QSMALL) & (nr > 0.0)
+    dumlr = jnp.cbrt(jnp.maximum(qr, QSMALL)
+                     / (jnp.pi * RHO_H2O * jnp.maximum(nr, 1e-30)))
+    dum3 = (jnp.log10(dumlr) + 5.0) * 10.70415
+    dumj = jnp.floor(dum3).astype(jnp.int32)
+    dum3 = jnp.clip(dum3, 1.0, float(RCOLLSIZE))
+    dumj = jnp.clip(dumj, 1, RCOLLSIZE - 1)
+    dumj = jnp.where(has_rain, dumj, 1)
+    dum3 = jnp.where(has_rain, dum3, 1.0)
+    return dumj - 1, dum3 - dumj.astype(dum3.dtype)
+
+
+def interp_ice(tables: P3Tables, col: int, i0, fi, ii0, fii, jj0, fjj):
+    """Trilinear interpolation of ice table column ``col`` (1-based like the
+    Fortran ``index`` arg) at the vectorized index positions
+    (access_lookup_table, micro_p3.F90:1508-1545)."""
+    t = jnp.asarray(tables.ice[..., col - 1])  # (densize, rimsize, isize)
+
+    def at(jj, ii, i):
+        return t[jj, ii, i]
+
+    def lin_i(jj, ii):
+        return at(jj, ii, i0) + fi * (at(jj, ii, i0 + 1) - at(jj, ii, i0))
+
+    def lin_ii(jj):
+        a = lin_i(jj, ii0)
+        b = lin_i(jj, ii0 + 1)
+        return a + fii * (b - a)
+
+    t1 = lin_ii(jj0)
+    t2 = lin_ii(jj0 + 1)
+    return t1 + fjj * (t2 - t1)
+
+
+def interp_collect(tables: P3Tables, col: int, i0, fi, ii0, fii, jj0, fjj,
+                   j0, fj):
+    """Quadrilinear interpolation of the ice-rain collection table
+    (access_lookup_table_coll, micro_p3.F90; values stored as log10 and
+    exponentiated after interpolation)."""
+    t = jnp.asarray(tables.collect[..., col - 1])
+
+    def at(jj, ii, i, j):
+        return t[jj, ii, i, j]
+
+    def lin_j(jj, ii, i):
+        return at(jj, ii, i, j0) + fj * (at(jj, ii, i, j0 + 1)
+                                         - at(jj, ii, i, j0))
+
+    def lin_i(jj, ii):
+        a = lin_j(jj, ii, i0)
+        b = lin_j(jj, ii, i0 + 1)
+        return a + fi * (b - a)
+
+    def lin_ii(jj):
+        a = lin_i(jj, ii0)
+        b = lin_i(jj, ii0 + 1)
+        return a + fii * (b - a)
+
+    t1 = lin_ii(jj0)
+    t2 = lin_ii(jj0 + 1)
+    return 10.0 ** (t1 + fjj * (t2 - t1))

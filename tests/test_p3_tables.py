@@ -1,0 +1,88 @@
+"""P3 lookup-table loader + interpolation tests (reference
+micro_p3.F90 p3_init_a / find_lookupTable_indices / access_lookup_table).
+Uses the reference's shipped table as a data asset when mounted."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from miniweatherml_tpu.physics.p3_tables import (DENSIZE, ISIZE, RCOLLSIZE,
+                                                 RIMSIZE, default_table_path,
+                                                 ice_table_indices,
+                                                 interp_collect, interp_ice,
+                                                 load_p3_tables,
+                                                 rain_collection_index)
+
+pytestmark = pytest.mark.skipif(default_table_path() is None,
+                                reason="no P3 lookup table asset available")
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return load_p3_tables()
+
+
+def test_table_shapes_and_version(tables):
+    assert tables.version == "4.1.1"
+    assert tables.ice.shape == (DENSIZE, RIMSIZE, ISIZE, 12)
+    assert tables.collect.shape == (DENSIZE, RIMSIZE, ISIZE, RCOLLSIZE, 2)
+    assert np.isfinite(tables.ice).all()
+    assert np.isfinite(tables.collect).all()
+
+
+def test_fall_speed_increases_with_particle_size(tables):
+    """Mass-weighted fall speed (column 2) must grow with normalized size
+    qi/ni at fixed rime properties -- basic physical sanity of the parse."""
+    fall = tables.ice[2, 0, :, 1]  # mid density, unrimed, all sizes
+    assert fall[40] > fall[10] > 0.0
+
+
+def test_indices_at_interior_point(tables):
+    qi = jnp.asarray([1e-4])
+    ni = jnp.asarray([1e4])
+    qm = jnp.asarray([2e-5])
+    rhop = jnp.asarray([400.0])
+    i0, fi, ii0, fii, jj0, fjj = ice_table_indices(qi, ni, qm, rhop)
+    assert 0 <= int(i0[0]) < ISIZE - 1
+    assert 0 <= int(ii0[0]) < RIMSIZE - 1
+    assert 0 <= int(jj0[0]) < DENSIZE - 1
+    assert 0.0 <= float(fi[0]) <= 1.0 + 1e-6
+
+
+def test_interp_matches_exact_node(tables):
+    """At an exact grid node the interpolation must return the stored
+    value."""
+    # Build (qi/ni) hitting node i=20 exactly: qi/ni = 261.7**((i+10)*0.1)*1e-18
+    i = 20  # 1-based Fortran index
+    ratio = 261.7 ** ((i + 10) * 0.1) * 1e-18
+    ni = jnp.asarray([1.0e6])
+    qi = ni * ratio
+    qm = jnp.asarray([0.0])       # rime fraction 0 -> dum4 = 1 (node ii=1)
+    rhop = jnp.asarray([50.0])    # dum5 = 1 (node jj=1)
+    idx = ice_table_indices(qi, ni, qm, rhop)
+    val = interp_ice(tables, 2, *idx)
+    expect = tables.ice[0, 0, i - 1, 1]
+    np.testing.assert_allclose(float(val[0]), expect, rtol=1e-6)
+
+
+def test_interp_is_continuous(tables):
+    """Interpolated value varies smoothly between nodes (no index jumps)."""
+    ratios = np.geomspace(1e-14, 1e-9, 200)
+    ni = jnp.full(200, 1.0e6)
+    qi = ni * jnp.asarray(ratios)
+    qm = jnp.zeros(200)
+    rhop = jnp.full(200, 400.0)
+    idx = ice_table_indices(qi, ni, qm, rhop)
+    vals = np.asarray(interp_ice(tables, 2, *idx))
+    rel_jump = np.abs(np.diff(vals)) / np.maximum(np.abs(vals[:-1]), 1e-12)
+    assert rel_jump.max() < 0.2
+
+
+def test_collect_interp_positive(tables):
+    qi = jnp.asarray([1e-4]); ni = jnp.asarray([1e4])
+    qm = jnp.asarray([0.0]); rhop = jnp.asarray([300.0])
+    qr = jnp.asarray([1e-4]); nr = jnp.asarray([1e4])
+    idx_i = ice_table_indices(qi, ni, qm, rhop)
+    j0, fj = rain_collection_index(qr, nr)
+    v = interp_collect(tables, 1, *idx_i, j0, fj)
+    assert float(v[0]) > 0.0
