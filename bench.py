@@ -29,7 +29,36 @@ from miniweatherml_tpu.experiments.supercell_example import build
 _BASELINE_MCELLUPS = 10.0  # nominal CPU-node throughput (BASELINE.md north star)
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the device with a tiny computation under a watchdog.  The axon
+    TPU tunnel can wedge (a killed client leaves the remote claim stuck), in
+    which case every computation hangs forever -- better to report honestly
+    than to hang the harness."""
+    import threading
+
+    ok = []
+
+    def probe():
+        x = jax.numpy.ones((8, 8))
+        ok.append(float(jax.numpy.sum(x)))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "supercell cell-updates/sec/chip "
+                      "(DEVICE UNRESPONSIVE: axon TPU tunnel wedged; "
+                      "no computation completes)",
+            "value": 0.0,
+            "unit": "Mcellups",
+            "vs_baseline": 0.0,
+        }))
+        return
     on_tpu = jax.devices()[0].platform == "tpu"
     nx = int(os.environ.get("MWML_BENCH_NX", 512 if on_tpu else 64))
     ny = int(os.environ.get("MWML_BENCH_NY", 512 if on_tpu else 64))
