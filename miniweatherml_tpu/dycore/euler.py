@@ -116,15 +116,21 @@ class Dycore:
     -DMW_ORD, dynamics...h:24-28)."""
 
     def __init__(self, ord: int = 5, cutoff: float = 0.0,
-                 recon_impl: str = "fused"):
+                 recon_impl: str = "fused", riemann_impl: str = "xla"):
         if ord not in (3, 5, 7, 9):
             raise ValueError("ord must be 3, 5, 7 or 9")
         if recon_impl not in ("fused", "dense"):
             raise ValueError("recon_impl must be 'fused' or 'dense'")
+        if riemann_impl not in ("xla", "pallas"):
+            raise ValueError("riemann_impl must be 'xla' or 'pallas'")
         self.ord = ord
         self.hs = (ord - 1) // 2
         self.cutoff = cutoff
         self.recon_impl = recon_impl
+        # "pallas": fused recon+Riemann VMEM megakernel (ops/pallas_recon.py)
+        # for periodic/wall directions on single-device runs; other cases
+        # fall back to the XLA path per direction.
+        self.riemann_impl = riemann_impl
         self.mats = weno_matrices(ord)
 
     # ------------------------------------------------------------------
@@ -420,6 +426,10 @@ class Dycore:
         prim = jnp.concatenate(
             [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
         )
+        if (self.riemann_impl == "pallas" and spmd is None
+                and bc in (BC_PERIODIC, BC_WALL)):
+            return self._direction_fluxes_pallas(
+                grid, consts, hy, prim, axis, n, bc, normal_id)
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -439,6 +449,95 @@ class Dycore:
         SL, SR, TRL, TRR = self._apply_edge_bcs(SL, SR, TRL, TRR, axis, n, bc,
                                                 normal_id, spmd)
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
+
+    def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
+                                 normal_id):
+        """Route one direction through the fused VMEM megakernel
+        (ops/pallas_recon.py): transpose the stencil axis last, flatten the
+        perpendicular dims, one kernel call, transpose back.  Wall BCs are
+        patched on the two boundary faces afterward (with walls the upwind
+        flux collapses to [0,..,p_interior,..,0])."""
+        from ..ops.pallas_recon import direction_fluxes_pallas
+        from ..ops.weno_fused import reconstruct_edges_shifted
+
+        hyc, hyt, hye, hyte = hy
+        hp = self.hs + 1
+        padded = pad_bc(prim, axis, hp, bc)
+        if bc == BC_WALL:
+            padded = padded.at[normal_id].set(
+                pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True))
+
+        nvar = prim.shape[0]
+        nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
+        Np = n + 2 + 2 * self.hs
+
+        # Move the stencil axis last and flatten the rest to rows.
+        if axis == _AX_X:
+            flat = padded.reshape(nvar, nens * nz * ny, Np)
+            # hy at x-faces = cell-column values, constant along the faces
+            hyr_rows = jnp.broadcast_to(
+                hyc[:, :, None], (nens, nz, ny)).reshape(-1)
+            hytr_rows = jnp.broadcast_to(
+                hyt[:, :, None], (nens, nz, ny)).reshape(-1)
+            hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hytr_rows[:, None], (hyr_rows.size, n + 1))
+        elif axis == _AX_Y:
+            moved = jnp.moveaxis(padded, -2, -1)   # (nvar, E, Z, X, Np)
+            flat = moved.reshape(nvar, nens * nz * nx, Np)
+            hyr_rows = jnp.broadcast_to(
+                hyc[:, :, None], (nens, nz, nx)).reshape(-1)
+            hytr_rows = jnp.broadcast_to(
+                hyt[:, :, None], (nens, nz, nx)).reshape(-1)
+            hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hytr_rows[:, None], (hyr_rows.size, n + 1))
+        else:  # _AX_Z
+            moved = jnp.moveaxis(padded, -3, -1)   # (nvar, E, Y, X, Np)
+            flat = moved.reshape(nvar, nens * ny * nx, Np)
+            # hy at z-faces varies along the face axis (edge profiles)
+            hyr_f = jnp.broadcast_to(
+                hye[:, None, None, :], (nens, ny, nx, n + 1)
+            ).reshape(-1, n + 1)
+            hyt_f = jnp.broadcast_to(
+                hyte[:, None, None, :], (nens, ny, nx, n + 1)
+            ).reshape(-1, n + 1)
+
+        SF, TF = direction_fluxes_pallas(
+            flat, hyr_f, hyt_f, n, self.mats, self.cutoff, normal_id,
+            consts.C0, consts.gamma)
+
+        if bc == BC_WALL:
+            # Wall faces: both Riemann inputs are the interior edge limit
+            # with zero normal momentum -> flux = p_interior on the normal
+            # momentum only (dynamics...h:1040-1081 + :395-474 collapsed).
+            # Slab recon with the stencil axis SECOND-minor: a trailing axis
+            # of 2 would be tile-padded 64x on TPU (1 GB per temp).
+            ord_ = self.ord
+            lo_slab = jnp.swapaxes(flat[..., : ord_ + 1], -1, -2)
+            gl_lo, _ = reconstruct_edges_shifted(lo_slab, -2, 2, self.mats,
+                                                 self.cutoff)
+            rt_lo = gl_lo[IDT, 1, :] + hyt_f[:, 0]       # cell 0 left edge
+            hi_slab = jnp.swapaxes(flat[..., n - 1: n + ord_ + 1], -1, -2)
+            _, gr_hi = reconstruct_edges_shifted(hi_slab, -2, 2, self.mats,
+                                                 self.cutoff)
+            rt_hi = gr_hi[IDT, 1, :] + hyt_f[:, n]       # cell n-1 right edge
+            p_lo = consts.C0 * rt_lo ** consts.gamma
+            p_hi = consts.C0 * rt_hi ** consts.gamma
+            SF = SF.at[:, :, 0].set(0.0).at[:, :, n].set(0.0)
+            SF = SF.at[normal_id, :, 0].set(p_lo)
+            SF = SF.at[normal_id, :, n].set(p_hi)
+            TF = TF.at[:, :, 0].set(0.0).at[:, :, n].set(0.0)
+
+        # Unflatten and move the face axis back into place.
+        def back(F):
+            nv = F.shape[0]
+            if axis == _AX_X:
+                return F.reshape(nv, nens, nz, ny, n + 1)
+            if axis == _AX_Y:
+                return jnp.moveaxis(
+                    F.reshape(nv, nens, nz, nx, n + 1), -1, -2)
+            return jnp.moveaxis(F.reshape(nv, nens, ny, nx, n + 1), -1, -3)
+
+        return back(SF), back(TF)
 
     def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None):
         """Flux-corrected transport: scale outgoing tracer fluxes so no cell

@@ -1,0 +1,204 @@
+"""Pallas TPU megakernel: fused WENO reconstruction + Riemann per direction.
+
+The XLA formulation of the direction-flux pipeline (dycore/euler.py
+_direction_fluxes) is HBM-bound: the compiler materializes the WENO
+smoothness indicators, weights, edge values, and face limits, giving
+~190 GB of HBM traffic per dycore step (measured by cost analysis at
+512x512x64).  This kernel keeps the entire pipeline for a tile of columns
+resident in VMEM: one read of the padded primitive variables, all WENO +
+upwind-Riemann arithmetic on-chip, one write of the face fluxes.
+
+Design (per direction):
+  * the stencil axis is kept WHOLE inside each block (no overlapping
+    blocks needed -- the grid tiles only the perpendicular dims),
+  * all ``nvar = 5 + ntracers`` variables ride in the block so the Riemann
+    coupling (acoustic upwind of pressure/normal momentum + advective
+    upwind of the rest, dynamics...h:395-485) happens in-register,
+  * the hydrostatic background columns enter as small side inputs.
+
+Matches Dycore._direction_fluxes bit-for-bit in exact arithmetic (tested
+against the XLA path); used when ``Dycore(riemann_impl="pallas")``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .weno import WenoMatrices
+from .weno_fused import _sparse_terms
+
+__all__ = ["direction_fluxes_pallas"]
+
+IDR, IDU, IDV, IDW, IDT = 0, 1, 2, 3, 4
+NUM_STATE = 5
+_CS = 350.0  # frozen acoustic speed (dynamics...h:402)
+
+
+def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff):
+    """WENO edges on a block: x (..., Np) -> (left, right) (..., n_out).
+
+    Same math as ops/weno_fused.reconstruct_edges_shifted, expressed on the
+    in-VMEM block.
+    """
+    dt = x.dtype
+
+    def sh(i):
+        return jax.lax.slice_in_dim(x, i, i + n_out, axis=x.ndim - 1)
+
+    shifts = [sh(i) for i in range(ord_)]
+
+    tvs = []
+    for terms in tv_terms:
+        acc = None
+        for i, j, c in terms:
+            t = jnp.asarray(c, dt) * shifts[i] * shifts[j]
+            acc = t if acc is None else acc + t
+        tvs.append(acc)
+
+    eps = jnp.asarray(1e-20, dt)
+
+    def convexify(vals):
+        tot = vals[0]
+        for v in vals[1:]:
+            tot = tot + v
+        inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
+        return [v * inv for v in vals]
+
+    tvs = convexify(tvs)
+    ws = [jnp.asarray(ik, dt) / (tv * tv + eps) for ik, tv in zip(idl, tvs)]
+    ws = convexify(ws)
+    if cutoff > 0.0:
+        co = jnp.asarray(cutoff, dt)
+        ws = [jnp.where(w > co, w, 0.0) for w in ws[:-1]] + [ws[-1]]
+        ws = convexify(ws)
+
+    edges = []
+    for e in range(2):
+        acc = None
+        for k, w in enumerate(ws):
+            ek = None
+            for i, c in edge_terms[k][e]:
+                t = jnp.asarray(c, dt) * shifts[i]
+                ek = t if ek is None else ek + t
+            t = w * ek
+            acc = t if acc is None else acc + t
+        edges.append(acc)
+    return edges[0], edges[1]
+
+
+def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
+            edge_terms, idl, cutoff, normal_id, ntracers, C0, gamma):
+    """One block: padded prim (nvar, Bt, Np) -> face fluxes (.., Bt, n+1)."""
+    x = p_ref[...]
+    gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
+                                     idl, cutoff)
+    nd = gll_l.ndim
+    L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
+    R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
+
+    hyr = hyr_ref[...]  # (Bt, n+1) background density at faces
+    hyt = hyt_ref[...]  # (Bt, n+1) background rho*theta at faces
+
+    rL = L[IDR] + hyr
+    rR = R[IDR] + hyr
+    ruL = L[normal_id] * rL
+    ruR = R[normal_id] * rR
+    rtL = L[IDT] + hyt
+    rtR = R[IDT] + hyt
+
+    # acoustic characteristic upwinding (dynamics...h:395-474)
+    pL = C0 * rtL ** gamma
+    pR = C0 * rtR ** gamma
+    w1 = 0.5 * (pR - _CS * ruR)
+    w2 = 0.5 * (pL + _CS * ruL)
+    p_upw = w1 + w2
+    ru_upw = (w2 - w1) / _CS
+    useL = (ruL + ruR) > 0.0
+
+    r_upw = jnp.where(useL, rL, rR)
+    adv = ru_upw / r_upw
+    # state fluxes: [rho, rho*u, rho*v, rho*w, rho*theta]
+    qU = jnp.where(useL, L[IDU] * rL, R[IDU] * rR)
+    qV = jnp.where(useL, L[IDV] * rL, R[IDV] * rR)
+    qW = jnp.where(useL, L[IDW] * rL, R[IDW] * rR)
+    qT = jnp.where(useL, rtL, rtR)
+    fU = adv * qU
+    fV = adv * qV
+    fW = adv * qW
+    fT = adv * qT
+    flux = [ru_upw, fU, fV, fW, fT]
+    flux[normal_id] = flux[normal_id] + p_upw
+    sf_ref[...] = jnp.stack(flux)
+
+    if ntracers:
+        trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
+        trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
+        tf_ref[...] = adv * jnp.where(useL, trL * rL, trR * rR)
+
+
+def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
+                            mats: WenoMatrices, cutoff: float,
+                            normal_id: int, C0: float, gamma: float,
+                            block_rows: int = 16):
+    """Fused recon+Riemann over the LAST axis.
+
+    Args:
+      padded: (nvar, B, n + 2 + 2*hs) de-densitized prims with halos, the
+        stencil axis last (callers transpose y/z directions into this
+        layout; the transposes are bandwidth-cheap relative to the fusion
+        win).
+      hy_r_faces / hy_t_faces: (B, n+1) hydrostatic background (density /
+        rho*theta) at the faces of each row.
+      n: number of interior cells along the direction.
+      normal_id: index of the normal-momentum variable (IDU/IDV/IDW).
+
+    Returns:
+      (state_flux (5, B, n+1), tracer_flux (ntracers, B, n+1)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nvar, B, Np = padded.shape
+    ntracers = nvar - NUM_STATE
+    ord_ = mats.ord
+    assert Np == n + 2 + (ord_ - 1), (Np, n, ord_)
+    tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
+
+    Bt = min(block_rows, B)
+    grid = (math.ceil(B / Bt),)
+
+    kernel = functools.partial(
+        _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
+        idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
+        C0=C0, gamma=gamma)
+
+    sf, tf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nvar, Bt, Np), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NUM_STATE, Bt, n + 1), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(ntracers, 1), Bt, n + 1), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NUM_STATE, B, n + 1), padded.dtype),
+            jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), padded.dtype),
+        ],
+        # Pallas has no native CPU lowering; tests run interpreted.
+        interpret=jax.devices()[0].platform != "tpu",
+    )(padded, hy_r_faces, hy_t_faces)
+    return sf, tf[:ntracers]
