@@ -77,6 +77,11 @@ def main() -> None:
         init_data="supercell", out_prefix="bench", dt_phys=0.0, out_freq=-1.0,
     ))
     state, mods, dycore = build(config)
+    if os.environ.get("MWML_BENCH_PALLAS") == "1":
+        from miniweatherml_tpu.dycore.euler import Dycore
+        dy_p = Dycore(riemann_impl="pallas")
+        mods = [dy_p.time_step] + list(mods[1:])
+        dycore = dy_p
     dt = dycore.compute_time_step(state)
 
     @jax.jit

@@ -450,6 +450,47 @@ class Dycore:
                                                 normal_id, spmd)
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
 
+    def _weno_edge_rows(self, cols, edge: int):
+        """WENO-limited edge value from ``ord`` stencil columns, each an
+        arbitrary-shape array (used on (B,) rows so no small axes exist to
+        be tile-padded).  edge 0 = left (x=-1/2), 1 = right (x=+1/2).
+        Same math as ops/weno_fused.reconstruct_edges_shifted."""
+        from ..ops.weno_fused import _sparse_terms
+
+        tv_terms, edge_terms, idl = _sparse_terms(self.ord, 0)
+        dt = cols[0].dtype
+        eps = jnp.asarray(1e-20, dt)
+        tvs = []
+        for terms in tv_terms:
+            acc = None
+            for i, j, c in terms:
+                t = jnp.asarray(c, dt) * cols[i] * cols[j]
+                acc = t if acc is None else acc + t
+            tvs.append(acc)
+
+        def convexify(vals):
+            tot = sum(vals[1:], vals[0])
+            inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
+            return [v * inv for v in vals]
+
+        tvs = convexify(tvs)
+        ws = [jnp.asarray(ik, dt) / (tv * tv + eps)
+              for ik, tv in zip(idl, tvs)]
+        ws = convexify(ws)
+        if self.cutoff > 0.0:
+            co = jnp.asarray(self.cutoff, dt)
+            ws = [jnp.where(w > co, w, 0.0) for w in ws[:-1]] + [ws[-1]]
+            ws = convexify(ws)
+        acc = None
+        for k, w in enumerate(ws):
+            ek = None
+            for i, c in edge_terms[k][edge]:
+                t = jnp.asarray(c, dt) * cols[i]
+                ek = t if ek is None else ek + t
+            t = w * ek
+            acc = t if acc is None else acc + t
+        return acc
+
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
                                  normal_id):
         """Route one direction through the fused VMEM megakernel
@@ -458,7 +499,6 @@ class Dycore:
         patched on the two boundary faces afterward (with walls the upwind
         flux collapses to [0,..,p_interior,..,0])."""
         from ..ops.pallas_recon import direction_fluxes_pallas
-        from ..ops.weno_fused import reconstruct_edges_shifted
 
         hyc, hyt, hye, hyte = hy
         hp = self.hs + 1
@@ -509,17 +549,15 @@ class Dycore:
             # Wall faces: both Riemann inputs are the interior edge limit
             # with zero normal momentum -> flux = p_interior on the normal
             # momentum only (dynamics...h:1040-1081 + :395-474 collapsed).
-            # Slab recon with the stencil axis SECOND-minor: a trailing axis
-            # of 2 would be tile-padded 64x on TPU (1 GB per temp).
-            ord_ = self.ord
-            lo_slab = jnp.swapaxes(flat[..., : ord_ + 1], -1, -2)
-            gl_lo, _ = reconstruct_edges_shifted(lo_slab, -2, 2, self.mats,
-                                                 self.cutoff)
-            rt_lo = gl_lo[IDT, 1, :] + hyt_f[:, 0]       # cell 0 left edge
-            hi_slab = jnp.swapaxes(flat[..., n - 1: n + ord_ + 1], -1, -2)
-            _, gr_hi = reconstruct_edges_shifted(hi_slab, -2, 2, self.mats,
-                                                 self.cutoff)
-            rt_hi = gr_hi[IDT, 1, :] + hyt_f[:, n]       # cell n-1 right edge
+            # Boundary rt limits via a direct per-row WENO evaluation on
+            # (B,) vectors only: any small intermediate axis gets
+            # tile-padded up to 64x on TPU (measured 1 GB/temp with slabs).
+            rt_lo = self._weno_edge_rows(
+                [flat[IDT, :, 1 + i] for i in range(self.ord)], edge=0
+            ) + hyt_f[:, 0]                               # cell 0 left edge
+            rt_hi = self._weno_edge_rows(
+                [flat[IDT, :, n + i] for i in range(self.ord)], edge=1
+            ) + hyt_f[:, n]                               # cell n-1 right edge
             p_lo = consts.C0 * rt_lo ** consts.gamma
             p_hi = consts.C0 * rt_hi ** consts.gamma
             SF = SF.at[:, :, 0].set(0.0).at[:, :, n].set(0.0)

