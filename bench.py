@@ -66,7 +66,7 @@ def main() -> None:
     steps = int(os.environ.get("MWML_BENCH_STEPS", 10 if on_tpu else 3))
     # Steps fused into one device call via lax.scan: amortizes the per-call
     # dispatch latency of the axon TPU tunnel (~0.4 s/call measured).
-    inner = int(os.environ.get("MWML_BENCH_INNER", 5 if on_tpu else 1))
+    inner = int(os.environ.get("MWML_BENCH_INNER", 10 if on_tpu else 1))
 
     # community_benchmark supercell geometry (819.2 km x 819.2 km x 20 km,
     # reference experiments/community_benchmark/inputs/input_euler3d*.yaml),

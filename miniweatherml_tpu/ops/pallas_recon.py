@@ -144,7 +144,7 @@ def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
 def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
-                            block_rows: int = 16):
+                            block_rows: int = 8):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
