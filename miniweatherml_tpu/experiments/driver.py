@@ -74,6 +74,7 @@ def run_main_loop(
     etime0: float = 0.0,
     checkpoint_freq: float = -1.0,
     checkpoint_path: str = "",
+    validate: bool = False,
 ) -> CouplerState:
     """The reference main loop (driver.cpp:64-80) with heartbeat + output.
 
@@ -147,6 +148,12 @@ def run_main_loop(
         etime += dtphys
         if on_step is not None:
             on_step(state, dtphys, etime)
+        if validate:
+            problems = state.validate()
+            if problems:
+                raise FloatingPointError(
+                    f"state validation failed at etime={etime:g}: {problems}"
+                    " (reference DataManager::validate analog)")
         if out_freq >= 0.0 and etime / out_freq >= num_out + 1:
             if writer is not None:
                 writer.write(state, etime)

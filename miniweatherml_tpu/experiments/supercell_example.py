@@ -72,7 +72,8 @@ def main(argv=None) -> CouplerState:
     timers.start("main")
     state = run_main_loop(state, config, mods, dycore, writer, timers,
                           etime0=etime0, checkpoint_freq=chk_freq,
-                          checkpoint_path=config.out_prefix + "_chkpt.npz")
+                          checkpoint_path=config.out_prefix + "_chkpt.npz",
+                          validate=bool(config.extras.get("validate", False)))
     timers.stop("main")
     if writer:
         writer.close()

@@ -246,7 +246,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     sub = jnp.where(has_ice & (sup_i < 0.0), (qv_si - qv) / tau_dep, 0.0)
 
     if tables is not None:
-        from .p3_tables import ice_table_indices, interp_ice
+        from .p3_tables import (ice_table_indices, interp_collect,
+                                interp_ice, rain_collection_index)
         # bulk rime density rhop = qm/bm clipped to the table's 50-900 range
         # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
         rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
@@ -259,6 +260,20 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         rhofaci * interp_ice(tables, 4, *idx)
                         * qc * eci * rho * ni, 0.0)
         vi_table = rhofaci * interp_ice(tables, 2, *idx)
+        # ice-rain collection (below freezing), table-driven
+        # [P3; rain DSD intercept with mu_r=0: logn0r = log10(nr*lamr)]
+        # (ice_rain_collection, micro_p3.F90:2103-2157; eri = 1)
+        j0, fj = rain_collection_index(qr, nr)
+        lamr = jnp.cbrt(jnp.pi * RHO_H2O * jnp.maximum(nr, NSMALL)
+                        / jnp.maximum(qr, QSMALL))
+        n0r = jnp.maximum(nr, NSMALL) * lamr
+        both_ir = (qi >= QSMALL) & (qr >= QSMALL) & (tc <= 0.0)
+        qrcol = jnp.where(both_ir,
+                          interp_collect(tables, 2, *idx, j0, fj)
+                          * n0r * rho * rhofaci * ni, 0.0)
+        nr_col = jnp.where(both_ir,
+                           interp_collect(tables, 1, *idx, j0, fj)
+                           * n0r * rho * rhofaci * ni, 0.0)
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -267,34 +282,38 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
                         erim * 2.0 * vi * qi * qc, 0.0)
         vi_table = None
+        qrcol = jnp.zeros_like(qr)
+        nr_col = jnp.zeros_like(nr)
 
     # melting above freezing: thermal relaxation  [approx]
     melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
 
     # -- conservation rescaling (P3's *_conservation form) --------------
     au, ac, qc_frz, rim = _conserve(qc, dt, au, ac, qc_frz, rim)
-    ev, qr_frz = _conserve(qr, dt, ev, qr_frz)
+    ev, qr_frz, qrcol = _conserve(qr, dt, ev, qr_frz, qrcol)
     sub, melt = _conserve(qi, dt, sub, melt)
     dep, qinuc = _conserve(jnp.maximum(qv - qv_si, 0.0), dt, dep, qinuc)
 
     # -- apply process tendencies (all ratios use pre-update values) ----
     qc_new = qc + dt * (-au - ac - qc_frz - rim)
-    qr_new = qr + dt * (au + ac - ev - qr_frz + melt)
-    qi_new = qi + dt * (qc_frz + qr_frz + dep + qinuc - sub - melt + rim)
+    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt)
+    qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc - sub - melt
+                        + rim)
     qv_new = qv + dt * (ev + sub - dep - qinuc)
-    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz
+    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col
                         - ev * nr / jnp.maximum(qr, QSMALL))
     ni_new = ni + dt * (ninuc + nc_frz + nr_frz
                         - melt * ni / jnp.maximum(qi, QSMALL))
-    qm_new = qm + dt * (rim + qr_frz
+    qm_new = qm + dt * (rim + qr_frz + qrcol
                         - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
-    bm_new = bm + dt * (rim / 400.0 + qr_frz / 900.0
+    bm_new = bm + dt * (rim / 400.0 + (qr_frz + qrcol) / 900.0
                         - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
     qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
     nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
     # latent heating (theta via frozen exner)
     theta = theta + dt / (cp * exner) * (
-        Lv * (-ev) + Ls * (dep + qinuc - sub) + Lf * (qc_frz + qr_frz + rim - melt))
+        Lv * (-ev) + Ls * (dep + qinuc - sub)
+        + Lf * (qc_frz + qr_frz + qrcol + rim - melt))
 
     qc = jnp.maximum(qc, 0.0)
     qr = jnp.maximum(qr, 0.0)

@@ -86,3 +86,29 @@ def test_collect_interp_positive(tables):
     j0, fj = rain_collection_index(qr, nr)
     v = interp_collect(tables, 1, *idx_i, j0, fj)
     assert float(v[0]) > 0.0
+
+
+def test_scheme_with_tables_ice_rain_collection(tables):
+    """With tables active, a cold mixed rain+ice column must collect rain
+    into rime (qrcol > 0 -> qm grows, qr shrinks) and conserve water."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_p3 import _column
+    from miniweatherml_tpu.physics.p3 import p3_scheme
+
+    col = _column(tsurf=265.0, qv0=2e-3, qc0=5e-4, qr0=8e-4, qi0=5e-4)
+    col = dict(col)
+    col["nr"] = jnp.full_like(col["qr"], 1e5)
+    col["ni"] = jnp.full_like(col["qi"], 1e5)
+    base = p3_scheme(**col, dt=10.0, tables=None)
+    out = p3_scheme(**col, dt=10.0, tables=tables)
+    qm_base, qm_tab = np.asarray(base[6]), np.asarray(out[6])
+    assert qm_tab.max() > qm_base.max()  # collection adds rime mass
+    # water conservation incl. surface precip
+    rho_d = np.asarray(col["rho_d"]); dz = np.asarray(col["dz"])
+    tot = lambda o: ((np.asarray(o[0]) + np.asarray(o[2]) + np.asarray(o[4])
+                      + np.asarray(o[8])) * rho_d * dz).sum()
+    m0 = ((np.asarray(col["qc"]) + np.asarray(col["qr"]) + np.asarray(col["qi"])
+           + np.asarray(col["qv"])) * rho_d * dz).sum()
+    precip = float((out[10] + out[11]).sum()) * 10.0 * 1000.0
+    np.testing.assert_allclose(tot(out) + precip, m0, rtol=0.05)
