@@ -77,11 +77,18 @@ def main() -> None:
         init_data="supercell", out_prefix="bench", dt_phys=0.0, out_freq=-1.0,
     ))
     state, mods, dycore = build(config)
-    if os.environ.get("MWML_BENCH_PALLAS") == "1":
+    # MWML_BENCH_ORD=3 matches the reference's own benchmark builds
+    # (-DMW_ORD=3 in build/machines/aws/aws_a100_gpu.env); default is the
+    # reference's default order 5.  MWML_BENCH_PALLAS=1 uses the VMEM
+    # megakernel path.
+    ordv = int(os.environ.get("MWML_BENCH_ORD", 5))
+    use_pallas = os.environ.get("MWML_BENCH_PALLAS") == "1"
+    if ordv != 5 or use_pallas:
         from miniweatherml_tpu.dycore.euler import Dycore
-        dy_p = Dycore(riemann_impl="pallas")
-        mods = [dy_p.time_step] + list(mods[1:])
-        dycore = dy_p
+        dy = Dycore(ord=ordv,
+                    riemann_impl="pallas" if use_pallas else "xla")
+        mods = [dy.time_step] + list(mods[1:])
+        dycore = dy
     dt = dycore.compute_time_step(state)
 
     @jax.jit

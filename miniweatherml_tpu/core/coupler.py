@@ -149,6 +149,12 @@ class Options(Mapping[str, OptionValue]):
         d.update(self._d)
         return Options(d)
 
+    def delete(self, key: str) -> "Options":
+        """(reference Options::delete_option, Options.h:127)"""
+        d = dict(self._d)
+        d.pop(key, None)
+        return Options(d)
+
 
 @dataclasses.dataclass(frozen=True)
 class CouplerMeta:
@@ -221,7 +227,36 @@ class CouplerState:
     def replace_fields(self, **updates: jax.Array) -> "CouplerState":
         f = dict(self.fields)
         f.update(updates)
-        return CouplerState(fields=f, meta=self.meta)
+        out = CouplerState(fields=f, meta=self.meta)
+        # Dirty-entry tracking (reference DataManager.h:206-237): record
+        # which fields were written since the last clear_dirty().  Python
+        # metadata only -- never traced, so it costs nothing under jit, and
+        # like the reference it is best-effort introspection for debugging.
+        out._dirty = getattr(self, "_dirty", frozenset()) | frozenset(updates)
+        return out
+
+    @property
+    def dirty_fields(self) -> frozenset:
+        """Names written via replace_fields since the last clear_dirty()."""
+        return getattr(self, "_dirty", frozenset())
+
+    def clear_dirty(self) -> "CouplerState":
+        out = CouplerState(fields=dict(self.fields), meta=self.meta)
+        out._dirty = frozenset()
+        return out
+
+    def get_lev_col(self, name: str) -> jax.Array:
+        """Field collapsed to (nz, ncol) for column physics (reference
+        DataManager::get_lev_col, DataManager.h:294-338; ncol = nens*ny*nx,
+        vertical leading)."""
+        g = self.grid
+        a = self.fields[name]  # (nens, nz, ny, nx)
+        return jnp.moveaxis(a, 1, 0).reshape(g.nz, g.nens * g.ny * g.nx)
+
+    def get_collapsed(self, name: str) -> jax.Array:
+        """Field flattened to 1-D (reference DataManager::get_collapsed,
+        DataManager.h:346-379)."""
+        return self.fields[name].reshape(-1)
 
     def with_meta(self, meta: CouplerMeta) -> "CouplerState":
         return CouplerState(fields=dict(self.fields), meta=meta)
