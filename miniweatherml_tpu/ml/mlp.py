@@ -62,6 +62,26 @@ class MLP:
                 x = leaky_relu(x)
         return x
 
+    def validate(self) -> None:
+        """Check layer shape compatibility (the ponni model.validate()
+        analog, microphysics_kessler_ponni.h:110); raises on mismatch."""
+        for i, (W, b) in enumerate(self.weights):
+            if W.ndim != 2 or b.shape != (W.shape[1],):
+                raise ValueError(f"layer {i}: kernel {W.shape} / bias "
+                                 f"{b.shape} mismatch")
+            if i and self.weights[i - 1][0].shape[1] != W.shape[0]:
+                raise ValueError(
+                    f"layer {i-1}->{i}: {self.weights[i-1][0].shape[1]} "
+                    f"outputs vs {W.shape[0]} inputs")
+
+    def describe(self) -> str:
+        """Human-readable layer summary (the ponni model.print() analog)."""
+        lines = []
+        for i, (W, b) in enumerate(self.weights):
+            act = " + LeakyReLU(0.1)" if i + 1 < len(self.weights) else ""
+            lines.append(f"layer {i}: Dense {W.shape[0]} -> {W.shape[1]}{act}")
+        return "\n".join(lines)
+
 
 def init_mlp(sizes, key, scale: float = 0.05, dtype=jnp.float32) -> MLP:
     """RandomUniform(-scale, scale) init, matching the Keras notebook's
