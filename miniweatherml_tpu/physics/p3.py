@@ -238,12 +238,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     nr_frz = qr_frz * nr / jnp.maximum(qr, QSMALL)
 
     # deposition/sublimation: relax vapor toward ice saturation below
-    # freezing [approx for the table-driven relaxation timescale,
-    # micro_p3.F90:2322-2355]
+    # freezing [approx tier; the tables branch below replaces these with
+    # the ventilation-based relaxation timescale, micro_p3.F90:2322-2355]
     tau_dep = 300.0 / jnp.maximum((rho * qi) ** 0.25, 1e-3)
     has_ice = (qi >= QSMALL) & (tc < 0.0)
     dep = jnp.where(has_ice & (sup_i > 0.0), (qv - qv_si) / tau_dep, 0.0)
     sub = jnp.where(has_ice & (sup_i < 0.0), (qv_si - qv) / tau_dep, 0.0)
+    ni_self = jnp.zeros_like(ni)
 
     if tables is not None:
         from .p3_tables import (ice_table_indices, interp_collect,
@@ -274,6 +275,45 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         nr_col = jnp.where(both_ir,
                            interp_collect(tables, 1, *idx, j0, fj)
                            * n0r * rho * rhofaci * ni, 0.0)
+
+        # thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
+        mu_visc = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
+        dv_diff = 8.794e-5 * temp ** 1.81 / pres
+        sc_n = mu_visc / (rho * dv_diff)
+        kap = 1.414e3 * mu_visc
+        # ice-ice collection efficiency ramps (micro_p3.F90:3574-3580 for
+        # temperature; ice_self_collection:2159-2207 for rime fraction)
+        eii = jnp.clip(0.001 + (temp - 253.15) * (0.3 - 0.001) / 20.0,
+                       0.001, 0.3)
+        fr = qm / jnp.maximum(qi, QSMALL)
+        eii_fact = jnp.clip(1.0 - (fr - 0.6) / 0.3, 0.0, 1.0)
+        has_ice_t = qi >= QSMALL
+        # ice number self-collection (aggregation)  [P3]
+        ni_self = jnp.where(
+            has_ice_t,
+            interp_ice(tables, 3, *idx) * rho * eii * eii_fact * rhofaci
+            * ni * ni, 0.0)
+        # ventilation factor shared by melting and dep/sub  [P3]
+        vent = (interp_ice(tables, 5, *idx)
+                + interp_ice(tables, 10, *idx) * jnp.cbrt(sc_n)
+                * jnp.sqrt(rhofaci * rho / mu_visc))
+        # melting (ice_melting, micro_p3.F90:2211-2256)  [P3]
+        qsat0 = saturation_vapor_pressure(jnp.full_like(temp, TMELT)) / (
+            R_V * TMELT * rho_d)
+        melt = jnp.where(
+            has_ice_t & (tc > 0.0),
+            jnp.maximum(vent * (tc * kap - rho * Lv * dv_diff
+                                * (qsat0 - qv))
+                        * 2.0 * jnp.pi / Lf * ni, 0.0), 0.0)
+        # deposition/sublimation by relaxation (calc_ice_relaxation_timescale
+        # :2322-2355 + ice_deposition_sublimation :3269-3330)  [P3]
+        epsi = jnp.where(has_ice_t & (tc < 0.0),
+                         vent * 2.0 * jnp.pi * rho * dv_diff * ni, 0.0)
+        dqsidt = (Lv + LATICE) * qv_si / (R_V * temp * temp)
+        abi = 1.0 + dqsidt * (Lv + LATICE) / CP_D
+        qi_tend = jnp.minimum(epsi / abi, 1.0 / dt) * (qv - qv_si)
+        dep = jnp.where(tc < 0.0, jnp.maximum(qi_tend, 0.0), 0.0)
+        sub = jnp.maximum(-qi_tend, 0.0)
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -284,9 +324,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vi_table = None
         qrcol = jnp.zeros_like(qr)
         nr_col = jnp.zeros_like(nr)
-
-    # melting above freezing: thermal relaxation  [approx]
-    melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
+        # melting above freezing: thermal relaxation  [approx]
+        melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
 
     # -- conservation rescaling (P3's *_conservation form) --------------
     au, ac, qc_frz, rim = _conserve(qc, dt, au, ac, qc_frz, rim)
@@ -300,10 +339,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc - sub - melt
                         + rim)
     qv_new = qv + dt * (ev + sub - dep - qinuc)
-    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col
+    # melting moves ice number to rain number (micro_p3.F90 part2: the
+    # ni2nr_melt_tend term)
+    ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
+    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col + ni2nr_melt
                         - ev * nr / jnp.maximum(qr, QSMALL))
-    ni_new = ni + dt * (ninuc + nc_frz + nr_frz
-                        - melt * ni / jnp.maximum(qi, QSMALL))
+    ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
+                        - sub * ni / jnp.maximum(qi, QSMALL))
     qm_new = qm + dt * (rim + qr_frz + qrcol
                         - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
     bm_new = bm + dt * (rim / 400.0 + (qr_frz + qrcol) / 900.0

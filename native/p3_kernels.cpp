@@ -199,10 +199,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double qi_new =
         qi[c] + dt * (qc_frz + qr_frz + dep + qinuc - sub - melt + rim);
     double qv_new = qv[c] + dt * (ev + sub - dep - qinuc);
-    double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz -
+    // melting moves ice number to rain number; sublimation removes ice
+    // number (matches physics/p3.py's shared update equations)
+    double ni2nr_melt = melt * ni[c] / std::max(qi[c], QSMALL);
+    double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz + ni2nr_melt -
                                   ev * nr[c] / std::max(qr[c], QSMALL));
-    double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz -
-                                  melt * ni[c] / std::max(qi[c], QSMALL));
+    double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz - ni2nr_melt -
+                                  sub * ni[c] / std::max(qi[c], QSMALL));
     double qm_new = qm[c] + dt * (rim + qr_frz -
                                   (melt + sub) * qm[c] / std::max(qi[c], QSMALL));
     double bm_new = bm[c] + dt * (rim / 400.0 + qr_frz / 900.0 -
