@@ -152,7 +152,8 @@ def _conserve(avail, dt, *sinks):
 
 
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
-              rho_d, dz, dt, z_axis: int = 1, tables=None):
+              rho_d, dz, dt, z_axis: int = 1, tables=None,
+              spmd_axes: tuple = ()):
     """The P3-class column scheme on dry mixing ratios.
 
     All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
@@ -383,6 +384,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     vi = ice_fallspeed(qi, ni, qm, bm)
     vmax = jnp.maximum(jnp.max(vr), jnp.max(vi))
     dz_min = jnp.min(dz)
+    # inside shard_map the sub-cycle count must be the global extremum so
+    # every shard runs the same loop (the MPI-Allreduce analog)
+    for ax_name in spmd_axes:
+        vmax = jax.lax.pmax(vmax, ax_name)
+        dz_min = jax.lax.pmin(dz_min, ax_name)
     nsub = jnp.maximum(jnp.ceil(dt * vmax / (0.9 * dz_min)), 1.0)
     dts = dt / nsub
 
@@ -511,7 +517,8 @@ class MicrophysicsP3:
             p0=P0, grav=GRAV,
         )
 
-    def time_step(self, state: CouplerState, dt: float) -> CouplerState:
+    def time_step(self, state: CouplerState, dt: float,
+                  spmd_axes: tuple = ()) -> CouplerState:
         g = state.grid
         rho_d = state["density_dry"]
         temp = state["temp"]
@@ -543,7 +550,8 @@ class MicrophysicsP3:
         else:
             qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = p3_scheme(
                 qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
-                rho_d, dz, dt, z_axis=1, tables=self.tables)
+                rho_d, dz, dt, z_axis=1, tables=self.tables,
+                spmd_axes=spmd_axes)
 
         clamp = lambda q: jnp.maximum(q * rho_d, 0.0)
         temp_new = theta * exner  # frozen exner (microphysics_p3.h:434-436)
