@@ -493,12 +493,15 @@ class Dycore:
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
                                  normal_id):
-        """Route one direction through the fused VMEM megakernel
-        (ops/pallas_recon.py): transpose the stencil axis last, flatten the
-        perpendicular dims, one kernel call, transpose back.  Wall BCs are
-        patched on the two boundary faces afterward (with walls the upwind
-        flux collapses to [0,..,p_interior,..,0])."""
-        from ..ops.pallas_recon import direction_fluxes_pallas
+        """Route one direction through the fused VMEM megakernels
+        (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
+        lane-stencil kernel; y and z use the sublane-stencil kernel, so no
+        transposes are needed anywhere.  Wall BCs are patched on the two
+        boundary faces afterward (with walls the upwind flux collapses to
+        zero everywhere except the interior pressure on the normal
+        momentum, dynamics...h:1040-1081 + :395-474)."""
+        from ..ops.pallas_recon import (direction_fluxes_pallas,
+                                        direction_fluxes_pallas_sub)
 
         hyc, hyt, hye, hyte = hy
         hp = self.hs + 1
@@ -510,70 +513,91 @@ class Dycore:
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         Np = n + 2 + 2 * self.hs
+        args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
+        y_lane_layout = False
 
-        # Move the stencil axis last and flatten the rest to rows.
         if axis == _AX_X:
             flat = padded.reshape(nvar, nens * nz * ny, Np)
-            # hy at x-faces = cell-column values, constant along the faces
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, ny)).reshape(-1)
-            hytr_rows = jnp.broadcast_to(
+            hyt_rows = jnp.broadcast_to(
                 hyt[:, :, None], (nens, nz, ny)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
-            hyt_f = jnp.broadcast_to(hytr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
+            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args)
+        elif axis == _AX_Y and Np <= 192:
+            # stencil on the sublane axis; x stays on lanes (no transpose).
+            # Only viable while the whole padded stencil axis fits in the
+            # VMEM working set (Np*128 lanes within the Mosaic temp stack).
+            resh = padded.reshape(nvar, nens * nz, Np, nx)
+            hyr_r = hyc.reshape(-1, 1)
+            hyt_r = hyt.reshape(-1, 1)
+            SF, TF = direction_fluxes_pallas_sub(resh, hyr_r, hyt_r, *args)
         elif axis == _AX_Y:
+            # large ny: transpose y onto lanes and use the lane kernel
             moved = jnp.moveaxis(padded, -2, -1)   # (nvar, E, Z, X, Np)
             flat = moved.reshape(nvar, nens * nz * nx, Np)
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, nx)).reshape(-1)
-            hytr_rows = jnp.broadcast_to(
+            hyt_rows = jnp.broadcast_to(
                 hyt[:, :, None], (nens, nz, nx)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
-            hyt_f = jnp.broadcast_to(hytr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
+            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args)
+            y_lane_layout = True
         else:  # _AX_Z
-            moved = jnp.moveaxis(padded, -3, -1)   # (nvar, E, Y, X, Np)
-            flat = moved.reshape(nvar, nens * ny * nx, Np)
-            # hy at z-faces varies along the face axis (edge profiles)
-            hyr_f = jnp.broadcast_to(
-                hye[:, None, None, :], (nens, ny, nx, n + 1)
-            ).reshape(-1, n + 1)
-            hyt_f = jnp.broadcast_to(
-                hyte[:, None, None, :], (nens, ny, nx, n + 1)
-            ).reshape(-1, n + 1)
-
-        SF, TF = direction_fluxes_pallas(
-            flat, hyr_f, hyt_f, n, self.mats, self.cutoff, normal_id,
-            consts.C0, consts.gamma)
+            resh = padded.reshape(nvar, nens, Np, ny * nx)
+            SF, TF = direction_fluxes_pallas_sub(resh, hye, hyte, *args)
 
         if bc == BC_WALL:
-            # Wall faces: both Riemann inputs are the interior edge limit
-            # with zero normal momentum -> flux = p_interior on the normal
-            # momentum only (dynamics...h:1040-1081 + :395-474 collapsed).
-            # Boundary rt limits via a direct per-row WENO evaluation on
-            # (B,) vectors only: any small intermediate axis gets
-            # tile-padded up to 64x on TPU (measured 1 GB/temp with slabs).
+            # Boundary rt limits via a direct per-row WENO evaluation (any
+            # small intermediate axis gets tile-padded up to 64x on TPU).
+            st_ax = padded.ndim + axis - 1  # stencil axis in per-var arrays
+
+            def col(i):
+                idx = [slice(None)] * (padded.ndim - 1)
+                idx[st_ax] = i
+                return padded[(IDT,) + tuple(idx)]
+
+            if axis == _AX_Z:
+                hyt_lo = hyte[:, 0][:, None, None]
+                hyt_hi = hyte[:, n][:, None, None]
+            else:
+                hyt_lo = hyt_hi = hyt[:, :, None]
             rt_lo = self._weno_edge_rows(
-                [flat[IDT, :, 1 + i] for i in range(self.ord)], edge=0
-            ) + hyt_f[:, 0]                               # cell 0 left edge
+                [col(1 + i) for i in range(self.ord)], edge=0) + hyt_lo
             rt_hi = self._weno_edge_rows(
-                [flat[IDT, :, n + i] for i in range(self.ord)], edge=1
-            ) + hyt_f[:, n]                               # cell n-1 right edge
+                [col(n + i) for i in range(self.ord)], edge=1) + hyt_hi
             p_lo = consts.C0 * rt_lo ** consts.gamma
             p_hi = consts.C0 * rt_hi ** consts.gamma
-            SF = SF.at[:, :, 0].set(0.0).at[:, :, n].set(0.0)
-            SF = SF.at[normal_id, :, 0].set(p_lo)
-            SF = SF.at[normal_id, :, n].set(p_hi)
-            TF = TF.at[:, :, 0].set(0.0).at[:, :, n].set(0.0)
 
-        # Unflatten and move the face axis back into place.
+            # face axis of the kernel outputs is 2 for every direction:
+            # (nv, B, n+1) for x and (nv, R, n+1, L) for y/z
+            def patch(F, v_lo, v_hi):
+                lo = (slice(None), slice(None), 0)
+                hi = (slice(None), slice(None), n)
+                F = F.at[lo].set(0.0).at[hi].set(0.0)
+                if v_lo is not None:
+                    F = F.at[(normal_id,) + lo[1:]].set(
+                        v_lo.reshape(F[normal_id][lo[1:]].shape))
+                    F = F.at[(normal_id,) + hi[1:]].set(
+                        v_hi.reshape(F[normal_id][hi[1:]].shape))
+                return F
+
+            SF = patch(SF, p_lo, p_hi)
+            TF = patch(TF, None, None)
+
+        # Unflatten back to the (nv, nens, nz, ny, nx)-faces layout.
         def back(F):
             nv = F.shape[0]
             if axis == _AX_X:
                 return F.reshape(nv, nens, nz, ny, n + 1)
             if axis == _AX_Y:
-                return jnp.moveaxis(
-                    F.reshape(nv, nens, nz, nx, n + 1), -1, -2)
-            return jnp.moveaxis(F.reshape(nv, nens, ny, nx, n + 1), -1, -3)
+                if y_lane_layout:
+                    return jnp.moveaxis(
+                        F.reshape(nv, nens, nz, nx, n + 1), -1, -2)
+                return F.reshape(nv, nens, nz, n + 1, nx)
+            return F.reshape(nv, nens, n + 1, ny, nx)
 
         return back(SF), back(TF)
 

@@ -202,3 +202,154 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
         interpret=jax.devices()[0].platform != "tpu",
     )(padded, hy_r_faces, hy_t_faces)
     return sf, tf[:ntracers]
+
+
+def _kernel_sub(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
+                tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
+                gamma):
+    """Sublane-stencil variant: block (nvar, R, Np, L) with the stencil on
+    axis -2 (TPU sublanes for the minor pair) -- the natural layout for the
+    y and z directions, avoiding any transpose.  hy refs are (R, F, 1)
+    blocks with F in {1, n+1} broadcasting over faces/lanes."""
+    x = p_ref[...]
+    nd = x.ndim
+
+    def sh(i):
+        return jax.lax.slice_in_dim(x, i, i + n + 2, axis=nd - 2)
+
+    dt = x.dtype
+    shifts = [sh(i) for i in range(ord_)]
+    tvs = []
+    for terms in tv_terms:
+        acc = None
+        for i, j, c in terms:
+            t = jnp.asarray(c, dt) * shifts[i] * shifts[j]
+            acc = t if acc is None else acc + t
+        tvs.append(acc)
+    eps = jnp.asarray(1e-20, dt)
+
+    def convexify(vals):
+        tot = vals[0]
+        for v in vals[1:]:
+            tot = tot + v
+        inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
+        return [v * inv for v in vals]
+
+    tvs = convexify(tvs)
+    ws = [jnp.asarray(ik, dt) / (tv * tv + eps) for ik, tv in zip(idl, tvs)]
+    ws = convexify(ws)
+    if cutoff > 0.0:
+        co = jnp.asarray(cutoff, dt)
+        ws = [jnp.where(w > co, w, 0.0) for w in ws[:-1]] + [ws[-1]]
+        ws = convexify(ws)
+    edges = []
+    for e in range(2):
+        acc = None
+        for k, w in enumerate(ws):
+            ek = None
+            for i, c in edge_terms[k][e]:
+                t = jnp.asarray(c, dt) * shifts[i]
+                ek = t if ek is None else ek + t
+            t = w * ek
+            acc = t if acc is None else acc + t
+        edges.append(acc)
+    gll_l, gll_r = edges
+
+    L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
+    R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
+
+    hyr = hyr_ref[...]  # (R, F, 1), F broadcasts over the n+1 faces
+    hyt = hyt_ref[...]
+
+    rL = L[IDR] + hyr
+    rR = R[IDR] + hyr
+    ruL = L[normal_id] * rL
+    ruR = R[normal_id] * rR
+    rtL = L[IDT] + hyt
+    rtR = R[IDT] + hyt
+    pL = C0 * rtL ** gamma
+    pR = C0 * rtR ** gamma
+    w1 = 0.5 * (pR - _CS * ruR)
+    w2 = 0.5 * (pL + _CS * ruL)
+    p_upw = w1 + w2
+    ru_upw = (w2 - w1) / _CS
+    useL = (ruL + ruR) > 0.0
+    r_upw = jnp.where(useL, rL, rR)
+    adv = ru_upw / r_upw
+    fU = adv * jnp.where(useL, L[IDU] * rL, R[IDU] * rR)
+    fV = adv * jnp.where(useL, L[IDV] * rL, R[IDV] * rR)
+    fW = adv * jnp.where(useL, L[IDW] * rL, R[IDW] * rR)
+    fT = adv * jnp.where(useL, rtL, rtR)
+    flux = [ru_upw, fU, fV, fW, fT]
+    flux[normal_id] = flux[normal_id] + p_upw
+    sf_ref[...] = jnp.stack(flux)
+    if ntracers:
+        trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
+        trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
+        tf_ref[...] = adv * jnp.where(useL, trL * rL, trR * rR)
+
+
+def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
+                                mats: WenoMatrices, cutoff: float,
+                                normal_id: int, C0: float, gamma: float,
+                                row_block: int = 1, lane_block: int = 512):
+    """Fused recon+Riemann with the stencil on axis -2.
+
+    Args:
+      padded: (nvar, R, Np, L) -- R rows (e.g. nens*nz for y, nens for z),
+        Np = n + 2 + 2hs the padded stencil axis, L the minor lanes axis
+        (x, or y*x for z).
+      hy_r / hy_t: (R, F) with F = 1 (constant along the stencil axis, the
+        x/y case) or F = n + 1 (per-face profiles, the z case).
+
+    Returns (state_flux (5, R, n+1, L), tracer_flux (nt, R, n+1, L)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nvar, Rr, Np, Ll = padded.shape
+    ntracers = nvar - NUM_STATE
+    ord_ = mats.ord
+    assert Np == n + 2 + (ord_ - 1)
+    tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
+    F = hy_r.shape[1]
+    hy3 = hy_r.reshape(Rr, F, 1)
+    hyt3 = hy_t.reshape(Rr, F, 1)
+
+    Rt = min(row_block, Rr)
+    # Working set scales with Np*Lt: cap so the Mosaic temp stack stays
+    # inside the 16 MB VMEM (empirically ~24k Np*lanes at nvar=8 f32).
+    budget = max(128, (24000 // Np) // 128 * 128)
+    Lt = min(lane_block, Ll, budget)
+    grid = (math.ceil(Rr / Rt), math.ceil(Ll / Lt))
+
+    kernel = functools.partial(
+        _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
+        edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
+        ntracers=ntracers, C0=C0, gamma=gamma)
+
+    sf, tf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nvar, Rt, Np, Lt), lambda r, l: (0, r, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NUM_STATE, Rt, n + 1, Lt),
+                         lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(ntracers, 1), Rt, n + 1, Lt),
+                         lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NUM_STATE, Rr, n + 1, Ll), padded.dtype),
+            jax.ShapeDtypeStruct((max(ntracers, 1), Rr, n + 1, Ll),
+                                 padded.dtype),
+        ],
+        interpret=jax.devices()[0].platform != "tpu",
+    )(padded, hy3, hyt3)
+    return sf, tf[:ntracers]
