@@ -32,23 +32,25 @@ import numpy as np
 from .weno import WenoMatrices
 from .weno_fused import _sparse_terms
 
-__all__ = ["direction_fluxes_pallas"]
+__all__ = ["direction_fluxes_pallas", "direction_fluxes_pallas_sub"]
 
 IDR, IDU, IDV, IDW, IDT = 0, 1, 2, 3, 4
 NUM_STATE = 5
 _CS = 350.0  # frozen acoustic speed (dynamics...h:402)
 
 
-def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff):
-    """WENO edges on a block: x (..., Np) -> (left, right) (..., n_out).
+def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
+                      axis=None):
+    """WENO edges on a block along ``axis`` (default: last).
 
     Same math as ops/weno_fused.reconstruct_edges_shifted, expressed on the
     in-VMEM block.
     """
     dt = x.dtype
+    axis = x.ndim - 1 if axis is None else axis
 
     def sh(i):
-        return jax.lax.slice_in_dim(x, i, i + n_out, axis=x.ndim - 1)
+        return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
 
     shifts = [sh(i) for i in range(ord_)]
 
@@ -93,52 +95,16 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff):
 
 def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
             edge_terms, idl, cutoff, normal_id, ntracers, C0, gamma):
-    """One block: padded prim (nvar, Bt, Np) -> face fluxes (.., Bt, n+1)."""
+    """Lane-stencil variant: padded prim (nvar, Bt, Np) with the stencil on
+    the last (lane) axis -- the natural layout for the x direction."""
     x = p_ref[...]
     gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
                                      idl, cutoff)
     nd = gll_l.ndim
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
-
-    hyr = hyr_ref[...]  # (Bt, n+1) background density at faces
-    hyt = hyt_ref[...]  # (Bt, n+1) background rho*theta at faces
-
-    rL = L[IDR] + hyr
-    rR = R[IDR] + hyr
-    ruL = L[normal_id] * rL
-    ruR = R[normal_id] * rR
-    rtL = L[IDT] + hyt
-    rtR = R[IDT] + hyt
-
-    # acoustic characteristic upwinding (dynamics...h:395-474)
-    pL = C0 * rtL ** gamma
-    pR = C0 * rtR ** gamma
-    w1 = 0.5 * (pR - _CS * ruR)
-    w2 = 0.5 * (pL + _CS * ruL)
-    p_upw = w1 + w2
-    ru_upw = (w2 - w1) / _CS
-    useL = (ruL + ruR) > 0.0
-
-    r_upw = jnp.where(useL, rL, rR)
-    adv = ru_upw / r_upw
-    # state fluxes: [rho, rho*u, rho*v, rho*w, rho*theta]
-    qU = jnp.where(useL, L[IDU] * rL, R[IDU] * rR)
-    qV = jnp.where(useL, L[IDV] * rL, R[IDV] * rR)
-    qW = jnp.where(useL, L[IDW] * rL, R[IDW] * rR)
-    qT = jnp.where(useL, rtL, rtR)
-    fU = adv * qU
-    fV = adv * qV
-    fW = adv * qW
-    fT = adv * qT
-    flux = [ru_upw, fU, fV, fW, fT]
-    flux[normal_id] = flux[normal_id] + p_upw
-    sf_ref[...] = jnp.stack(flux)
-
-    if ntracers:
-        trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
-        trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
-        tf_ref[...] = adv * jnp.where(useL, trL * rL, trR * rR)
+    _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
+                   normal_id, ntracers, C0, gamma)
 
 
 def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
@@ -213,54 +179,18 @@ def _kernel_sub(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
     blocks with F in {1, n+1} broadcasting over faces/lanes."""
     x = p_ref[...]
     nd = x.ndim
-
-    def sh(i):
-        return jax.lax.slice_in_dim(x, i, i + n + 2, axis=nd - 2)
-
-    dt = x.dtype
-    shifts = [sh(i) for i in range(ord_)]
-    tvs = []
-    for terms in tv_terms:
-        acc = None
-        for i, j, c in terms:
-            t = jnp.asarray(c, dt) * shifts[i] * shifts[j]
-            acc = t if acc is None else acc + t
-        tvs.append(acc)
-    eps = jnp.asarray(1e-20, dt)
-
-    def convexify(vals):
-        tot = vals[0]
-        for v in vals[1:]:
-            tot = tot + v
-        inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
-        return [v * inv for v in vals]
-
-    tvs = convexify(tvs)
-    ws = [jnp.asarray(ik, dt) / (tv * tv + eps) for ik, tv in zip(idl, tvs)]
-    ws = convexify(ws)
-    if cutoff > 0.0:
-        co = jnp.asarray(cutoff, dt)
-        ws = [jnp.where(w > co, w, 0.0) for w in ws[:-1]] + [ws[-1]]
-        ws = convexify(ws)
-    edges = []
-    for e in range(2):
-        acc = None
-        for k, w in enumerate(ws):
-            ek = None
-            for i, c in edge_terms[k][e]:
-                t = jnp.asarray(c, dt) * shifts[i]
-                ek = t if ek is None else ek + t
-            t = w * ek
-            acc = t if acc is None else acc + t
-        edges.append(acc)
-    gll_l, gll_r = edges
-
+    gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
+                                     idl, cutoff, axis=nd - 2)
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
+    _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
+                   normal_id, ntracers, C0, gamma)
 
-    hyr = hyr_ref[...]  # (R, F, 1), F broadcasts over the n+1 faces
-    hyt = hyt_ref[...]
 
+def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
+                   gamma):
+    """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
+    arrays broadcast against the per-var face blocks."""
     rL = L[IDR] + hyr
     rR = R[IDR] + hyr
     ruL = L[normal_id] * rL

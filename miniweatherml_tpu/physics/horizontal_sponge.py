@@ -49,9 +49,16 @@ class HorizontalSponge:
 
     def apply(self, state: CouplerState, dt: float,
               x1: bool = True, x2: bool = True,
-              y1: bool = True, y2: bool = True) -> CouplerState:
+              y1: bool = True, y2: bool = True,
+              spmd=None) -> CouplerState:
         """Cosine-in-space, dt/time_scale-in-time blend toward the column at
-        the selected walls (horizontal_sponge.h:100-193)."""
+        the selected walls (horizontal_sponge.h:100-193).
+
+        ``spmd`` (dycore.euler.SpmdCtx) makes the wall bands use GLOBAL
+        cell indices when running inside shard_map (the reference computes
+        the band from each rank's global px offsets)."""
+        import jax
+
         g = state.grid
         jd = state.meta.jdtype
         n_sp = self.sponge_cells
@@ -66,6 +73,18 @@ class HorizontalSponge:
 
         ix = jnp.arange(g.nx)
         jy = jnp.arange(g.ny)
+        gnx, gny = g.nx, g.ny
+        if spmd is not None:
+            ax = spmd.get(-1)
+            if ax is not None:
+                name, ns = ax
+                ix = jax.lax.axis_index(name) * g.nx + ix
+                gnx = g.nx * ns
+            ay = spmd.get(-2)
+            if ay is not None:
+                name, ns = ay
+                jy = jax.lax.axis_index(name) * g.ny + jy
+                gny = g.ny * ns
         weight = jnp.zeros((g.ny, g.nx), jd)
 
         # Later walls overwrite earlier ones where bands overlap, matching the
@@ -74,13 +93,13 @@ class HorizontalSponge:
             return jnp.where(w_new > 0.0, w_new, weight)
 
         if x1:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(ix, g.nx)[None, :], weight.shape))
+            weight = merge(weight, jnp.broadcast_to(wall_weight(ix, gnx)[None, :], weight.shape))
         if x2:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(g.nx - 1 - ix, g.nx)[None, :], weight.shape))
+            weight = merge(weight, jnp.broadcast_to(wall_weight(gnx - 1 - ix, gnx)[None, :], weight.shape))
         if y1:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(jy, g.ny)[:, None], weight.shape))
+            weight = merge(weight, jnp.broadcast_to(wall_weight(jy, gny)[:, None], weight.shape))
         if y2:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(g.ny - 1 - jy, g.ny)[:, None], weight.shape))
+            weight = merge(weight, jnp.broadcast_to(wall_weight(gny - 1 - jy, gny)[:, None], weight.shape))
 
         w = weight[None, None, :, :]  # (1, 1, ny, nx)
         updates = {}

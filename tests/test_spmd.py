@@ -105,3 +105,45 @@ def test_spmd_step_with_p3():
         np.testing.assert_allclose(
             np.asarray(out[name]), np.asarray(ref[name]),
             rtol=1e-8, atol=1e-11, err_msg=name)
+
+
+def test_horizontal_sponge_spmd_matches_global():
+    """HorizontalSponge wall bands use global indices inside shard_map."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from miniweatherml_tpu.dycore.euler import SpmdCtx
+    from miniweatherml_tpu.experiments.simple_city import build as build_city
+    from miniweatherml_tpu.physics.horizontal_sponge import HorizontalSponge
+
+    cfg = config_from_dict(dict(
+        sim_time=1.0, nens=1, nx_glob=48, ny_glob=16, nz=8,
+        xlen=2000.0, ylen=2000.0, zlen=500.0, init_data="building",
+        out_prefix="t", dt_phys=0.0, out_freq=-1.0, enable_gravity=False))
+    state, mods, dycore, _ = build_city(cfg)
+    hs = HorizontalSponge(sponge_cells=5, time_scale=1.0)
+    state = state.replace_fields(uvel=state["uvel"] + 3.0)
+
+    ref = hs.apply(state, 0.5, x1=True, x2=True, y1=False, y2=False)
+
+    mesh = make_mesh(devices=jax.devices()[:4], ens=1, y=1, x=4)
+    ctx = SpmdCtx(axes={-1: ("x", 4)})
+    names = ("uvel", "horiz_sponge_column", "density_dry", "vvel", "wvel",
+             "temp", "water_vapor")
+    import dataclasses
+    local_meta = dataclasses.replace(
+        state.meta, grid=dataclasses.replace(state.grid, nx=12, xlen=500.0))
+
+    def local(*arrs):
+        from miniweatherml_tpu.core.coupler import CouplerState
+        s = CouplerState(fields=dict(zip(names, arrs)), meta=local_meta)
+        out = hs.apply(s, 0.5, x1=True, x2=True, y1=False, y2=False,
+                       spmd=ctx)
+        return out["uvel"]
+
+    specs = tuple(P(None, "ens") if n == "horiz_sponge_column"
+                  else P("ens", None, "y", "x") for n in names)
+    sm = jax.shard_map(local, mesh=mesh, in_specs=specs,
+                       out_specs=P("ens", None, "y", "x"))
+    out_u = sm(*[state[n] for n in names])
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref["uvel"]),
+                               rtol=1e-12, atol=1e-12)
