@@ -82,11 +82,18 @@ def main() -> None:
     # reference's default order 5.  MWML_BENCH_PALLAS=1 uses the VMEM
     # megakernel path.
     ordv = int(os.environ.get("MWML_BENCH_ORD", 5))
-    use_pallas = os.environ.get("MWML_BENCH_PALLAS") == "1"
+    # Single-chip default: the Pallas megakernel path with approximate-
+    # reciprocal weight normalization -- fastest measured configuration,
+    # bit-identical step output vs the XLA path on chip.  (The XLA path
+    # stays the library default because auto-SPMD cannot partition
+    # pallas_call; opt out with MWML_BENCH_PALLAS=0.)
+    use_pallas = os.environ.get("MWML_BENCH_PALLAS", "1" if on_tpu else "0") == "1"
     if ordv != 5 or use_pallas:
         from miniweatherml_tpu.dycore.euler import Dycore
         dy = Dycore(ord=ordv,
-                    riemann_impl="pallas" if use_pallas else "xla")
+                    riemann_impl="pallas" if use_pallas else "xla",
+                    fast_weights=use_pallas and
+                    os.environ.get("MWML_BENCH_FASTW", "1") == "1")
         mods = [dy.time_step] + list(mods[1:])
         dycore = dy
     dt = dycore.compute_time_step(state)

@@ -116,7 +116,8 @@ class Dycore:
     -DMW_ORD, dynamics...h:24-28)."""
 
     def __init__(self, ord: int = 5, cutoff: float = 0.0,
-                 recon_impl: str = "fused", riemann_impl: str = "xla"):
+                 recon_impl: str = "fused", riemann_impl: str = "xla",
+                 fast_weights: bool = False):
         if ord not in (3, 5, 7, 9):
             raise ValueError("ord must be 3, 5, 7 or 9")
         if recon_impl not in ("fused", "dense"):
@@ -131,6 +132,10 @@ class Dycore:
         # for periodic/wall directions on single-device runs; other cases
         # fall back to the XLA path per direction.
         self.riemann_impl = riemann_impl
+        # fast_weights: approximate-reciprocal WENO weight normalization in
+        # the Pallas kernels (weights are a heuristic; edge values shift by
+        # ~1e-5 relative). Only affects riemann_impl='pallas'.
+        self.fast_weights = fast_weights
         self.mats = weno_matrices(ord)
 
     # ------------------------------------------------------------------
@@ -514,6 +519,7 @@ class Dycore:
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         Np = n + 2 + 2 * self.hs
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
+        kw = dict(fast_weights=self.fast_weights)
         y_lane_layout = False
 
         if axis == _AX_X:
@@ -524,7 +530,7 @@ class Dycore:
                 hyt[:, :, None], (nens, nz, ny)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args)
+            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args, **kw)
         elif axis == _AX_Y and Np <= 192:
             # stencil on the sublane axis; x stays on lanes (no transpose).
             # Only viable while the whole padded stencil axis fits in the
@@ -532,7 +538,7 @@ class Dycore:
             resh = padded.reshape(nvar, nens * nz, Np, nx)
             hyr_r = hyc.reshape(-1, 1)
             hyt_r = hyt.reshape(-1, 1)
-            SF, TF = direction_fluxes_pallas_sub(resh, hyr_r, hyt_r, *args)
+            SF, TF = direction_fluxes_pallas_sub(resh, hyr_r, hyt_r, *args, **kw)
         elif axis == _AX_Y:
             # large ny: transpose y onto lanes and use the lane kernel
             moved = jnp.moveaxis(padded, -2, -1)   # (nvar, E, Z, X, Np)
@@ -543,11 +549,11 @@ class Dycore:
                 hyt[:, :, None], (nens, nz, nx)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args)
+            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args, **kw)
             y_lane_layout = True
         else:  # _AX_Z
             resh = padded.reshape(nvar, nens, Np, ny * nx)
-            SF, TF = direction_fluxes_pallas_sub(resh, hye, hyte, *args)
+            SF, TF = direction_fluxes_pallas_sub(resh, hye, hyte, *args, **kw)
 
         if bc == BC_WALL:
             # Boundary rt limits via a direct per-row WENO evaluation (any

@@ -40,14 +40,25 @@ _CS = 350.0  # frozen acoustic speed (dynamics...h:402)
 
 
 def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
-                      axis=None):
+                      axis=None, fast_weights=False):
     """WENO edges on a block along ``axis`` (default: last).
 
     Same math as ops/weno_fused.reconstruct_edges_shifted, expressed on the
-    in-VMEM block.
+    in-VMEM block.  ``fast_weights`` computes the nonlinear weight
+    normalizations with the VPU's approximate reciprocal (the weights are
+    a smoothness heuristic; edge values shift by O(1e-5) relative).
     """
     dt = x.dtype
     axis = x.ndim - 1 if axis is None else axis
+
+    if fast_weights:
+        from jax.experimental import pallas as pl
+
+        def recip(v):
+            return pl.reciprocal(v, approx=True)
+    else:
+        def recip(v):
+            return 1.0 / v
 
     def sh(i):
         return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
@@ -68,11 +79,12 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
         tot = vals[0]
         for v in vals[1:]:
             tot = tot + v
-        inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
+        inv = jnp.where(tot > eps, recip(jnp.where(tot > eps, tot, 1.0)), 1.0)
         return [v * inv for v in vals]
 
     tvs = convexify(tvs)
-    ws = [jnp.asarray(ik, dt) / (tv * tv + eps) for ik, tv in zip(idl, tvs)]
+    ws = [jnp.asarray(ik, dt) * recip(tv * tv + eps)
+          for ik, tv in zip(idl, tvs)]
     ws = convexify(ws)
     if cutoff > 0.0:
         co = jnp.asarray(cutoff, dt)
@@ -94,12 +106,13 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
 
 
 def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
-            edge_terms, idl, cutoff, normal_id, ntracers, C0, gamma):
+            edge_terms, idl, cutoff, normal_id, ntracers, C0, gamma,
+            fast_weights=False):
     """Lane-stencil variant: padded prim (nvar, Bt, Np) with the stencil on
     the last (lane) axis -- the natural layout for the x direction."""
     x = p_ref[...]
     gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
-                                     idl, cutoff)
+                                     idl, cutoff, fast_weights=fast_weights)
     nd = gll_l.ndim
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
@@ -110,7 +123,7 @@ def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
 def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
-                            block_rows: int = 8):
+                            block_rows: int = 8, fast_weights: bool = False):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -141,7 +154,7 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
-        C0=C0, gamma=gamma)
+        C0=C0, gamma=gamma, fast_weights=fast_weights)
 
     sf, tf = pl.pallas_call(
         kernel,
@@ -172,7 +185,7 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
 
 def _kernel_sub(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
                 tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
-                gamma):
+                gamma, fast_weights=False):
     """Sublane-stencil variant: block (nvar, R, Np, L) with the stencil on
     axis -2 (TPU sublanes for the minor pair) -- the natural layout for the
     y and z directions, avoiding any transpose.  hy refs are (R, F, 1)
@@ -180,7 +193,8 @@ def _kernel_sub(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
     x = p_ref[...]
     nd = x.ndim
     gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
-                                     idl, cutoff, axis=nd - 2)
+                                     idl, cutoff, axis=nd - 2,
+                                     fast_weights=fast_weights)
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
@@ -222,7 +236,8 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
 def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
                                 mats: WenoMatrices, cutoff: float,
                                 normal_id: int, C0: float, gamma: float,
-                                row_block: int = 1, lane_block: int = 512):
+                                row_block: int = 1, lane_block: int = 512,
+                                fast_weights: bool = False):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -256,7 +271,7 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
     kernel = functools.partial(
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
-        ntracers=ntracers, C0=C0, gamma=gamma)
+        ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights)
 
     sf, tf = pl.pallas_call(
         kernel,
