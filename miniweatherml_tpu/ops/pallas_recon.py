@@ -51,7 +51,8 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
     dt = x.dtype
     axis = x.ndim - 1 if axis is None else axis
 
-    if fast_weights:
+    if fast_weights and dt == jnp.float32:
+        # the approximate reciprocal is an f32 VPU op; f64 runs fall back
         from jax.experimental import pallas as pl
 
         def recip(v):

@@ -35,3 +35,23 @@ def test_pallas_multi_step_stays_valid():
     for _ in range(3):
         st = step(st)
     assert st.validate() == {}
+
+
+def test_pallas_fast_weights_close_to_exact():
+    """fast_weights (approx reciprocal in weight normalization) stays within
+    loose tolerance of the exact path (bit-identical on real TPU; interpret
+    mode emulates the approximation)."""
+    st, _, _ = _setup("thermal", nx=24, ny=1, nz=12, dtype="float32")
+    dy_e = Dycore(ord=5, riemann_impl="pallas")
+    dy_f = Dycore(ord=5, riemann_impl="pallas", fast_weights=True)
+    dt = dy_e.compute_time_step(st)
+    out_e = jax.jit(lambda s: dy_e.time_step(s, dt))(st)
+    out_f = jax.jit(lambda s: dy_f.time_step(s, dt))(st)
+    # Interpret mode emulates the approximate reciprocal much more
+    # coarsely than the hardware (on the real chip the supercell step was
+    # bit-identical); this guards the plumbing, not the precision.
+    for name in ("uvel", "wvel", "temp"):
+        a = np.asarray(out_e[name])
+        np.testing.assert_allclose(np.asarray(out_f[name]), a,
+                                   rtol=0.05, atol=0.05, err_msg=name)
+    assert out_f.validate() == {}
