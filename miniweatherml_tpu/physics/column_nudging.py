@@ -34,7 +34,12 @@ class ColumnNudger:
                         spmd_axes: tuple = ()) -> CouplerState:
         """``spmd_axes``: horizontal mesh axis names to pmean the column
         average over inside shard_map (the MPI_Allreduce analog,
-        column_nudging.h:89-99)."""
+        column_nudging.h:89-99).
+
+        Note: like the reference (column_nudging.h:61-65), the water-vapor
+        nudge is NOT positivity-clamped; O(1e-7) transient negatives can
+        appear in dry cells and are re-clamped by the dycore's per-stage
+        FCT clamp on the next step."""
         column = state["nudging_column"]
         updates = {}
         for l, name in enumerate(_FIELDS):

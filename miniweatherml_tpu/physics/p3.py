@@ -263,12 +263,15 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         * qc * eci * rho * ni, 0.0)
         vi_table = rhofaci * interp_ice(tables, 2, *idx)
         # ice-rain collection (below freezing), table-driven
-        # [P3; rain DSD intercept with mu_r=0: logn0r = log10(nr*lamr)]
+        # [P3; rain DSD with the reference's constant mu_r = 1:
+        # lamr = (pi/6 rho_w (mu+3)(mu+2)(mu+1) nr/qr)^(1/3),
+        # n0r = nr lamr^(mu+1)/Gamma(mu+1) (get_rain_dsd2,
+        # micro_p3.F90:1839-1893)]
         # (ice_rain_collection, micro_p3.F90:2103-2157; eri = 1)
         j0, fj = rain_collection_index(qr, nr)
-        lamr = jnp.cbrt(jnp.pi * RHO_H2O * jnp.maximum(nr, NSMALL)
-                        / jnp.maximum(qr, QSMALL))
-        n0r = jnp.maximum(nr, NSMALL) * lamr
+        lamr = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
+                        * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
+        n0r = jnp.maximum(nr, NSMALL) * lamr * lamr
         both_ir = (qi >= QSMALL) & (qr >= QSMALL) & (tc <= 0.0)
         qrcol = jnp.where(both_ir,
                           interp_collect(tables, 2, *idx, j0, fj)
@@ -315,6 +318,38 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         qi_tend = jnp.minimum(epsi / abi, 1.0 / dt) * (qv - qv_si)
         dep = jnp.where(tc < 0.0, jnp.maximum(qi_tend, 0.0), 0.0)
         sub = jnp.maximum(-qi_tend, 0.0)
+
+        # rain evaporation via the generated ventilation table  [P3]
+        # (calc_liq_relaxation_timescale, micro_p3.F90:2358-2410 +
+        # evaporate_rain; p3_init_b tables ported in p3_tables.py)
+        from .p3_tables import (F1R, MU_R, generate_rain_tables,
+                                interp_rain, rain_size_index, F2R)
+        _, vm_row, revap_row = generate_rain_tables()
+        dm_r2 = (MU_R + 1.0) / lamr
+        i0r, fir = rain_size_index(dm_r2)
+        revap_v = interp_rain(revap_row, i0r, fir)
+        cdistr = jnp.maximum(nr, NSMALL) * lamr * lamr  # Gamma(mu+1)=1
+        gamma_mu2 = 2.0  # Gamma(mu_r + 2) = Gamma(3)
+        epsr = 2.0 * jnp.pi * cdistr * rho * dv_diff * (
+            F1R * gamma_mu2 / lamr
+            + F2R * jnp.sqrt(rho / mu_visc) * jnp.cbrt(sc_n) * revap_v)
+        dqsldt = Lv * qsl / (R_V * temp * temp)
+        abl = 1.0 + dqsldt * Lv / CP_D
+        ev = jnp.where((qr >= QSMALL) & (qv < qsl) & (qc < QSMALL),
+                       jnp.maximum(jnp.minimum(epsr / abl, 1.0 / dt)
+                                   * (qsl - qv), 0.0), 0.0)
+
+        # rain mass-weighted fall speed from the generated table  [P3]
+        rho_1000mb = 100000.0 / (287.042 * 273.15)
+        rhofacr = (rho_1000mb * inv_rho) ** 0.54
+
+        def rain_fallspeed(qr_, nr_):
+            lam = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
+                           * jnp.maximum(nr_, NSMALL)
+                           / jnp.maximum(qr_, QSMALL))
+            i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
+            v = rhofacr * interp_rain(vm_row, i0, fi_)
+            return jnp.where(qr_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -325,6 +360,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vi_table = None
         qrcol = jnp.zeros_like(qr)
         nr_col = jnp.zeros_like(nr)
+
+        def rain_fallspeed(qr_, nr_):
+            return jnp.clip(
+                36.34 * jnp.maximum(rho * qr_, 0.0) ** 0.1364
+                * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
         # melting above freezing: thermal relaxation  [approx]
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
 
@@ -379,8 +419,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         v = (rho_600mb * inv_rho) ** 0.54 * interp_ice(tables, 2, *idx_)
         return jnp.where(qi_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
 
-    vr = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
-                  * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
+    vr = rain_fallspeed(qr, nr)
     vi = ice_fallspeed(qi, ni, qm, bm)
     vmax = jnp.maximum(jnp.max(vr), jnp.max(vi))
     dz_min = jnp.min(dz)
@@ -407,8 +446,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     def sub_body(carry):
         it, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
-        vr_ = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.1364
-                       * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
+        vr_ = rain_fallspeed(qr, nr)
         vi_ = ice_fallspeed(qi, ni, qm, bm)
         qr, pl = fall(qr, vr_, pl)
         nr, _ = fall(nr, vr_, jnp.zeros_like(pl))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -192,3 +193,72 @@ def interp_collect(tables: P3Tables, col: int, i0, fi, ii0, fii, jj0, fjj,
     t1 = lin_ii(jj0)
     t2 = lin_ii(jj0 + 1)
     return 10.0 ** (t1 + fjj * (t2 - t1))
+
+
+# -- generated rain tables (p3_init_b, micro_p3.F90:236-345) ---------------
+# Number/mass-weighted rain fall speeds and the rain-evaporation
+# ventilation integral over the size distribution, tabulated over 300
+# number-weighted mean sizes at the constant shape parameter
+# mu_r = 1 (micro_p3_utils.F90:33).  All 10 mu_r rows of the reference
+# table are identical (v4 uses constant mu_r), so one row suffices.
+MU_R = 1.0
+F1R, F2R = 0.78, 0.32      # ventilation coefficients (micro_p3_utils:138-139)
+
+
+@lru_cache(maxsize=None)
+def generate_rain_tables():
+    """Numerically integrate the rain PSD exactly as p3_init_b does:
+    returns (vn, vm, revap) arrays of shape (300,)."""
+    jj = np.arange(1, 301, dtype=np.float64)
+    dm = np.where(jj <= 20, (jj * 10.0 - 5.0) * 1e-6,
+                  ((jj - 20) * 30.0 + 195.0) * 1e-6)
+    lamr = (MU_R + 1.0) / dm                       # (300,)
+
+    dd = 2.0
+    kk = np.arange(1, 10001, dtype=np.float64)
+    dia = (kk * dd - dd * 0.5) * 1e-6              # (10000,)
+    amg = np.pi / 6.0 * 997.0 * dia ** 3 * 1000.0  # mass in grams
+    vt = np.where(
+        dia * 1e6 <= 134.43, 4.5795e3 * amg ** (2.0 / 3.0),
+        np.where(dia * 1e6 < 1511.64, 4.962e1 * amg ** (1.0 / 3.0),
+                 np.where(dia * 1e6 < 3477.84, 1.732e1 * amg ** (1.0 / 6.0),
+                          9.17)))
+    # weights (underflow-guard factors 10**(4 mu) / 10**(3 mu) as in the
+    # reference; they cancel in the ratios)
+    w_n = 10.0 ** (MU_R * np.log10(dia) + 4.0 * MU_R)
+    w_m = 10.0 ** ((MU_R + 3.0) * np.log10(dia) + 4.0 * MU_R)
+    w_v = np.sqrt(vt * dia) * 10.0 ** ((MU_R + 1.0) * np.log10(dia)
+                                       + 3.0 * MU_R)
+    e = np.exp(-np.outer(lamr, dia)) * (dd * 1e-6)  # (300, 10000)
+    dum1 = e @ (vt * w_n)
+    dum2 = np.maximum(e @ w_n, 1e-30)
+    dum3 = e @ (vt * w_m)
+    dum4 = np.maximum(e @ w_m, 1e-30)
+    dum5 = np.maximum(e @ w_v, 1e-30)
+    vn = dum1 / dum2
+    vm = dum3 / dum4
+    revap = 10.0 ** (np.log10(dum5) + (MU_R + 1.0) * np.log10(lamr)
+                     - 3.0 * MU_R)
+    return vn, vm, revap
+
+
+def rain_size_index(dm):
+    """Vectorized find_lookupTable_indices_3's size mapping
+    (micro_p3.F90:1725-1770): number-weighted mean size -> (i0, frac),
+    0-based into the 300-entry generated tables."""
+    rd_small = jnp.clip((dm * 1e6 + 5.0) * 0.1, 1.0, 20.0)
+    rd_large = jnp.clip((dm * 1e6 - 195.0) / 30.0 + 20.0, 20.0, 300.0)
+    rdum = jnp.where(dm <= 195.0e-6, rd_small, rd_large)
+    i_small = jnp.clip(jnp.floor(rd_small).astype(jnp.int32), 1, 20)
+    i_large = jnp.clip(jnp.floor(rd_large).astype(jnp.int32), 20, 299)
+    idum = jnp.where(dm <= 195.0e-6, i_small, i_large)
+    return idum - 1, rdum - idum.astype(rdum.dtype)
+
+
+def interp_rain(table_row, i0, fi):
+    """Linear interpolation into a generated (300,) rain table; index i0 is
+    clipped so i0+1 stays in range (the reference caps rdumii at 300 with
+    dumii at 299)."""
+    t = jnp.asarray(table_row)
+    i0 = jnp.clip(i0, 0, t.shape[0] - 2)
+    return t[i0] + fi * (t[i0 + 1] - t[i0])
