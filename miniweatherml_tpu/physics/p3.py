@@ -18,31 +18,36 @@ Integration parity with the reference wrapper (microphysics_p3.h):
   * dry-mixing-ratio conversions in, theta/frozen-exner conversions out,
     with non-negative clamps (:425-439)
 
-Scheme fidelity tiers (documented per process):
-  [P3]     process-rate formula identical to micro_p3.F90 (published
-           closed-form parameterizations)
-  [approx] continuous approximation standing in for the reference's
-           ice lookup-table interpolation (micro_p3.F90:1508-1773); the
-           table-driven path is staged for a later round.
+Scheme fidelity tiers: with the lookup tables available (the shipped
+v4.1.1 asset parsed by physics/p3_tables.py, plus the rain tables
+regenerated exactly as p3_init_b does), every ice/rain process below runs
+at the [P3] tier -- the reference's own table-driven formulation.  The
+continuous [approx] fallbacks remain for table-less operation (and are
+what the C++ native twin implements).
 
-Processes:
-  * cloud->rain autoconversion: Khairoutdinov & Kogan 2000,
-    1350 qc^2.47 (nc rho 1e-6)^-1.79          [P3] (micro_p3.F90:2750-2784)
+Processes (tier with tables / without):
+  * cloud->rain autoconversion: KK2000 1350 qc^2.47 (nc rho 1e-6)^-1.79
+    [P3] (micro_p3.F90:2750-2784)
   * cloud->rain accretion: 67 (qc qr)^1.15    [P3] (:2655-2703, iparam=3)
-  * rain self-collection + breakup: 5.78 nr qr rho with Verlinde-Cotton
-    breakup factor (D > 280um)                [P3] (:2705-2747)
-  * rain evaporation: relaxation of subsaturation over the rain
-    distribution's relaxation timescale       [approx] (:2358-2410 tables)
-  * cloud immersion freezing (Bigg 1953) and rain immersion freezing
-    below -4 C                                [P3 form] (:2504-2573)
+  * rain self-collection + breakup            [P3] (:2705-2747)
+  * rain evaporation: ventilation relaxation timescale from the generated
+    revap table + Clausius-Clapeyron ab       [P3 / approx] (:2358-2410)
+  * rain sedimentation: mass-weighted fall speed from the generated vm
+    table with rhofacr                        [P3 / approx (KW-style)]
+  * cloud/rain immersion freezing (Bigg 1953) [P3 form] (:2504-2573)
   * ice nucleation (Cooper 1986 capped)       [P3 form] (:2576-2618)
-  * vapor<->ice deposition/sublimation by relaxation toward ice
-    saturation                                [approx] (:2322-2355)
-  * riming of cloud by ice (continuous collection kernel)  [approx]
-  * ice melting above freezing (thermal relaxation)        [approx]
-  * sedimentation of rain and ice with CFL sub-cycling, upstream
-    differencing (same structure as the dycore-facing Kessler)
-  * sink-vs-source conservation rescaling per species      [P3 form]
+  * vapor<->ice deposition/sublimation: ventilation relaxation (tables 5 +
+    10) with the ab factor                    [P3 / approx] (:2322-2355,
+    :3269-3330)
+  * riming (cloud-ice collection): table 4 * rhofaci * eci  [P3 / approx]
+    (:2054-2100)
+  * ice-rain collection: collect table + rain DSD (mu_r = 1)  [P3 / off]
+    (:2103-2157)
+  * ice self-collection: table 3 with eii ramps  [P3 / off] (:2159-2207)
+  * ice melting: ventilated conduction/vapor-diffusion balance
+    [P3 / approx] (:2211-2256)
+  * ice sedimentation: fall speed from table 2 * rhofaci  [P3 / approx]
+  * sink-vs-source conservation rescaling per species  [P3 form]
     (:2966-3060 *_conservation)
 """
 
