@@ -29,11 +29,12 @@ from miniweatherml_tpu.experiments.supercell_example import build
 _BASELINE_MCELLUPS = 10.0  # nominal CPU-node throughput (BASELINE.md north star)
 
 
-def _device_alive(timeout_s: float = 180.0) -> bool:
+def _device_alive(timeout_s: float = 600.0) -> bool:
     """Probe the device with a tiny computation under a watchdog.  The axon
-    TPU tunnel can wedge (a killed client leaves the remote claim stuck), in
-    which case every computation hangs forever -- better to report honestly
-    than to hang the harness."""
+    TPU tunnel wedges when a client is killed mid-execution, but the wedge
+    self-heals in ~5 minutes -- so wait out a full heal window (10 min)
+    before giving up, and only then report honestly instead of hanging the
+    harness forever."""
     import threading
 
     ok = []
