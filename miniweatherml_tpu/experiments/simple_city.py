@@ -28,7 +28,10 @@ def build(config: SimConfig):
     """Initialize coupler + modules; returns (state, step_modules, dycore,
     time_averager).  Module order matches driver.cpp:70-77."""
     state = setup_state(config)
-    dycore = Dycore()
+    dycore = Dycore(
+        ord=int(config.extras.get("dyn_order", 5)),
+        riemann_impl=str(config.extras.get("riemann_impl", "xla")),
+        fast_weights=bool(config.extras.get("fast_weights", False)))
     horiz_sponge = HorizontalSponge(sponge_cells=10, time_scale=1.0)
     time_averager = TimeAverager()
 
@@ -54,7 +57,14 @@ def main(argv=None) -> CouplerState:
         raise SystemExit("usage: simple_city <input.yaml>")
     config = load_config(argv[0])
     state, mods, dycore, time_averager = build(config)
-    writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
+    if config.out_freq >= 0:
+        if config.file_per_process:
+            from ..io.netcdf import ShardedStateWriter
+            writer = ShardedStateWriter(config.out_prefix, state)
+        else:
+            writer = StateWriter(config.out_prefix, state)
+    else:
+        writer = None
     timers = Timers()
     timers.start("main")
     state = run_main_loop(state, config, mods, dycore, writer, timers)

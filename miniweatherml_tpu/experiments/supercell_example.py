@@ -32,7 +32,13 @@ def build(config: SimConfig):
     """
     state = setup_state(config)
     micro = MicrophysicsKessler()
-    dycore = Dycore()
+    # dycore numerics configurable from YAML: dyn_order (the reference's
+    # -DMW_ORD compile flag, dynamics...h:24-28), riemann_impl/fast_weights
+    # (this framework's kernel backends).
+    dycore = Dycore(
+        ord=int(config.extras.get("dyn_order", 5)),
+        riemann_impl=str(config.extras.get("riemann_impl", "xla")),
+        fast_weights=bool(config.extras.get("fast_weights", False)))
     nudger = ColumnNudger()
 
     state = micro.init(state)          # driver.cpp:58
@@ -67,7 +73,16 @@ def main(argv=None) -> CouplerState:
               f"etime={etime0:g}")
     chk_freq = float(config.extras.get("checkpoint_freq", -1.0))
 
-    writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
+    if config.out_freq >= 0:
+        # file_per_process (reference simple_city/driver.cpp:38) -> one
+        # NetCDF per (y, x) shard instead of a single gathered file.
+        if config.file_per_process:
+            from ..io.netcdf import ShardedStateWriter
+            writer = ShardedStateWriter(config.out_prefix, state)
+        else:
+            writer = StateWriter(config.out_prefix, state)
+    else:
+        writer = None
     timers = Timers()
     timers.start("main")
     state = run_main_loop(state, config, mods, dycore, writer, timers,

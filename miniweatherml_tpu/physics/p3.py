@@ -412,7 +412,24 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qm = jnp.clip(qm, 0.0, None)
     bm = jnp.maximum(bm, 0.0)
 
-    # -- sedimentation (rain + ice), upstream, CFL sub-cycled -----------
+    # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
+    def cloud_fallspeed(qc_):
+        """Stokes-law mass-weighted cloud droplet fall speed with the
+        gamma DSD (p3_main cloud sedimentation, micro_p3.F90:3670-3690;
+        get_cloud_dsd2 :1774-1835; acn = g rho_w/(18 mu), bcn = 2)."""
+        from jax.scipy.special import gammaln
+        mu_visc_ = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
+        acn = 9.80616 * RHO_H2O / (18.0 * mu_visc_)
+        s_ = 0.0005714 * (nc * 1.0e-6 * rho) + 0.2714
+        mu_cd = jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
+        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * nc
+                        * (mu_cd + 3.0) * (mu_cd + 2.0) * (mu_cd + 1.0)
+                        / jnp.maximum(qc_, QSMALL))
+        lamc = jnp.clip(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6)
+        v = acn * jnp.exp(gammaln(mu_cd + 6.0) - gammaln(mu_cd + 4.0)) / (
+            lamc * lamc)
+        return jnp.where(qc_ >= QSMALL, v, 0.0)
+
     def ice_fallspeed(qi_, ni_, qm_, bm_):
         if tables is None:
             return jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
@@ -426,7 +443,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     vr = rain_fallspeed(qr, nr)
     vi = ice_fallspeed(qi, ni, qm, bm)
-    vmax = jnp.maximum(jnp.max(vr), jnp.max(vi))
+    vc = cloud_fallspeed(qc)
+    vmax = jnp.maximum(jnp.maximum(jnp.max(vr), jnp.max(vi)), jnp.max(vc))
     dz_min = jnp.min(dz)
     # inside shard_map the sub-cycle count must be the global extremum so
     # every shard runs the same loop (the MPI-Allreduce analog)
@@ -450,21 +468,23 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         return jnp.maximum(q, 0.0), precl + dts * out_bot / RHO_H2O
 
     def sub_body(carry):
-        it, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+        it, qc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
         vr_ = rain_fallspeed(qr, nr)
         vi_ = ice_fallspeed(qi, ni, qm, bm)
+        vc_ = cloud_fallspeed(qc)
+        qc, pl = fall(qc, vc_, pl)
         qr, pl = fall(qr, vr_, pl)
         nr, _ = fall(nr, vr_, jnp.zeros_like(pl))
         qi, pi_ = fall(qi, vi_, pi_)
         ni, _ = fall(ni, vi_, jnp.zeros_like(pl))
         qm, _ = fall(qm, vi_, jnp.zeros_like(pl))
         bm, _ = fall(bm, vi_, jnp.zeros_like(pl))
-        return it + 1.0, qr, nr, qi, ni, qm, bm, pl, pi_
+        return it + 1.0, qc, qr, nr, qi, ni, qm, bm, pl, pi_
 
     zero_srf = jnp.zeros_like(ax(qc, slice(0, 1)))
-    carry = (jnp.zeros(()), qr, nr, qi, ni, qm, bm, zero_srf, zero_srf)
+    carry = (jnp.zeros(()), qc, qr, nr, qi, ni, qm, bm, zero_srf, zero_srf)
     carry = jax.lax.while_loop(lambda c: c[0] < nsub, sub_body, carry)
-    _, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+    _, qc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
     precip_liq = jnp.squeeze(pl, axis=z_axis) / dt
     precip_ice = jnp.squeeze(pi_, axis=z_axis) / dt
 

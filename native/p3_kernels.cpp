@@ -113,9 +113,10 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
 
   // Total density from the *input* state: the JAX path computes rho once at
   // the top of p3_scheme and reuses it for all processes and sedimentation.
-  std::vector<double> rho_pre(n);
+  std::vector<double> rho_pre(n), temp_pre(n);
   for (std::int64_t c = 0; c < n; ++c) {
     rho_pre[c] = rho_d[c] * (1.0 + qv[c] + qc[c] + qr[c] + qi[c]);
+    temp_pre[c] = theta[c] * exner[c];
   }
 
   // Pass 1: process rates + tendencies, cell-local.
@@ -237,14 +238,31 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                            0.0, 9.1);
     double vi = std::clamp(1.2 * std::pow(std::max(rho * qi[c], 0.0), 0.0625),
                            0.3, 3.0);
-    vmax = std::max(vmax, std::max(vr, vi));
+    double temp_c = temp_pre[c];
+    double mu_v = 1.496e-6 * std::pow(temp_c, 1.5) / (temp_c + 120.0);
+    double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
+    double sfac = 0.0005714 * (nc[c] * 1.0e-6 * rho) + 0.2714;
+    double mu_cd = std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
+    double lamc = std::cbrt(PI / 6.0 * RHO_H2O * nc[c] * (mu_cd + 3.0) *
+                            (mu_cd + 2.0) * (mu_cd + 1.0) /
+                            std::max(qc[c], QSMALL));
+    lamc = std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
+    double vc = qc[c] >= QSMALL
+                    ? acn * std::exp(std::lgamma(mu_cd + 6.0) -
+                                     std::lgamma(mu_cd + 4.0)) /
+                          (lamc * lamc)
+                    : 0.0;
+    vmax = std::max(vmax, std::max(vc, std::max(vr, vi)));
   }
   double nsub = std::max(std::ceil(dt * vmax / (0.9 * dz_min)), 1.0);
   double dts = dt / nsub;
 
   // Pass 2: sedimentation, per column, upstream differencing.
-  std::vector<double> vr_k(nz), vi_k(nz), flux(nz);
+  std::vector<double> vr_k(nz), vi_k(nz), vc_k(nz), flux(nz);
   for (std::int64_t col = 0; col < ncol; ++col) {
+    double* Qc = qc + col * nz;
+    double* Nc = nc + col * nz;
+    const double* Tp = temp_pre.data() + col * nz;
     double* Qr = qr + col * nz;
     double* Nr = nr + col * nz;
     double* Qi = qi + col * nz;
@@ -265,6 +283,24 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
             0.0, 9.1);
         vi_k[k] = std::clamp(
             1.2 * std::pow(std::max(Rho[k] * Qi[k], 0.0), 0.0625), 0.3, 3.0);
+        // Stokes cloud fall speed with the gamma DSD (matches the JAX
+        // cloud_fallspeed; p3_main cloud sedimentation,
+        // micro_p3.F90:3670-3690)
+        double temp = Tp[k];
+        double mu_v = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
+        double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
+        double sfac = 0.0005714 * (Nc[k] * 1.0e-6 * Rho[k]) + 0.2714;
+        double mu_cd =
+            std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
+        double lamc = std::cbrt(PI / 6.0 * RHO_H2O * Nc[k] * (mu_cd + 3.0) *
+                                (mu_cd + 2.0) * (mu_cd + 1.0) /
+                                std::max(Qc[k], QSMALL));
+        lamc = std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
+        double vq = acn *
+                    std::exp(std::lgamma(mu_cd + 6.0) -
+                             std::lgamma(mu_cd + 4.0)) /
+                    (lamc * lamc);
+        vc_k[k] = Qc[k] >= QSMALL ? vq : 0.0;
       }
       auto fall = [&](double* Q, const double* V, double* srf) {
         for (std::int64_t k = 0; k < nz; ++k) flux[k] = Rho[k] * Q[k] * V[k];
@@ -275,6 +311,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
         Q[nz - 1] += -dts * flux[nz - 1] / (Rho[nz - 1] * Dz[nz - 1]);
         for (std::int64_t k = 0; k < nz; ++k) Q[k] = std::max(Q[k], 0.0);
       };
+      fall(Qc, vc_k.data(), &pl);
       fall(Qr, vr_k.data(), &pl);
       fall(Nr, vr_k.data(), nullptr);
       fall(Qi, vi_k.data(), &pi_srf);
