@@ -263,9 +263,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         rhofaci = (rho_600mb * inv_rho) ** 0.54
         eci = 0.5
         # riming: qccol = rhofaci * table(4) * qc * eci * rho * ni  [P3]
-        rim = jnp.where((qi >= QSMALL) & (qc >= QSMALL) & (tc < 0.0),
-                        rhofaci * interp_ice(tables, 4, *idx)
-                        * qc * eci * rho * ni, 0.0)
+        collect_qc = rhofaci * interp_ice(tables, 4, *idx) * qc * eci * rho * ni
+        both_ic = (qi >= QSMALL) & (qc >= QSMALL)
+        rim = jnp.where(both_ic & (tc < 0.0), collect_qc, 0.0)
+        # above freezing, collected cloud water is shed as 1 mm rain drops
+        # (ice_cldliq_collection T>0 branch, micro_p3.F90:2063-2071)
+        shed = jnp.where(both_ic & (tc > 0.0), collect_qc, 0.0)
+        inv_dropmass = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 1.0e-3 ** 3)
         vi_table = rhofaci * interp_ice(tables, 2, *idx)
         # ice-rain collection (below freezing), table-driven
         # [P3; rain DSD with the reference's constant mu_r = 1:
@@ -365,6 +369,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vi_table = None
         qrcol = jnp.zeros_like(qr)
         nr_col = jnp.zeros_like(nr)
+        shed = jnp.zeros_like(qc)
+        inv_dropmass = 0.0
 
         def rain_fallspeed(qr_, nr_):
             return jnp.clip(
@@ -374,14 +380,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
 
     # -- conservation rescaling (P3's *_conservation form) --------------
-    au, ac, qc_frz, rim = _conserve(qc, dt, au, ac, qc_frz, rim)
+    au, ac, qc_frz, rim, shed = _conserve(qc, dt, au, ac, qc_frz, rim, shed)
     ev, qr_frz, qrcol = _conserve(qr, dt, ev, qr_frz, qrcol)
     sub, melt = _conserve(qi, dt, sub, melt)
     dep, qinuc = _conserve(jnp.maximum(qv - qv_si, 0.0), dt, dep, qinuc)
 
     # -- apply process tendencies (all ratios use pre-update values) ----
-    qc_new = qc + dt * (-au - ac - qc_frz - rim)
-    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt)
+    qc_new = qc + dt * (-au - ac - qc_frz - rim - shed)
+    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt + shed)
     qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc - sub - melt
                         + rim)
     qv_new = qv + dt * (ev + sub - dep - qinuc)
@@ -389,6 +395,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # ni2nr_melt_tend term)
     ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
     nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col + ni2nr_melt
+                        + shed * inv_dropmass
                         - ev * nr / jnp.maximum(qr, QSMALL))
     ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
                         - sub * ni / jnp.maximum(qi, QSMALL))
