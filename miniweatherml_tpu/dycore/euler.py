@@ -431,10 +431,16 @@ class Dycore:
         prim = jnp.concatenate(
             [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
         )
-        if (self.riemann_impl == "pallas" and spmd is None
-                and bc in (BC_PERIODIC, BC_WALL)):
+        # The Pallas megakernels run single-device AND inside shard_map
+        # (halos then come from ring ppermute exchanges); only a sharded
+        # non-periodic axis falls back to the XLA path (its edge BCs need
+        # the boundary-shard gating that path implements).
+        sharded_axis = spmd is not None and spmd.get(axis) is not None
+        if (self.riemann_impl == "pallas"
+                and bc in (BC_PERIODIC, BC_WALL)
+                and not (sharded_axis and bc != BC_PERIODIC)):
             return self._direction_fluxes_pallas(
-                grid, consts, hy, prim, axis, n, bc, normal_id)
+                grid, consts, hy, prim, axis, n, bc, normal_id, spmd)
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -497,7 +503,7 @@ class Dycore:
         return acc
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
-                                 normal_id):
+                                 normal_id, spmd=None):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
@@ -510,10 +516,17 @@ class Dycore:
 
         hyc, hyt, hye, hyte = hy
         hp = self.hs + 1
-        padded = pad_bc(prim, axis, hp, bc)
-        if bc == BC_WALL:
-            padded = padded.at[normal_id].set(
-                pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True))
+        mesh_ax = spmd.get(axis) if spmd is not None else None
+        if mesh_ax is not None:
+            # inside shard_map: halo cells come from the ring neighbors
+            from ..parallel.halo import exchange_halos
+            name, ns = mesh_ax
+            padded = exchange_halos(prim, axis, hp, name, ns, bc)
+        else:
+            padded = pad_bc(prim, axis, hp, bc)
+            if bc == BC_WALL:
+                padded = padded.at[normal_id].set(
+                    pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True))
 
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx

@@ -92,9 +92,12 @@ def make_spmd_step(state: CouplerState, mesh: Mesh, dycore, micro=None,
         return tuple(s.fields[n] for n in names)
 
     def step(state_in: CouplerState, dt: float) -> CouplerState:
+        # check_vma off: pallas_call outputs carry no varying-mesh-axes
+        # annotation (required when the dycore runs its Pallas kernels per
+        # shard); correctness is covered by the shard-invariance tests.
         sm = jax.shard_map(
             partial(local_chain, dt), mesh=mesh,
-            in_specs=in_specs, out_specs=in_specs)
+            in_specs=in_specs, out_specs=in_specs, check_vma=False)
         out = sm(*[state_in.fields[n] for n in names])
         return CouplerState(fields=dict(zip(names, out)), meta=state_in.meta)
 
