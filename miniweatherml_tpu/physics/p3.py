@@ -189,6 +189,28 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # micro_p3.F90 uses nccnst/rho when number prediction is off)
     nc = jnp.full_like(nc, NCCNST) * inv_rho
 
+    # cloud gamma-DSD shape/slope and Stokes mass-weighted droplet fall
+    # speed, shared by sedimentation and rime density
+    # (get_cloud_dsd2, micro_p3.F90:1774-1835; acn at :3613)
+    from jax.scipy.special import gammaln
+    _mu_visc0 = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
+    _acn = 9.80616 * RHO_H2O / (18.0 * _mu_visc0)
+    _s = 0.0005714 * (nc * 1.0e-6 * rho) + 0.2714
+    _mu_cd = jnp.clip(1.0 / (_s * _s) - 1.0, 2.0, 15.0)
+
+    def cloud_dsd_lamc(qc_):
+        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * nc
+                        * (_mu_cd + 3.0) * (_mu_cd + 2.0) * (_mu_cd + 1.0)
+                        / jnp.maximum(qc_, QSMALL))
+        return jnp.clip(lamc, (_mu_cd + 1.0) * 2.5e4,
+                        (_mu_cd + 1.0) * 1.0e6)
+
+    def cloud_vt(qc_):
+        lamc = cloud_dsd_lamc(qc_)
+        v = _acn * jnp.exp(gammaln(_mu_cd + 6.0)
+                           - gammaln(_mu_cd + 4.0)) / (lamc * lamc)
+        return jnp.where(qc_ >= QSMALL, v, 0.0), lamc
+
     # -- warm process rates (in-cloud = cell values; cld_frac == 1,
     #    microphysics_p3.h:303-309) -------------------------------------
     qc_gt = qc >= 1.0e-8
@@ -271,6 +293,19 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         shed = jnp.where(both_ic & (tc > 0.0), collect_qc, 0.0)
         inv_dropmass = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 1.0e-3 ** 3)
         vi_table = rhofaci * interp_ice(tables, 2, *idx)
+        # rime density of cloud riming (calc_rime_density,
+        # micro_p3.F90:2413-2490): Cober-List Ri fit of impact velocity x
+        # droplet size x supercooling; replaces the fixed 400 kg/m3
+        vt_qc, lamc_r = cloud_vt(qc)
+        d_c = (_mu_cd + 4.0) / lamc_r
+        i_tc = 1.0 / jnp.minimum(-0.001, tc)
+        ri = jnp.clip(-0.5e6 * d_c * jnp.abs(vi_table - vt_qc) * i_tc,
+                      1.0, 12.0)
+        rho_rime = jnp.where(
+            ri <= 8.0, (0.051 + 0.114 * ri - 0.0055 * ri * ri) * 1000.0,
+            611.0 + 72.25 * (ri - 8.0))
+        rho_rime = jnp.where((rim > 0.0) & (qc >= QSMALL), rho_rime, 400.0)
+
         # ice-rain collection (below freezing), table-driven
         # [P3; rain DSD with the reference's constant mu_r = 1:
         # lamr = (pi/6 rho_w (mu+3)(mu+2)(mu+1) nr/qr)^(1/3),
@@ -371,6 +406,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         nr_col = jnp.zeros_like(nr)
         shed = jnp.zeros_like(qc)
         inv_dropmass = 0.0
+        rho_rime = 400.0
 
         def rain_fallspeed(qr_, nr_):
             return jnp.clip(
@@ -401,7 +437,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         - sub * ni / jnp.maximum(qi, QSMALL))
     qm_new = qm + dt * (rim + qr_frz + qrcol
                         - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
-    bm_new = bm + dt * (rim / 400.0 + (qr_frz + qrcol) / 900.0
+    bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol) / 900.0
                         - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
     qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
     nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
@@ -422,20 +458,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
     def cloud_fallspeed(qc_):
         """Stokes-law mass-weighted cloud droplet fall speed with the
-        gamma DSD (p3_main cloud sedimentation, micro_p3.F90:3670-3690;
-        get_cloud_dsd2 :1774-1835; acn = g rho_w/(18 mu), bcn = 2)."""
-        from jax.scipy.special import gammaln
-        mu_visc_ = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
-        acn = 9.80616 * RHO_H2O / (18.0 * mu_visc_)
-        s_ = 0.0005714 * (nc * 1.0e-6 * rho) + 0.2714
-        mu_cd = jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
-        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * nc
-                        * (mu_cd + 3.0) * (mu_cd + 2.0) * (mu_cd + 1.0)
-                        / jnp.maximum(qc_, QSMALL))
-        lamc = jnp.clip(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6)
-        v = acn * jnp.exp(gammaln(mu_cd + 6.0) - gammaln(mu_cd + 4.0)) / (
-            lamc * lamc)
-        return jnp.where(qc_ >= QSMALL, v, 0.0)
+        gamma DSD (p3_main cloud sedimentation, micro_p3.F90:3670-3690)."""
+        v, _ = cloud_vt(qc_)
+        return v
 
     def ice_fallspeed(qi_, ni_, qm_, bm_):
         if tables is None:
