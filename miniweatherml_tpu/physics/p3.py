@@ -377,6 +377,27 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         epsr = 2.0 * jnp.pi * cdistr * rho * dv_diff * (
             F1R * gamma_mu2 / lamr
             + F2R * jnp.sqrt(rho / mu_visc) * jnp.cbrt(sc_n) * revap_v)
+        # wet growth (ice_cldliq_wet_growth, micro_p3.F90:2259-2319):
+        # when collection outpaces the latent-heat balance limit qwgrth,
+        # the excess is shed as 1 mm rain drops and collection is scaled
+        # back (cpw = cp of liquid water = CP_L, micro_p3_utils:142)
+        cold_mix = (qi >= QSMALL) & (qc + qr >= 1.0e-6) & (tc < 0.0)
+        qwgrth = jnp.where(
+            cold_mix,
+            jnp.maximum(vent * 2.0 * jnp.pi
+                        * (rho * Lv * dv_diff * (qsat0 - qv) - tc * kap)
+                        / (Lf + CP_L * tc) * ni, 0.0),
+            jnp.inf)
+        excess = jnp.maximum(rim + qrcol - qwgrth, 0.0)
+        excess = jnp.where(excess >= 1.0e-10, excess, 0.0)
+        # f32-safe floor (1e-300 would underflow to 0 -> 0/0 NaN)
+        tot_col = jnp.maximum(rim + qrcol, 1e-30)
+        wg_frac = jnp.where(rim + qrcol >= 1.0e-10, excess / tot_col, 0.0)
+        shed = shed + excess * (rim / tot_col)   # cloud part sheds to rain
+        rim = rim * (1.0 - wg_frac)
+        qrcol = qrcol * (1.0 - wg_frac)          # rain part returns to rain
+        nr_shed_wg = excess * 1.923e6            # 1 mm drops (:2304)
+
         dqsldt = Lv * qsl / (R_V * temp * temp)
         abl = 1.0 + dqsldt * Lv / CP_D
         ev = jnp.where((qr >= QSMALL) & (qv < qsl) & (qc < QSMALL),
@@ -407,6 +428,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         shed = jnp.zeros_like(qc)
         inv_dropmass = 0.0
         rho_rime = 400.0
+        nr_shed_wg = jnp.zeros_like(nr)
 
         def rain_fallspeed(qr_, nr_):
             return jnp.clip(
@@ -431,7 +453,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # ni2nr_melt_tend term)
     ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
     nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col + ni2nr_melt
-                        + shed * inv_dropmass
+                        + shed * inv_dropmass + nr_shed_wg
                         - ev * nr / jnp.maximum(qr, QSMALL))
     ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
                         - sub * ni / jnp.maximum(qi, QSMALL))

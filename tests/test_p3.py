@@ -158,3 +158,22 @@ def test_p3_adds_mass_flags():
         "cloud_water": True, "cloud_water_num": False, "rain": True,
         "rain_num": False, "ice": True, "ice_num": False,
         "ice_rime": False, "ice_rime_vol": False, "water_vapor": True}
+
+
+def test_p3_module_f32_supercell_no_nan():
+    """f32 regression guard: the wet-growth shed fraction must not produce
+    0/0 NaN on the all-ice-free initial supercell (1e-300 floors underflow
+    to zero in f32)."""
+    g = Grid(nx=24, ny=1, nz=16, xlen=60000.0, ylen=60000.0, zlen=16000.0)
+    st = make_coupler_state(g, dtype="float32",
+                            options={"init_data": "supercell",
+                                     "out_freq": -1.0})
+    micro = MicrophysicsP3()
+    dy = Dycore()
+    st = micro.init(st)
+    st = dy.init(st)
+    dt = dy.compute_time_step(st)
+    step = jax.jit(lambda s: micro.time_step(dy.time_step(s, dt), dt))
+    for _ in range(3):
+        st = step(st)
+    assert st.validate() == {}
