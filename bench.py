@@ -84,10 +84,13 @@ def main() -> None:
     # megakernel path.
     ordv = int(os.environ.get("MWML_BENCH_ORD", 5))
     # Single-chip default: the Pallas megakernel path with approximate-
-    # reciprocal weight normalization -- fastest measured configuration,
-    # bit-identical step output vs the XLA path on chip.  (The XLA path
-    # stays the library default because auto-SPMD cannot partition
-    # pallas_call; opt out with MWML_BENCH_PALLAS=0.)
+    # reciprocal WENO-weight normalization (MWML_BENCH_FASTW=0 for the exact
+    # path).  fast_weights perturbs reconstructed edge values at ~1e-5
+    # relative in general (euler.py docs); on the round-1 chip the step
+    # output happened to match the XLA path exactly, but that is an
+    # empirical observation, not a guarantee.  (The XLA path stays the
+    # library default because auto-SPMD cannot partition pallas_call; opt
+    # out with MWML_BENCH_PALLAS=0.)
     use_pallas = os.environ.get("MWML_BENCH_PALLAS", "1" if on_tpu else "0") == "1"
     if ordv != 5 or use_pallas:
         from miniweatherml_tpu.dycore.euler import Dycore

@@ -232,12 +232,21 @@ class CouplerState:
         # which fields were written since the last clear_dirty().  Python
         # metadata only -- never traced, so it costs nothing under jit, and
         # like the reference it is best-effort introspection for debugging.
+        # NOT carried through tree_flatten (that would bake the dirty set
+        # into the treedef and retrace jit on every change), so any
+        # jit/shard_map/tree_map boundary RESETS it to empty: dirty_fields
+        # is only meaningful for eagerly-composed states.
         out._dirty = getattr(self, "_dirty", frozenset()) | frozenset(updates)
         return out
 
     @property
     def dirty_fields(self) -> frozenset:
-        """Names written via replace_fields since the last clear_dirty()."""
+        """Names written via replace_fields since the last clear_dirty().
+
+        Only trustworthy for eagerly-built states: crossing a jit /
+        shard_map / tree_map boundary rebuilds the pytree and resets this
+        to empty (see replace_fields).
+        """
         return getattr(self, "_dirty", frozenset())
 
     def clear_dirty(self) -> "CouplerState":

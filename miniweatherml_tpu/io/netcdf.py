@@ -47,6 +47,12 @@ class ShardedStateWriter:
             if rank not in self._writers:
                 g = state.grid
                 ne, nz, ny, nx = sub_fields[self.varnames[0]].shape
+                # Global index offsets of this shard (the reference's
+                # i_beg/j_beg, coupler.h:147-153) so files stitch offline:
+                # coordinate variables are written in GLOBAL coordinates and
+                # the offsets are stored as attributes.
+                i_beg = shard.index[3].start or 0
+                j_beg = shard.index[2].start or 0
                 sub_grid = dataclasses.replace(
                     g, nens=ne, nz=nz, ny=ny, nx=nx,
                     ylen=g.ylen * ny / g.ny, xlen=g.xlen * nx / g.nx)
@@ -55,7 +61,8 @@ class ShardedStateWriter:
                 self._writers[rank] = StateWriter(
                     f"{self.prefix}_task_{rank}",
                     CouplerState(fields=sub_fields, meta=sub_meta),
-                    iens=self.iens)
+                    iens=self.iens,
+                    offsets=(i_beg, j_beg, g.dx, g.dy))
             self._writers[rank].write(
                 CouplerState(fields=sub_fields, meta=self._sub_meta), etime)
 
@@ -70,7 +77,8 @@ class StateWriter:
     Writes ensemble member 0 like the reference (dynamics...h:2034).
     """
 
-    def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0):
+    def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0,
+                 offsets: tuple | None = None):
         self.iens = iens
         self.varnames = list(_STATE_VARS) + list(state.meta.tracer_names)
         g = state.grid
@@ -85,9 +93,19 @@ class StateWriter:
         nc.createDimension("x", g.nx)
         nc.createDimension("y", g.ny)
         nc.createDimension("z", g.nz)
-        for dim, n, d in (("x", g.nx, g.dx), ("y", g.ny, g.dy), ("z", g.nz, g.dz)):
+        # Per-shard files: global index offsets + global coordinates so
+        # files can be stitched offline (offsets = (i_beg, j_beg, dx, dy)).
+        i_beg, j_beg = 0, 0
+        dx_glob, dy_glob = g.dx, g.dy
+        if offsets is not None:
+            i_beg, j_beg, dx_glob, dy_glob = offsets
+            nc.i_beg = i_beg
+            nc.j_beg = j_beg
+        for dim, n, d, beg in (("x", g.nx, dx_glob, i_beg),
+                               ("y", g.ny, dy_glob, j_beg),
+                               ("z", g.nz, g.dz, 0)):
             v = nc.createVariable(dim, "d", (dim,))
-            v[:] = (np.arange(n) + 0.5) * d
+            v[:] = (np.arange(n) + beg + 0.5) * d
         self._tvar = nc.createVariable("t", "d", ("t",))
         self._vars = {
             name: nc.createVariable(name, "d", ("t", "z", "y", "x"))

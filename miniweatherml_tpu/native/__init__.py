@@ -11,6 +11,7 @@ the analog of the reference's host-staged Fortran call).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -43,10 +44,13 @@ def load_p3_library():
         if _build_error is not None:
             raise RuntimeError(_build_error)
         src = os.path.abspath(os.path.join(_SRC_DIR, "p3_kernels.cpp"))
-        out = os.path.join(_CACHE_DIR, "libp3_kernels.so")
+        # Cache keyed on a hash of the source (mtimes are unreliable across
+        # clones) so a stale binary can never shadow edited source.
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        out = os.path.join(_CACHE_DIR, f"libp3_kernels-{tag}.so")
         try:
-            if (not os.path.exists(out)
-                    or os.path.getmtime(out) < os.path.getmtime(src)):
+            if not os.path.exists(out):
                 _build(src, out)
             lib = ctypes.CDLL(out)
         except (subprocess.CalledProcessError, OSError) as e:

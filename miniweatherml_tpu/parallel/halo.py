@@ -52,6 +52,11 @@ def exchange_halos(arr, axis: int, halo: int, axis_name: str, nshards: int,
     the edge cell, BC_WALL replicates with ``zero_halo=True`` zeroing the
     halo (wall-normal velocity, reference dynamics...h:768-797).
     """
+    if arr.shape[axis] < halo:
+        raise ValueError(
+            f"shard-local extent {arr.shape[axis]} along axis {axis} is "
+            f"smaller than the halo width {halo} (ord too high for this "
+            f"grid/mesh split); use fewer shards or a larger grid")
     if nshards == 1:
         # Degenerate ring: fall back to local padding semantics.
         from ..ops.stencil import pad_bc

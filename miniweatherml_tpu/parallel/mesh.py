@@ -24,6 +24,8 @@ __all__ = ["make_mesh", "near_square_factors", "field_pspec", "shard_state"]
 def near_square_factors(n: int) -> tuple[int, int]:
     """Near-square factorization nproc_y x nproc_x = n, nproc_x >= nproc_y
     (reference coupler.h:132-140)."""
+    if n < 1:
+        raise ValueError(f"cannot factor a non-positive device count: {n}")
     py = int(np.sqrt(n))
     while n % py != 0:
         py -= 1
@@ -33,12 +35,27 @@ def near_square_factors(n: int) -> tuple[int, int]:
 def make_mesh(devices=None, ens: int = 1, y: int | None = None,
               x: int | None = None) -> Mesh:
     """Build an ("ens", "y", "x") mesh.  With only a device count given,
-    factor near-square over (y, x) like the reference decomposition."""
+    factor near-square over (y, x) like the reference decomposition.
+
+    Raises a clear ValueError when the available devices cannot fill the
+    requested mesh (e.g. a 1-device platform asked for ens=2) instead of
+    silently under-provisioning or dividing by zero.
+    """
     if devices is None:
         devices = jax.devices()
+    if ens < 1:
+        raise ValueError(f"ens must be >= 1, got {ens}")
+    if len(devices) < ens:
+        raise ValueError(
+            f"mesh needs at least ens={ens} devices but only "
+            f"{len(devices)} are available ({[str(d) for d in devices]})")
     n = len(devices) // ens
     if y is None or x is None:
         y, x = near_square_factors(n)
+    if ens * y * x > len(devices):
+        raise ValueError(
+            f"mesh shape (ens={ens}, y={y}, x={x}) needs {ens * y * x} "
+            f"devices but only {len(devices)} are available")
     dev = np.asarray(devices)[: ens * y * x].reshape(ens, y, x)
     return Mesh(dev, ("ens", "y", "x"))
 

@@ -52,6 +52,41 @@ def test_near_square_factors():
     assert near_square_factors(6) == (2, 3)
 
 
+def test_mesh_validation_errors():
+    """Insufficient devices must raise clearly, not div-by-zero (the round-1
+    driver failure mode: 1 available device, ens=2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="non-positive"):
+        near_square_factors(0)
+    with pytest.raises(ValueError, match="at least ens=2"):
+        make_mesh(devices=jax.devices()[:1], ens=2)
+    with pytest.raises(ValueError, match="needs 4 devices"):
+        make_mesh(devices=jax.devices()[:3], ens=1, y=2, x=2)
+    with pytest.raises(ValueError, match="ens must be"):
+        make_mesh(devices=jax.devices(), ens=0)
+
+
+def test_halo_width_validation():
+    """exchange_halos raises a descriptive error when the shard-local extent
+    is narrower than the halo (instead of silently slicing short)."""
+    import pytest
+    from functools import partial
+
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    from miniweatherml_tpu.parallel.halo import exchange_halos
+
+    arr = jnp.zeros((16,))  # 4 cells/shard < halo 5 (ord 9)
+    with pytest.raises(ValueError, match="smaller than the halo"):
+        shard_map(
+            partial(exchange_halos, axis=0, halo=5, axis_name="x", nshards=4),
+            mesh=mesh, in_specs=P("x"), out_specs=P("x"))(arr)
+
+
 def test_shard_count_invariance():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     ref = _run_steps(mesh=None)
