@@ -117,7 +117,7 @@ class Dycore:
 
     def __init__(self, ord: int = 5, cutoff: float = 0.0,
                  recon_impl: str = "fused", riemann_impl: str = "xla",
-                 fast_weights: bool = False):
+                 fast_weights: bool = False, opt_algebra: bool = True):
         if ord not in (3, 5, 7, 9):
             raise ValueError("ord must be 3, 5, 7 or 9")
         if recon_impl not in ("fused", "dense"):
@@ -129,13 +129,20 @@ class Dycore:
         self.cutoff = cutoff
         self.recon_impl = recon_impl
         # "pallas": fused recon+Riemann VMEM megakernel (ops/pallas_recon.py)
-        # for periodic/wall directions on single-device runs; other cases
-        # fall back to the XLA path per direction.
+        # for every direction/BC, single-device and under shard_map (edge
+        # BCs are applied in-kernel from SMEM boundary-mode scalars).
         self.riemann_impl = riemann_impl
         # fast_weights: approximate-reciprocal WENO weight normalization in
         # the Pallas kernels (weights are a heuristic; edge values shift by
         # ~1e-5 relative). Only affects riemann_impl='pallas'.
         self.fast_weights = fast_weights
+        # opt_algebra: reduced-operation limiter algebra in the Pallas
+        # kernels (factored squared-form TVs, fused weight normalization,
+        # high-order edge folded into the low-order blend at ord 3/5; see
+        # ops/weno_fused._opt_terms).  Same weights up to rounding (~1e-15
+        # f64 / ~1e-7 f32 relative); False recovers the reference-ordered
+        # algebra bit-for-bit.  Only affects riemann_impl='pallas'.
+        self.opt_algebra = opt_algebra
         self.mats = weno_matrices(ord)
 
     # ------------------------------------------------------------------
@@ -432,13 +439,11 @@ class Dycore:
             [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
         )
         # The Pallas megakernels run single-device AND inside shard_map
-        # (halos then come from ring ppermute exchanges); only a sharded
-        # non-periodic axis falls back to the XLA path (its edge BCs need
-        # the boundary-shard gating that path implements).
-        sharded_axis = spmd is not None and spmd.get(axis) is not None
-        if (self.riemann_impl == "pallas"
-                and bc in (BC_PERIODIC, BC_WALL)
-                and not (sharded_axis and bc != BC_PERIODIC)):
+        # (halos then come from ring ppermute exchanges); physical edge BCs
+        # (wall/open) are applied inside the kernel from SMEM boundary-mode
+        # scalars, gated per shard by lax.axis_index, so every BC runs the
+        # fused path.
+        if self.riemann_impl == "pallas":
             return self._direction_fluxes_pallas(
                 grid, consts, hy, prim, axis, n, bc, normal_id, spmd)
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
@@ -461,79 +466,51 @@ class Dycore:
                                                 normal_id, spmd)
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
 
-    def _weno_edge_rows(self, cols, edge: int):
-        """WENO-limited edge value from ``ord`` stencil columns, each an
-        arbitrary-shape array (used on (B,) rows so no small axes exist to
-        be tile-padded).  edge 0 = left (x=-1/2), 1 = right (x=+1/2).
-        Same math as ops/weno_fused.reconstruct_edges_shifted."""
-        from ..ops.weno_fused import _sparse_terms
-
-        tv_terms, edge_terms, idl = _sparse_terms(self.ord, 0)
-        dt = cols[0].dtype
-        eps = jnp.asarray(1e-20, dt)
-        tvs = []
-        for terms in tv_terms:
-            acc = None
-            for i, j, c in terms:
-                t = jnp.asarray(c, dt) * cols[i] * cols[j]
-                acc = t if acc is None else acc + t
-            tvs.append(acc)
-
-        def convexify(vals):
-            tot = sum(vals[1:], vals[0])
-            inv = jnp.where(tot > eps, 1.0 / jnp.where(tot > eps, tot, 1.0), 1.0)
-            return [v * inv for v in vals]
-
-        tvs = convexify(tvs)
-        ws = [jnp.asarray(ik, dt) / (tv * tv + eps)
-              for ik, tv in zip(idl, tvs)]
-        ws = convexify(ws)
-        if self.cutoff > 0.0:
-            co = jnp.asarray(self.cutoff, dt)
-            ws = [jnp.where(w > co, w, 0.0) for w in ws[:-1]] + [ws[-1]]
-            ws = convexify(ws)
-        acc = None
-        for k, w in enumerate(ws):
-            ek = None
-            for i, c in edge_terms[k][edge]:
-                t = jnp.asarray(c, dt) * cols[i]
-                ek = t if ek is None else ek + t
-            t = w * ek
-            acc = t if acc is None else acc + t
-        return acc
-
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
                                  normal_id, spmd=None):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
-        transposes are needed anywhere.  Wall BCs are patched on the two
-        boundary faces afterward (with walls the upwind flux collapses to
-        zero everywhere except the interior pressure on the normal
-        momentum, dynamics...h:1040-1081 + :395-474)."""
+        transposes are needed anywhere.  Physical boundary conditions at
+        the global edge faces (wall: zero normal momentum + one-sided
+        pressure; open: exterior limit copies interior) are applied INSIDE
+        the kernel from SMEM boundary-mode scalars -- under shard_map the
+        scalars are gated by lax.axis_index so only boundary shards apply
+        them (reference edge_exchange BCs, dynamics...h:1005-1081)."""
         from ..ops.pallas_recon import (direction_fluxes_pallas,
                                         direction_fluxes_pallas_sub)
 
         hyc, hyt, hye, hyte = hy
         hp = self.hs + 1
         mesh_ax = spmd.get(axis) if spmd is not None else None
+        # In-kernel boundary mode: 0 none, 1 wall, 2 open.
+        mode = {BC_PERIODIC: 0, BC_WALL: 1, BC_OPEN: 2}[bc]
         if mesh_ax is not None:
             # inside shard_map: halo cells come from the ring neighbors
             from ..parallel.halo import exchange_halos
             name, ns = mesh_ax
             padded = exchange_halos(prim, axis, hp, name, ns, bc)
+            if bc == BC_WALL:
+                padded = padded.at[normal_id].set(exchange_halos(
+                    prim[normal_id], axis, hp, name, ns, bc, zero_halo=True))
+            idx = jax.lax.axis_index(name)
+            bc_lo = jnp.where(idx == 0, mode, 0).astype(jnp.int32)
+            bc_hi = jnp.where(idx == ns - 1, mode, 0).astype(jnp.int32)
         else:
             padded = pad_bc(prim, axis, hp, bc)
             if bc == BC_WALL:
                 padded = padded.at[normal_id].set(
                     pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True))
+            bc_lo = bc_hi = jnp.int32(mode)
 
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         Np = n + 2 + 2 * self.hs
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
-        kw = dict(fast_weights=self.fast_weights)
+        kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra)
         y_lane_layout = False
+
+        kw["bc"] = (bc_lo, bc_hi)
 
         if axis == _AX_X:
             flat = padded.reshape(nvar, nens * nz * ny, Np)
@@ -567,44 +544,6 @@ class Dycore:
         else:  # _AX_Z
             resh = padded.reshape(nvar, nens, Np, ny * nx)
             SF, TF = direction_fluxes_pallas_sub(resh, hye, hyte, *args, **kw)
-
-        if bc == BC_WALL:
-            # Boundary rt limits via a direct per-row WENO evaluation (any
-            # small intermediate axis gets tile-padded up to 64x on TPU).
-            st_ax = padded.ndim + axis - 1  # stencil axis in per-var arrays
-
-            def col(i):
-                idx = [slice(None)] * (padded.ndim - 1)
-                idx[st_ax] = i
-                return padded[(IDT,) + tuple(idx)]
-
-            if axis == _AX_Z:
-                hyt_lo = hyte[:, 0][:, None, None]
-                hyt_hi = hyte[:, n][:, None, None]
-            else:
-                hyt_lo = hyt_hi = hyt[:, :, None]
-            rt_lo = self._weno_edge_rows(
-                [col(1 + i) for i in range(self.ord)], edge=0) + hyt_lo
-            rt_hi = self._weno_edge_rows(
-                [col(n + i) for i in range(self.ord)], edge=1) + hyt_hi
-            p_lo = consts.C0 * rt_lo ** consts.gamma
-            p_hi = consts.C0 * rt_hi ** consts.gamma
-
-            # face axis of the kernel outputs is 2 for every direction:
-            # (nv, B, n+1) for x and (nv, R, n+1, L) for y/z
-            def patch(F, v_lo, v_hi):
-                lo = (slice(None), slice(None), 0)
-                hi = (slice(None), slice(None), n)
-                F = F.at[lo].set(0.0).at[hi].set(0.0)
-                if v_lo is not None:
-                    F = F.at[(normal_id,) + lo[1:]].set(
-                        v_lo.reshape(F[normal_id][lo[1:]].shape))
-                    F = F.at[(normal_id,) + hi[1:]].set(
-                        v_hi.reshape(F[normal_id][hi[1:]].shape))
-                return F
-
-            SF = patch(SF, p_lo, p_hi)
-            TF = patch(TF, None, None)
 
         # Unflatten back to the (nv, nens, nz, ny, nx)-faces layout.
         def back(F):

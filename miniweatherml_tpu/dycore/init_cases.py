@@ -326,19 +326,38 @@ def _uniform_flow_state(state, hr_c, hrt_c):
     return s, tr
 
 
+def _city_height_stream(n: int) -> np.ndarray:
+    """First ``n`` building-height draws of the reference's RNG
+    (dynamics...h:1441-1452: std::mt19937{17} + std::normal_distribution
+    {60, 10}).  The realized stream ships as an asset (generated with the
+    identical C++ expression under libstdc++) because numpy's normal-draw
+    algorithm differs from libstdc++'s -- this makes the city case
+    bit-reproducible against the reference."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "city_heights_mt19937_17.npy")
+    stream = np.load(path)
+    if n > stream.size:
+        raise ValueError(
+            f"city config needs {n} building heights but the shipped "
+            f"mt19937(17) stream has {stream.size}; regenerate the asset "
+            "with a longer run of the reference RNG expression")
+    return stream[:n]
+
+
 def init_city(state: CouplerState):
     """Random downtown of buildings (reference dynamics...h:1421-1547).
 
-    Building heights ~ N(60, 10) from an MT19937(seed 17) stream.  The
-    reference draws with C++ std::normal_distribution; numpy's Generator uses
-    the ziggurat algorithm, so heights are statistically identical but not
-    bitwise identical draws.
+    Building heights ~ N(60, 10) from the reference's exact MT19937(17) +
+    std::normal_distribution stream (shipped asset, see
+    _city_height_stream), consumed row-major like the reference's (j, i)
+    loop.
     """
     state = state.set_options(bc_x=BC_PERIODIC, bc_y=BC_PERIODIC, bc_z=BC_WALL,
                               use_immersed_boundaries=True)
     g = state.grid
 
-    height_mean, height_std = 60.0, 10.0
     building_length = 30
     cells_per_building = int(round(building_length / g.dx))
     buildings_pad = 20
@@ -347,9 +366,9 @@ def init_city(state: CouplerState):
     nbuildings_x = nblocks_x * 3
     nbuildings_y = nblocks_y * 9
 
-    rng = np.random.Generator(np.random.MT19937(17))
-    heights = height_mean + height_std * rng.standard_normal(
-        (nbuildings_y, nbuildings_x))
+    heights = _city_height_stream(
+        max(nbuildings_y * nbuildings_x, 0)).reshape(
+            max(nbuildings_y, 0), max(nbuildings_x, 0))
 
     i = np.arange(g.nx)
     j = np.arange(g.ny)

@@ -62,10 +62,38 @@ def load_p3_library():
         lib.p3_adjust_state.argtypes = [ctypes.c_int64] + [dp] * 5
         lib.p3_adjust_state.restype = None
         lib.p3_column_step.argtypes = (
-            [ctypes.c_int64, ctypes.c_int64, ctypes.c_double] + [dp] * 14)
+            [ctypes.c_int64, ctypes.c_int64, ctypes.c_double] + [dp] * 18)
         lib.p3_column_step.restype = None
+        lib.p3_set_tables.argtypes = [dp] * 4
+        lib.p3_set_tables.restype = None
+        lib.p3_has_tables.argtypes = []
+        lib.p3_has_tables.restype = ctypes.c_int
         _lib = lib
+        _maybe_load_tables(lib)
         return lib
+
+
+def _maybe_load_tables(lib) -> None:
+    """Install the P3 lookup tables into the native twin (p3_set_tables):
+    the parsed v4.1.1 ice/collection tables + the generated rain tables --
+    the C++ analog of p3_init_a/p3_init_b.  Without a table asset the twin
+    stays at the continuous tier (matching the table-less JAX path)."""
+    try:
+        from ..physics.p3_tables import (default_table_path,
+                                         generate_rain_tables,
+                                         load_p3_tables)
+        path = default_table_path()
+        if path is None:
+            return
+        tables = load_p3_tables(path)
+        _, vm, revap = generate_rain_tables()
+        ice = np.ascontiguousarray(tables.ice, np.float64)
+        coll = np.ascontiguousarray(tables.collect, np.float64)
+        vm = np.ascontiguousarray(vm, np.float64)
+        revap = np.ascontiguousarray(revap, np.float64)
+        lib.p3_set_tables(_ptr(ice), _ptr(coll), _ptr(vm), _ptr(revap))
+    except Exception:  # pragma: no cover - table-less operation is valid
+        pass
 
 
 def native_available() -> bool:
@@ -94,18 +122,23 @@ def p3_adjust_state_native(rho, rho_d, rho_v, rho_c, temp):
 
 
 def p3_column_step_native(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
-                          pres, rho_d, dz, dt):
+                          pres, rho_d, dz, dt, qv_prev=None, t_prev=None):
     """numpy wrapper over (ncol, nz) arrays; returns the updated prognostics
-    plus (precip_liq, precip_ice) of shape (ncol,)."""
+    plus (precip_liq, precip_ice) of shape (ncol,).  ``qv_prev``/``t_prev``
+    feed evaporate_rain's supersaturation history (None = first step)."""
     lib = load_p3_library()
     arrs = [np.ascontiguousarray(a, np.float64).copy()
             for a in (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)]
     ro = [np.ascontiguousarray(a, np.float64)
           for a in (exner, pres, rho_d, dz)]
+    hist = [np.ascontiguousarray(a, np.float64) if a is not None else None
+            for a in (qv_prev, t_prev)]
     ncol, nz = arrs[0].shape
     pl = np.zeros(ncol, np.float64)
     pi_ = np.zeros(ncol, np.float64)
+    null = ctypes.POINTER(ctypes.c_double)()
     lib.p3_column_step(ncol, nz, float(dt),
                        *[_ptr(a) for a in arrs], *[_ptr(a) for a in ro],
+                       *[_ptr(a) if a is not None else null for a in hist],
                        _ptr(pl), _ptr(pi_))
     return (*arrs, pl, pi_)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .weno import WenoMatrices
-from .weno_fused import _sparse_terms
+from .weno_fused import _opt_terms, _sparse_terms
 
 __all__ = ["direction_fluxes_pallas", "direction_fluxes_pallas_sub"]
 
@@ -106,17 +106,99 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
     return edges[0], edges[1]
 
 
-def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
-            edge_terms, idl, cutoff, normal_id, ntracers, C0, gamma,
-            fast_weights=False):
+def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
+    """Reduced-operation WENO edges (see weno_fused._opt_terms): factored
+    squared-form TVs, single fused weight normalization, and (ord 3/5) the
+    high-order candidate folded into the low-order edge blend via the exact
+    optimal weights.  Weights agree with the reference algebra to rounding
+    (~1e-7 relative in f32); edge values likewise."""
+    dt = x.dtype
+    axis = x.ndim - 1 if axis is None else axis
+    tv_factors, edge_terms, gamma, idl = _opt_terms(ord_)
+
+    if fast_weights and dt == jnp.float32:
+        from jax.experimental import pallas as pl
+
+        def recip(v):
+            return pl.reciprocal(v, approx=True)
+    else:
+        def recip(v):
+            return 1.0 / v
+
+    def sh(i):
+        return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
+
+    shifts = [sh(i) for i in range(ord_)]
+
+    def linform(terms):
+        acc = None
+        for i, c in terms:
+            t = jnp.asarray(c, dt) * shifts[i]
+            acc = t if acc is None else acc + t
+        return acc
+
+    tvs = []
+    for forms in tv_factors:
+        acc = None
+        for terms in forms:
+            f = linform(terms)
+            t = f * f
+            acc = t if acc is None else acc + t
+        tvs.append(acc)
+
+    T = tvs[0]
+    for tv in tvs[1:]:
+        T = T + tv
+    eps = jnp.asarray(1e-20, dt)
+    tiny = jnp.asarray(1e-300 if dt == jnp.float64 else 1e-35, dt)
+    e2 = eps * (T * T) + tiny
+    ws = [jnp.asarray(ik, dt) * recip(tv * tv + e2)
+          for ik, tv in zip(idl, tvs)]
+    tot = ws[0]
+    for w in ws[1:]:
+        tot = tot + w
+    inv = recip(tot)
+
+    edges = []
+    for e in range(2):
+        acc = None
+        for k, terms in enumerate(edge_terms):
+            if gamma is not None:
+                c = (ws[k] + jnp.asarray(gamma[e, k], dt) * ws[-1]) * inv
+            else:
+                c = ws[k] * inv
+            t = c * linform(terms[e])
+            acc = t if acc is None else acc + t
+        edges.append(acc)
+    return edges[0], edges[1]
+
+
+def _weno_edges(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff, axis=None,
+                fast_weights=False, opt=True):
+    """Dispatch: reduced-operation algebra when available (cutoff 0, the
+    reference default), otherwise the reference-ordered algebra."""
+    if opt and cutoff == 0.0:
+        return _weno_edges_block_opt(x, n_out, ord_, axis=axis,
+                                     fast_weights=fast_weights)
+    return _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl,
+                             cutoff, axis=axis, fast_weights=fast_weights)
+
+
+def _kernel(bc_ref, p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
+            tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
+            gamma, fast_weights=False, opt=True):
     """Lane-stencil variant: padded prim (nvar, Bt, Np) with the stencil on
-    the last (lane) axis -- the natural layout for the x direction."""
+    the last (lane) axis -- the natural layout for the x direction.
+    ``bc_ref`` is an SMEM (2,) int32: [bc_lo, bc_hi] boundary modes
+    (0 none, 1 wall, 2 open) applied at global faces 0 / n in-kernel."""
     x = p_ref[...]
-    gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
-                                     idl, cutoff, fast_weights=fast_weights)
+    gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
+                               idl, cutoff, fast_weights=fast_weights,
+                               opt=opt)
     nd = gll_l.ndim
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
+    L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -1)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma)
 
@@ -124,7 +206,8 @@ def _kernel(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_, tv_terms,
 def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
-                            block_rows: int = 8, fast_weights: bool = False):
+                            block_rows: int = 8, fast_weights: bool = False,
+                            opt: bool = True, bc=(0, 0)):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -155,12 +238,15 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
-        C0=C0, gamma=gamma, fast_weights=fast_weights)
+        C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt)
 
+    bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
+                        jnp.asarray(bc[1], jnp.int32)])
     sf, tf = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((nvar, Bt, Np), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
@@ -180,26 +266,57 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
         ],
         # Pallas has no native CPU lowering; tests run interpreted.
         interpret=jax.devices()[0].platform != "tpu",
-    )(padded, hy_r_faces, hy_t_faces)
+    )(bc_arr, padded, hy_r_faces, hy_t_faces)
     return sf, tf[:ntracers]
 
 
-def _kernel_sub(p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
-                tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
-                gamma, fast_weights=False):
+def _kernel_sub(bc_ref, p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n,
+                ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
+                ntracers, C0, gamma, fast_weights=False, opt=True):
     """Sublane-stencil variant: block (nvar, R, Np, L) with the stencil on
     axis -2 (TPU sublanes for the minor pair) -- the natural layout for the
     y and z directions, avoiding any transpose.  hy refs are (R, F, 1)
-    blocks with F in {1, n+1} broadcasting over faces/lanes."""
+    blocks with F in {1, n+1} broadcasting over faces/lanes.  ``bc_ref`` as
+    in _kernel."""
     x = p_ref[...]
     nd = x.ndim
-    gll_l, gll_r = _weno_edges_block(x, n + 2, ord_, tv_terms, edge_terms,
-                                     idl, cutoff, axis=nd - 2,
-                                     fast_weights=fast_weights)
+    gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
+                               idl, cutoff, axis=nd - 2,
+                               fast_weights=fast_weights, opt=opt)
     L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
     R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
+    L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma)
+
+
+def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
+    """Physical-boundary overwrite of the face limits INSIDE the kernel
+    (the reference's edge_exchange BC section, dynamics...h:1005-1081;
+    mirrors euler._apply_edge_bcs): at the low/high global boundary face the
+    exterior limit copies the interior one, and a wall zeroes the normal
+    momentum on both sides.
+
+    ``bc_lo`` / ``bc_hi`` are traced int32 scalars (SMEM): 0 = interior
+    shard (no-op), 1 = wall, 2 = open.  Scalars (not Python statics) so the
+    same compiled kernel serves every shard under shard_map -- boundary
+    shards pass 1/2, interior shards 0.
+    """
+    fdim = face_axis % L.ndim
+    idx = jax.lax.broadcasted_iota(jnp.int32, L.shape[1:], fdim - 1)
+    at_lo = (idx == 0) & (bc_lo > 0)
+    at_hi = (idx == n) & (bc_hi > 0)
+    L2 = jnp.where(at_lo[None], R, L)
+    R2 = jnp.where(at_hi[None], L, R)
+    wall = ((idx == 0) & (bc_lo == 1)) | ((idx == n) & (bc_hi == 1))
+    # var-axis iota select instead of .at[normal_id].set (scatter has no
+    # Mosaic lowering)
+    vid = jax.lax.broadcasted_iota(jnp.int32,
+                                   (L.shape[0],) + (1,) * (L.ndim - 1), 0)
+    kill = (vid == normal_id) & wall[None]
+    L2 = jnp.where(kill, 0.0, L2)
+    R2 = jnp.where(kill, 0.0, R2)
+    return L2, R2
 
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
@@ -238,7 +355,8 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
                                 mats: WenoMatrices, cutoff: float,
                                 normal_id: int, C0: float, gamma: float,
                                 row_block: int = 1, lane_block: int = 512,
-                                fast_weights: bool = False):
+                                fast_weights: bool = False, opt: bool = True,
+                                bc=(0, 0)):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -264,20 +382,27 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
 
     Rt = min(row_block, Rr)
     # Working set scales with Np*Lt: cap so the Mosaic temp stack stays
-    # inside the 16 MB VMEM (empirically ~24k Np*lanes at nvar=8 f32).
-    budget = max(128, (24000 // Np) // 128 * 128)
+    # inside the 16 MB VMEM (empirically ~24k Np*lanes at nvar=8 f32;
+    # MWML_PALLAS_BUDGET overrides for experiments).
+    import os
+    _budget_cells = int(os.environ.get("MWML_PALLAS_BUDGET", 24000))
+    budget = max(128, (_budget_cells // Np) // 128 * 128)
     Lt = min(lane_block, Ll, budget)
     grid = (math.ceil(Rr / Rt), math.ceil(Ll / Lt))
 
     kernel = functools.partial(
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
-        ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights)
+        ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
+        opt=opt)
 
+    bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
+                        jnp.asarray(bc[1], jnp.int32)])
     sf, tf = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((nvar, Rt, Np, Lt), lambda r, l: (0, r, 0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
@@ -297,5 +422,5 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
                                  padded.dtype),
         ],
         interpret=jax.devices()[0].platform != "tpu",
-    )(padded, hy3, hyt3)
+    )(bc_arr, padded, hy3, hyt3)
     return sf, tf[:ntracers]

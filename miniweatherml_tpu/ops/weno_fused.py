@@ -64,6 +64,71 @@ def _sparse_terms(ord_: int, mats_key: int):
     return tuple(tv_terms), tuple(edge_terms), tuple(float(v) for v in mats.idl)
 
 
+@lru_cache(maxsize=None)
+def _opt_terms(ord_: int):
+    """Reduced-operation formulation of the same limiter (used by the Pallas
+    kernels; agrees with the reference algebra to floating-point rounding):
+
+    * TV_k as a sum of squared linear forms: G_k is PSD (it is M^T Q M with
+      Q a Gram matrix of derivative integrals), so an eigendecomposition
+      gives TV_k = sum_m (g_km . s)^2 with rank(G_k) = taps-1 forms --
+      cheaper than the dense quadratic form for 3-tap sub-stencils.
+    * The two convexify normalizations fold into one: with T = sum TV,
+      w_k = idl_k / ((TV_k/T)^2 + eps) = idl_k T^2 / (TV_k^2 + eps T^2),
+      and the common T^2 cancels in the final normalization, so
+      w'_k = idl_k / (TV_k^2 + eps T^2 + tiny) needs no first normalize.
+    * For ord 3/5 the high-order edge form is EXACTLY the classic optimal
+      convex combination of the low-order edge forms (gamma = (0.3,0.6,0.1)
+      etc.), so the 5-tap edge form is never evaluated: the high-order
+      weight is folded into the low-order blend coefficients.
+
+    Returns (tv_factors, edge_terms, gamma, idl):
+      tv_factors: per k, tuple of linear forms, each a tuple of (i, coef)
+      edge_terms: per k (low only if gamma is not None), per edge,
+                  tuple of (i, coef)
+      gamma: (2, K-1) ndarray or None (ord 7/9: no exact decomposition)
+      idl: convexified ideal weights
+    """
+    from .weno import weno_matrices
+
+    mats = weno_matrices(ord_)
+    K = mats.G.shape[0]
+    tv_factors = []
+    for k in range(K):
+        G = mats.G[k]
+        w, V = np.linalg.eigh(G)
+        forms = []
+        for m in range(len(w)):
+            if w[m] > 1e-12 * w.max():
+                g = np.sqrt(w[m]) * V[:, m]
+                forms.append(tuple((i, float(g[i])) for i in range(ord_)
+                                   if abs(g[i]) > 1e-14))
+        tv_factors.append(tuple(forms))
+
+    gamma = None
+    if ord_ in (3, 5):
+        gam = np.empty((2, K - 1))
+        for e in range(2):
+            A = np.stack([mats.E[k, e] for k in range(K - 1)], axis=1)
+            g, _, _, _ = np.linalg.lstsq(A, mats.E[K - 1, e], rcond=None)
+            assert np.abs(A @ g - mats.E[K - 1, e]).max() < 1e-12
+            gam[e] = g
+        gamma = gam
+        ks = range(K - 1)
+    else:
+        ks = range(K)
+    edge_terms = []
+    for k in ks:
+        per_edge = []
+        for e in range(2):
+            row = [(i, float(mats.E[k, e, i])) for i in range(ord_)
+                   if abs(mats.E[k, e, i]) > 1e-14]
+            per_edge.append(tuple(row))
+        edge_terms.append(tuple(per_edge))
+    return (tuple(tv_factors), tuple(edge_terms), gamma,
+            tuple(float(v) for v in mats.idl))
+
+
 def reconstruct_edges_shifted(padded, axis: int, n_out: int,
                               mats: WenoMatrices, cutoff: float = 0.0):
     """WENO-limited left/right edge values from a padded array.

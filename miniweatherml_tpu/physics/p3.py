@@ -21,9 +21,14 @@ Integration parity with the reference wrapper (microphysics_p3.h):
 Scheme fidelity tiers: with the lookup tables available (the shipped
 v4.1.1 asset parsed by physics/p3_tables.py, plus the rain tables
 regenerated exactly as p3_init_b does), every ice/rain process below runs
-at the [P3] tier -- the reference's own table-driven formulation.  The
-continuous [approx] fallbacks remain for table-less operation (and are
-what the C++ native twin implements).
+at the [P3] tier -- the reference's own table-driven formulation,
+including the Bergeron (WBF) deposition split, the analytically-integrated
+rain evaporation with qv_prev/t_prev history, wet growth, and the
+reference's per-species conservation rescalings.  The continuous [approx]
+fallbacks remain for table-less operation.  The C++ native twin
+(native/p3_kernels.cpp) implements BOTH tiers -- tables are installed into
+it via p3_set_tables (the p3_init_a/p3_init_b analog) -- and is
+parity-tested against this scheme at 1e-9 relative.
 
 Processes (tier with tables / without):
   * cloud->rain autoconversion: KK2000 1350 qc^2.47 (nc rho 1e-6)^-1.79
@@ -158,7 +163,8 @@ def _conserve(avail, dt, *sinks):
 
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
               rho_d, dz, dt, z_axis: int = 1, tables=None,
-              spmd_axes: tuple = ()):
+              spmd_axes: tuple = (), qv_prev=None, t_prev=None,
+              do_predict_nc: bool = False):
     """The P3-class column scheme on dry mixing ratios.
 
     All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
@@ -170,6 +176,20 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     lookup-table tier: V_i = rhofaci * table(2), riming =
     rhofaci * table(4) * qc * eci * rho * ni (ice_cldliq_collection,
     micro_p3.F90:2054-2100; rhofaci = (rho_600mb/rho)^0.54, :411).
+
+    ``qv_prev`` / ``t_prev`` are the previous call's post-micro qv and T
+    (the reference wrapper's persistent fields, microphysics_p3.h:120-121);
+    they feed the analytically-integrated rain-evaporation supersaturation
+    history (evaporate_rain, micro_p3.F90:3383-3537).  None falls back to
+    the instantaneous form (equivalent to the reference's first_step
+    initialization qv_prev=qv, t_prev=T, microphysics_p3.h:297-301).
+
+    ``do_predict_nc`` enables the predicted-droplet-number path
+    (micro_p3.F90 p3_main do_predict_nc branches; the reference wrapper
+    runs with it false, microphysics_p3.h:314).  The rain DSD shape
+    parameter is the v4.1.1 constant mu_r = 1 -- p3_init_b fills the mu_r
+    table with mu_r_constant (micro_p3.F90:236-287,
+    micro_p3_utils.F90:33), so the constant IS the reference's table tier.
     """
     temp = theta * exner
     rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
@@ -185,9 +205,15 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         idx[z_axis] = sl
         return a[tuple(idx)]
 
-    # prescribed droplet number (do_predict_nc = false, microphysics_p3.h:314;
-    # micro_p3.F90 uses nccnst/rho when number prediction is off)
-    nc = jnp.full_like(nc, NCCNST) * inv_rho
+    if do_predict_nc:
+        # predicted droplet number: activation input nc_nuceat_tend is zero
+        # in the reference wrapper (microphysics_p3.h:291-293), so nc just
+        # evolves by the process tendencies below (p3_main_part1:433-434).
+        nc = jnp.maximum(nc, 0.0)
+    else:
+        # prescribed droplet number (do_predict_nc = false,
+        # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436)
+        nc = jnp.full_like(nc, NCCNST) * inv_rho
 
     # cloud gamma-DSD shape/slope and Stokes mass-weighted droplet fall
     # speed, shared by sedimentation and rime density
@@ -355,13 +381,23 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         * 2.0 * jnp.pi / Lf * ni, 0.0), 0.0)
         # deposition/sublimation by relaxation (calc_ice_relaxation_timescale
         # :2322-2355 + ice_deposition_sublimation :3269-3330)  [P3]
-        epsi = jnp.where(has_ice_t & (tc < 0.0),
-                         vent * 2.0 * jnp.pi * rho * dv_diff * ni, 0.0)
+        # NOTE: epsi is computed wherever ice exists (sublimation also runs
+        # above freezing, micro_p3.F90:3305-3310).
+        epsi = jnp.where(has_ice_t, vent * 2.0 * jnp.pi * rho * dv_diff * ni,
+                         0.0)
         dqsidt = (Lv + LATICE) * qv_si / (R_V * temp * temp)
         abi = 1.0 + dqsidt * (Lv + LATICE) / CP_D
         qi_tend = jnp.minimum(epsi / abi, 1.0 / dt) * (qv - qv_si)
         dep = jnp.where(tc < 0.0, jnp.maximum(qi_tend, 0.0), 0.0)
         sub = jnp.maximum(-qi_tend, 0.0)
+        # Wegener-Bergeron-Findeisen: where liquid is present below
+        # freezing, ice grows by deposition at the liquid-vs-ice saturation
+        # excess (qc2qi_berg_tend, ice_deposition_sublimation,
+        # micro_p3.F90:3326-3328); the split between berg (liquid fraction
+        # of the step) and vapor deposition (the rest) happens in
+        # cloud_water_conservation below (:3051-3058).
+        berg = jnp.where(has_ice_t & (tc < 0.0),
+                         jnp.maximum(epsi / abi * (qsl - qv_si), 0.0), 0.0)
 
         # rain evaporation via the generated ventilation table  [P3]
         # (calc_liq_relaxation_timescale, micro_p3.F90:2358-2410 +
@@ -398,11 +434,45 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         qrcol = qrcol * (1.0 - wg_frac)          # rain part returns to rain
         nr_shed_wg = excess * 1.923e6            # 1 mm drops (:2304)
 
+        # -- rain evaporation: analytically-integrated supersaturation
+        # relaxation (evaporate_rain, micro_p3.F90:3383-3537).  The
+        # timestep-average evap blends the instantaneous rate with the
+        # equilibrium rate balancing the constant external source A_c
+        # (Morrison+Milbrandt 2015 Eq C3-C4), where A_c uses the previous
+        # call's qv/T history (qv_prev/t_prev).
         dqsldt = Lv * qsl / (R_V * temp * temp)
         abl = 1.0 + dqsldt * Lv / CP_D
-        ev = jnp.where((qr >= QSMALL) & (qv < qsl) & (qc < QSMALL),
-                       jnp.maximum(jnp.minimum(epsr / abl, 1.0 / dt)
-                                   * (qsl - qv), 0.0), 0.0)
+        ssat_r = qv - qsl
+        qvp = qv if qv_prev is None else qv_prev
+        tp = temp if t_prev is None else t_prev
+        below = tc < 0.0
+        eps_eff = jnp.maximum(
+            jnp.where(below,
+                      epsr + epsi * (1.0 + Ls / CP_D * dqsldt) / abi, epsr),
+            1.0e-20)
+        tau_eff = 1.0 / eps_eff
+        A_c = ((qv - qvp) / dt - dqsldt * (temp - tp) / dt
+               - jnp.where(below,
+                           (qsl - qv_si) * (1.0 + Ls / CP_D * dqsldt)
+                           / abi * epsi, 0.0))
+        tau_r = 1.0 / jnp.maximum(epsr, 1.0e-20)
+        # tscale_weight -> 1 for dt << tau_eff, -> 0 for dt >> tau_eff
+        # (rain_evap_tscale_weight, :3334-3347)
+        dtau = dt / tau_eff
+        w_ts = -jnp.expm1(-dtau) / dtau
+        instant = -ssat_r / (abl * tau_r)
+        equilib = -A_c / abl * tau_eff / tau_r
+        ev_big = instant * w_ts + equilib * (1.0 - w_ts)
+        # negligible qr in subsaturated air evaporates entirely (:3478-3480)
+        ev = jnp.where((qr < 1.0e-12) & (qv / jnp.maximum(qsl, QSMALL)
+                                         < 0.999),
+                       qr / dt, ev_big)
+        ev = jnp.minimum(ev, -ssat_r / dt / abl)   # cap at saturation deficit
+        ev = jnp.minimum(jnp.maximum(ev, 0.0), qr / dt)
+        # active only in the rainy area outside cloud (cld_frac_r=1;
+        # cld_frac -> 0 when condensate is negligible, :3434-3443)
+        ev = jnp.where((qc + qi < 1.0e-6) & (ssat_r < 0.0)
+                       & (qr >= QSMALL), ev, 0.0)
 
         # rain mass-weighted fall speed from the generated table  [P3]
         rho_1000mb = 100000.0 / (287.042 * 273.15)
@@ -436,37 +506,105 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                 * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
         # melting above freezing: thermal relaxation  [approx]
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
+        # no ventilation/relaxation machinery without tables -> no Bergeron
+        berg = jnp.zeros_like(qc)
 
-    # -- conservation rescaling (P3's *_conservation form) --------------
-    au, ac, qc_frz, rim, shed = _conserve(qc, dt, au, ac, qc_frz, rim, shed)
-    ev, qr_frz, qrcol = _conserve(qr, dt, ev, qr_frz, qrcol)
-    sub, melt = _conserve(qi, dt, sub, melt)
+    # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
+    #    self-collection is identically zero at iparam=3,
+    #    micro_p3.F90:2646-2648) ----------------------------------------
+    inv_qc = 1.0 / jnp.maximum(qc, QSMALL)
+    nc2nr_auto = au * nc * inv_qc       # (:2780-2782)
+    nc_accret = ac * nc * inv_qc        # (:2694-2696)
+    nc_collect = (rim + shed) * nc * inv_qc  # (:2087-2095, both T branches)
+    ncautr = au * CONS3                 # new 25-um raindrops (:2778)
+
+    # -- conservation rescaling (the reference's *_conservation
+    #    subroutines, micro_p3.F90:3029-3106 + 2957-3007) ---------------
+    # cloud water: sinks scaled by ratio; deposition and sublimation then
+    # run only for the liquid-free remainder (1 - ratio) of the step --
+    # the Wegener-Bergeron-Findeisen split (:3051-3058).
+    sinks_qc = (au + ac + qc_frz + rim + shed + berg) * dt
+    ratio_qc = jnp.where((sinks_qc > qc) & (sinks_qc >= 1.0e-20),
+                         qc / jnp.maximum(sinks_qc, 1e-30), 1.0)
+    au, ac, qc_frz, rim, shed, berg = (
+        t * ratio_qc for t in (au, ac, qc_frz, rim, shed, berg))
+    liq = qc > 1.0e-20
+    dep = jnp.where(liq, dep * (1.0 - ratio_qc), dep)
+    sub = jnp.where(liq, sub * (1.0 - ratio_qc), sub)
+
+    # rain: sinks vs qr + sources (:3063-3082)
+    sinks_qr = (ev + qrcol + qr_frz) * dt
+    sources_qr = qr + (au + ac + melt + shed) * dt
+    ratio_qr = jnp.where((sinks_qr > sources_qr) & (sinks_qr >= 1.0e-20),
+                         sources_qr / jnp.maximum(sinks_qr, 1e-30), 1.0)
+    ev, qrcol, qr_frz = (t * ratio_qr for t in (ev, qrcol, qr_frz))
+
+    # ice: sinks vs qi + sources (:3084-3106)
+    sinks_qi = (sub + melt) * dt
+    sources_qi = qi + (dep + qinuc + berg + qrcol + rim + qr_frz
+                       + qc_frz) * dt
+    ratio_qi = jnp.where((sinks_qi > sources_qi) & (sinks_qi >= 1.0e-20),
+                         sources_qi / jnp.maximum(sinks_qi, 1e-30), 1.0)
+    sub, melt = sub * ratio_qi, melt * ratio_qi
+
+    # vapor: deposition + nucleation cannot overdeplete the supersaturation
     dep, qinuc = _conserve(jnp.maximum(qv - qv_si, 0.0), dt, dep, qinuc)
 
-    # -- apply process tendencies (all ratios use pre-update values) ----
-    qc_new = qc + dt * (-au - ac - qc_frz - rim - shed)
-    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt + shed)
-    qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc - sub - melt
-                        + rim)
-    qv_new = qv + dt * (ev + sub - dep - qinuc)
-    # melting moves ice number to rain number (micro_p3.F90 part2: the
-    # ni2nr_melt_tend term)
+    # number conservations (nc_/nr_/ni_conservation, :2957-3007)
     ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
-    nr_new = nr + dt * (au * CONS3 - nr_self - nr_frz - nr_col + ni2nr_melt
-                        + shed * inv_dropmass + nr_shed_wg
-                        - ev * nr / jnp.maximum(qr, QSMALL))
+    ni_sub_n = sub * ni / jnp.maximum(qi, QSMALL)
+    nr_evap = ev * nr / jnp.maximum(qr, QSMALL)
+
+    sinks_nc = (nc_collect + nc_frz + nc_accret + nc2nr_auto) * dt
+    ratio_nc = jnp.where(sinks_nc > nc,
+                         nc / jnp.maximum(sinks_nc, 1e-30), 1.0)
+    nc_collect, nc_frz, nc_accret, nc2nr_auto = (
+        t * ratio_nc for t in (nc_collect, nc_frz, nc_accret, nc2nr_auto))
+
+    sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt
+    sources_nr = nr + (ni2nr_melt + nr_shed_wg + shed * inv_dropmass
+                       + nc2nr_auto) * dt
+    ratio_nr = jnp.where(sinks_nr > sources_nr,
+                         sources_nr / jnp.maximum(sinks_nr, 1e-30), 1.0)
+    nr_col, nr_frz, nr_self, nr_evap = (
+        t * ratio_nr for t in (nr_col, nr_frz, nr_self, nr_evap))
+
+    sinks_ni = (ni2nr_melt + ni_sub_n + ni_self) * dt
+    sources_ni = ni + (ninuc + nr_frz + nc_frz) * dt
+    ratio_ni = jnp.where(sinks_ni > sources_ni,
+                         sources_ni / jnp.maximum(sinks_ni, 1e-30), 1.0)
+    ni2nr_melt, ni_sub_n, ni_self = (
+        t * ratio_ni for t in (ni2nr_melt, ni_sub_n, ni_self))
+
+    # -- apply process tendencies (all ratios use pre-update values;
+    #    update_prognostic_liquid :3216-3266 + update_prognostic_ice
+    #    :3108-3214) ------------------------------------------------------
+    qc_new = qc + dt * (-au - ac - qc_frz - rim - shed - berg)
+    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt + shed)
+    qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc + berg
+                        - sub - melt + rim)
+    qv_new = qv + dt * (ev + sub - dep - qinuc)
+    nr_new = nr + dt * (ncautr - nr_self - nr_frz - nr_col + ni2nr_melt
+                        + shed * inv_dropmass + nr_shed_wg - nr_evap)
     ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
-                        - sub * ni / jnp.maximum(qi, QSMALL))
-    qm_new = qm + dt * (rim + qr_frz + qrcol
+                        - ni_sub_n)
+    # rime mass/volume: all freezing paths rime (dum term,
+    # update_prognostic_ice :3180-3186); rime from rain/freezing packs at
+    # rho_rimeMax = 900 (micro_p3_utils.F90:152), cloud riming at the
+    # Cober-List rho_rime
+    qm_new = qm + dt * (rim + qr_frz + qrcol + qc_frz
                         - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
-    bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol) / 900.0
+    bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0
                         - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
+    if do_predict_nc:
+        nc = nc + dt * (-nc_accret - nc2nr_auto - nc_collect - nc_frz)
+        nc = jnp.maximum(nc, 0.0)
     qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
     nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
     # latent heating (theta via frozen exner)
     theta = theta + dt / (cp * exner) * (
         Lv * (-ev) + Ls * (dep + qinuc - sub)
-        + Lf * (qc_frz + qr_frz + qrcol + rim - melt))
+        + Lf * (qc_frz + qr_frz + qrcol + rim + berg - melt))
 
     qc = jnp.maximum(qc, 0.0)
     qr = jnp.maximum(qr, 0.0)
@@ -522,23 +660,26 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         return jnp.maximum(q, 0.0), precl + dts * out_bot / RHO_H2O
 
     def sub_body(carry):
-        it, qc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+        it, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
         vr_ = rain_fallspeed(qr, nr)
         vi_ = ice_fallspeed(qi, ni, qm, bm)
         vc_ = cloud_fallspeed(qc)
         qc, pl = fall(qc, vc_, pl)
+        if do_predict_nc:
+            nc_, _ = fall(nc_, vc_, jnp.zeros_like(pl))
         qr, pl = fall(qr, vr_, pl)
         nr, _ = fall(nr, vr_, jnp.zeros_like(pl))
         qi, pi_ = fall(qi, vi_, pi_)
         ni, _ = fall(ni, vi_, jnp.zeros_like(pl))
         qm, _ = fall(qm, vi_, jnp.zeros_like(pl))
         bm, _ = fall(bm, vi_, jnp.zeros_like(pl))
-        return it + 1.0, qc, qr, nr, qi, ni, qm, bm, pl, pi_
+        return it + 1.0, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_
 
     zero_srf = jnp.zeros_like(ax(qc, slice(0, 1)))
-    carry = (jnp.zeros(()), qc, qr, nr, qi, ni, qm, bm, zero_srf, zero_srf)
+    carry = (jnp.zeros(()), qc, nc, qr, nr, qi, ni, qm, bm, zero_srf,
+             zero_srf)
     carry = jax.lax.while_loop(lambda c: c[0] < nsub, sub_body, carry)
-    _, qc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
+    _, qc, nc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
     precip_liq = jnp.squeeze(pl, axis=z_axis) / dt
     precip_ice = jnp.squeeze(pi_, axis=z_axis) / dt
 
@@ -546,7 +687,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
 
 def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
-                               exner, pres, rho_d, dz, dt):
+                               exner, pres, rho_d, dz, dt, qv_prev=None,
+                               t_prev=None):
     """Route the column step to the C++ twin on host via pure_callback."""
     nens, nz, ny, nx = qc.shape
 
@@ -560,7 +702,8 @@ def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
         cols = [np.ascontiguousarray(
             np.moveaxis(np.asarray(a, np.float64), 1, -1).reshape(-1, nz))
             for a in arrs]
-        out = p3_column_step_native(*cols, dt)
+        out = p3_column_step_native(*cols[:14], dt,
+                                    qv_prev=cols[14], t_prev=cols[15])
         prog = [np.moveaxis(a.reshape(nens, ny, nx, nz), -1, 1).astype(odt)
                 for a in out[:10]]
         srf = [a.reshape(nens, ny, nx).astype(odt) for a in out[10:]]
@@ -569,9 +712,11 @@ def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
     dtp = qc.dtype
     out_shapes = ([jax.ShapeDtypeStruct(qc.shape, odt)] * 10
                   + [jax.ShapeDtypeStruct((nens, ny, nx), odt)] * 2)
+    qvp = qv if qv_prev is None else qv_prev
+    tp = theta * exner if t_prev is None else t_prev
     args = [a.astype(odt)
             for a in (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
-                      pres, rho_d, dz)]
+                      pres, rho_d, dz, qvp, tp)]
     out = jax.pure_callback(host, tuple(out_shapes), *args)
     return tuple(o.astype(dtp) for o in out)
 
@@ -602,10 +747,14 @@ class MicrophysicsP3:
     )
 
     def __init__(self, backend: str = "jax", table_path: str | None = None,
-                 use_tables: bool | None = None):
+                 use_tables: bool | None = None,
+                 do_predict_nc: bool = False):
         if backend not in ("jax", "native"):
             raise ValueError("backend must be 'jax' or 'native'")
         self.backend = backend
+        # Predicted droplet number (micro_p3.F90 do_predict_nc branches);
+        # the reference wrapper runs prescribed (microphysics_p3.h:314).
+        self.do_predict_nc = do_predict_nc
         # Lookup-table tier (physics/p3_tables): on when a table asset is
         # available (or explicitly requested), jax backend only.
         self.tables = None
@@ -659,16 +808,28 @@ class MicrophysicsP3:
         theta = temp / exner
         dz = jnp.full_like(temp, g.dz)
 
+        # Supersaturation history for evaporate_rain: the previous call's
+        # post-micro qv/T (reference persistent fields,
+        # microphysics_p3.h:120-133 + first_step init :297-301).  t_prev
+        # starts at 0 (the reference zero-allocates both), which serves as
+        # the first-step sentinel: use the current qv/T then, exactly the
+        # reference's first_step branch.
+        first = state["t_prev"] <= 0.0
+        qv_prev = jnp.where(first, qv, state["qv_prev"])
+        t_prev = jnp.where(first, temp, state["t_prev"])
+
         if self.backend == "native":
             qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = (
                 _p3_scheme_native_callback(
                     qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
-                    pressure, rho_d, dz, dt))
+                    pressure, rho_d, dz, dt, qv_prev=qv_prev,
+                    t_prev=t_prev))
         else:
             qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = p3_scheme(
                 qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
                 rho_d, dz, dt, z_axis=1, tables=self.tables,
-                spmd_axes=spmd_axes)
+                spmd_axes=spmd_axes, qv_prev=qv_prev, t_prev=t_prev,
+                do_predict_nc=self.do_predict_nc)
 
         clamp = lambda q: jnp.maximum(q * rho_d, 0.0)
         temp_new = theta * exner  # frozen exner (microphysics_p3.h:434-436)

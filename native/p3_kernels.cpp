@@ -8,12 +8,20 @@
 // module via ctypes/pure_callback (host execution, like the reference's
 // host-staged Fortran call at microphysics_p3.h:364-376).
 //
+// Two fidelity tiers, matching physics/p3.py:
+//   * table tier: after p3_set_tables() receives the parsed v4.1.1 ice /
+//     ice-rain-collection tables plus the generated rain fall-speed /
+//     ventilation tables (p3_init_a / p3_init_b analogs), every ice and
+//     rain process runs the reference's table-driven formulation.
+//   * continuous tier: without tables, the [approx] fallbacks.
+//
 // Array layout: (ncol, nz) row-major -- each column's vertical is
 // contiguous, bottom-up.
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -31,6 +39,20 @@ constexpr double NSMALL = 1.0e-16;
 constexpr double NCCNST = 200.0e6;
 constexpr double PI = 3.14159265358979323846;
 const double CONS3 = 1.0 / (PI / 6.0 * RHO_H2O * 25.0e-6 * 25.0e-6 * 25.0e-6);
+
+// table dims (micro_p3_utils.F90:43-46) and index constant
+// 1/(0.1*log10(261.7)) (micro_p3_utils.F90:34)
+constexpr int ISIZE = 50, RIMSIZE = 4, DENSIZE = 5, RCOLLSIZE = 30;
+constexpr double DUM1_C = 4.135985029041767;
+constexpr double MU_R = 1.0;                  // micro_p3_utils.F90:33
+constexpr double F1R = 0.78, F2R = 0.32;      // micro_p3_utils:138-139
+
+// table storage, filled by p3_set_tables
+bool g_have_tables = false;
+std::vector<double> g_ice;      // (DENSIZE, RIMSIZE, ISIZE, 12)
+std::vector<double> g_coll;     // (DENSIZE, RIMSIZE, ISIZE, RCOLLSIZE, 2)
+std::vector<double> g_vm;       // (300,) mass-weighted rain fall speed
+std::vector<double> g_revap;    // (300,) rain ventilation integral
 
 double svp_liquid(double temp) {
   double tc = temp - 273.15;
@@ -53,9 +75,134 @@ double cp_moist(double rho_d, double rho_v, double rho_c) {
   return (rho_d * CP_D + rho_v * CP_V + rho_c * CP_L) / rho;
 }
 
+// -- table index finding + interpolation (mirrors physics/p3_tables.py,
+//    itself a vectorization of find_lookupTable_indices_1a/1b + the access
+//    routines, micro_p3.F90:1508-1770) ------------------------------------
+
+struct IceIdx {
+  int i0, ii0, jj0;
+  double fi, fii, fjj;
+};
+
+IceIdx ice_table_indices(double qi, double ni, double qm, double rhop) {
+  double dum1 =
+      (std::log10(std::max(qi, QSMALL) / std::max(ni, 1e-30)) + 18.0) *
+          DUM1_C -
+      10.0;
+  int dumi = (int)std::floor(dum1);
+  dum1 = std::clamp(dum1, 1.0, (double)ISIZE);
+  dumi = std::clamp(dumi, 1, ISIZE - 1);
+
+  double dum4 = (qm / std::max(qi, QSMALL)) * 3.0 + 1.0;
+  int dumii = (int)std::floor(dum4);
+  dum4 = std::clamp(dum4, 1.0, (double)RIMSIZE);
+  dumii = std::clamp(dumii, 1, RIMSIZE - 1);
+
+  double dum5 = rhop <= 650.0 ? (rhop - 50.0) * 0.005 + 1.0
+                              : (rhop - 650.0) * 0.004 + 4.0;
+  int dumjj = (int)std::floor(dum5);
+  dum5 = std::clamp(dum5, 1.0, (double)DENSIZE);
+  dumjj = std::clamp(dumjj, 1, DENSIZE - 1);
+
+  return IceIdx{dumi - 1, dumii - 1, dumjj - 1, dum1 - dumi, dum4 - dumii,
+                dum5 - dumjj};
+}
+
+double ice_at(int col, int jj, int ii, int i) {
+  return g_ice[(((std::size_t)jj * RIMSIZE + ii) * ISIZE + i) * 12 +
+               (col - 1)];
+}
+
+double interp_ice(int col, const IceIdx& x) {
+  auto lin_i = [&](int jj, int ii) {
+    return ice_at(col, jj, ii, x.i0) +
+           x.fi * (ice_at(col, jj, ii, x.i0 + 1) - ice_at(col, jj, ii, x.i0));
+  };
+  auto lin_ii = [&](int jj) {
+    double a = lin_i(jj, x.ii0);
+    double b = lin_i(jj, x.ii0 + 1);
+    return a + x.fii * (b - a);
+  };
+  double t1 = lin_ii(x.jj0);
+  double t2 = lin_ii(x.jj0 + 1);
+  return t1 + x.fjj * (t2 - t1);
+}
+
+double coll_at(int col, int jj, int ii, int i, int j) {
+  return g_coll[((((std::size_t)jj * RIMSIZE + ii) * ISIZE + i) * RCOLLSIZE +
+                 j) * 2 + (col - 1)];
+}
+
+double interp_collect(int col, const IceIdx& x, int j0, double fj) {
+  auto lin_j = [&](int jj, int ii, int i) {
+    return coll_at(col, jj, ii, i, j0) +
+           fj * (coll_at(col, jj, ii, i, j0 + 1) - coll_at(col, jj, ii, i, j0));
+  };
+  auto lin_i = [&](int jj, int ii) {
+    double a = lin_j(jj, ii, x.i0);
+    double b = lin_j(jj, ii, x.i0 + 1);
+    return a + x.fi * (b - a);
+  };
+  auto lin_ii = [&](int jj) {
+    double a = lin_i(jj, x.ii0);
+    double b = lin_i(jj, x.ii0 + 1);
+    return a + x.fii * (b - a);
+  };
+  double t1 = lin_ii(x.jj0);
+  double t2 = lin_ii(x.jj0 + 1);
+  return std::pow(10.0, t1 + x.fjj * (t2 - t1));
+}
+
+void rain_collection_index(double qr, double nr, int* j0, double* fj) {
+  bool has_rain = (qr >= QSMALL) && (nr > 0.0);
+  double dumlr =
+      std::cbrt(std::max(qr, QSMALL) / (PI * RHO_H2O * std::max(nr, 1e-30)));
+  double dum3 = (std::log10(dumlr) + 5.0) * 10.70415;
+  int dumj = (int)std::floor(dum3);
+  dum3 = std::clamp(dum3, 1.0, (double)RCOLLSIZE);
+  dumj = std::clamp(dumj, 1, RCOLLSIZE - 1);
+  if (!has_rain) {
+    dumj = 1;
+    dum3 = 1.0;
+  }
+  *j0 = dumj - 1;
+  *fj = dum3 - dumj;
+}
+
+void rain_size_index(double dm, int* i0, double* fi) {
+  double rd_small = std::clamp((dm * 1e6 + 5.0) * 0.1, 1.0, 20.0);
+  double rd_large = std::clamp((dm * 1e6 - 195.0) / 30.0 + 20.0, 20.0, 300.0);
+  double rdum = dm <= 195.0e-6 ? rd_small : rd_large;
+  int i_small = std::clamp((int)std::floor(rd_small), 1, 20);
+  int i_large = std::clamp((int)std::floor(rd_large), 20, 299);
+  int idum = dm <= 195.0e-6 ? i_small : i_large;
+  *i0 = idum - 1;
+  *fi = rdum - idum;
+}
+
+double interp_rain(const std::vector<double>& t, int i0, double fi) {
+  i0 = std::clamp(i0, 0, (int)t.size() - 2);
+  return t[i0] + fi * (t[i0 + 1] - t[i0]);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Install the lookup tables (parsed/generated on the Python side by
+// physics/p3_tables.py, the p3_init_a/p3_init_b analog).  Sizes fixed:
+// ice (5*4*50*12), coll (5*4*50*30*2), vm/revap (300).
+void p3_set_tables(const double* ice, const double* coll, const double* vm,
+                   const double* revap) {
+  g_ice.assign(ice, ice + (std::size_t)DENSIZE * RIMSIZE * ISIZE * 12);
+  g_coll.assign(coll,
+                coll + (std::size_t)DENSIZE * RIMSIZE * ISIZE * RCOLLSIZE * 2);
+  g_vm.assign(vm, vm + 300);
+  g_revap.assign(revap, revap + 300);
+  g_have_tables = true;
+}
+
+int p3_has_tables() { return g_have_tables ? 1 : 0; }
 
 // Instantaneous saturation adjustment by bisection over n cells
 // (identical math to physics/p3.py compute_adjusted_state; 60 halvings).
@@ -91,13 +238,18 @@ void p3_adjust_state(std::int64_t n, const double* rho, const double* rho_d,
 }
 
 // One P3-class microphysics step over (ncol, nz) columns.
-// Mirrors physics/p3.py p3_scheme line for line.
+// Mirrors physics/p3.py p3_scheme (tables branch when p3_set_tables has
+// been called, continuous tier otherwise).  qv_prev/t_prev carry the
+// previous call's post-micro qv/T for evaporate_rain's analytic
+// supersaturation integration (pass the current qv/T on the first step,
+// like the reference wrapper's first_step branch).
 void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                     double* nc, double* qr, double* nr, double* qi, double* ni,
                     double* qm, double* bm, double* qv, double* theta,
                     const double* exner, const double* pres,
-                    const double* rho_d, const double* dz, double* precip_liq,
-                    double* precip_ice) {
+                    const double* rho_d, const double* dz,
+                    const double* qv_prev, const double* t_prev,
+                    double* precip_liq, double* precip_ice) {
   auto conserve2 = [dt](double avail, double& a, double& b) {
     double total = (a + b) * dt;
     if (total > avail) {
@@ -119,6 +271,11 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     temp_pre[c] = theta[c] * exner[c];
   }
 
+  const bool tab = g_have_tables;
+  const double rho_600mb = 60000.0 / (287.042 * 253.15);
+  const double rho_1000mb = 100000.0 / (287.042 * 273.15);
+  const double inv_dropmass = 1.0 / (PI / 6.0 * RHO_H2O * 1.0e-9);
+
   // Pass 1: process rates + tendencies, cell-local.
   for (std::int64_t c = 0; c < n; ++c) {
     double temp = theta[c] * exner[c];
@@ -129,6 +286,25 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double Lf = LATICE;
 
     nc[c] = NCCNST * inv_rho;  // prescribed droplet number
+
+    // cloud gamma-DSD (get_cloud_dsd2, micro_p3.F90:1774-1835)
+    double mu_visc0 = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
+    double acn = 9.80616 * RHO_H2O / (18.0 * mu_visc0);
+    double sfac = 0.0005714 * (nc[c] * 1.0e-6 * rho) + 0.2714;
+    double mu_cd = std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
+    auto cloud_lamc = [&](double qc_) {
+      double lamc = std::cbrt(PI / 6.0 * RHO_H2O * nc[c] * (mu_cd + 3.0) *
+                              (mu_cd + 2.0) * (mu_cd + 1.0) /
+                              std::max(qc_, QSMALL));
+      return std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
+    };
+    auto cloud_vt = [&](double qc_) {
+      double lamc = cloud_lamc(qc_);
+      double v = acn *
+                 std::exp(std::lgamma(mu_cd + 6.0) - std::lgamma(mu_cd + 4.0)) /
+                 (lamc * lamc);
+      return qc_ >= QSMALL ? v : 0.0;
+    };
 
     double au = 0.0;
     if (qc[c] >= 1.0e-8) {
@@ -145,9 +321,6 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double nr_self = qr[c] >= QSMALL ? brk * 5.78 * nr[c] * qr[c] * rho : 0.0;
 
     double qsl = svp_liquid(temp) / (R_V * temp * rho_d[c]);
-    double subsat = std::max(qsl - qv[c], 0.0) / std::max(qsl, QSMALL);
-    double tau_evap = 150.0 / std::max(std::pow(rho * qr[c], 0.35), 1e-4);
-    double ev = (qr[c] >= QSMALL && qc[c] < QSMALL) ? subsat * qr[c] / tau_evap : 0.0;
 
     double tc_ = temp - TMELT;
     double qv_si = svp_ice(temp) / (R_V * temp * rho_d[c]);
@@ -170,50 +343,245 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double nc_frz = qc_frz * nc[c] / std::max(qc[c], QSMALL);
     double nr_frz = qr_frz * nr[c] / std::max(qr[c], QSMALL);
 
-    double tau_dep = 300.0 / std::max(std::pow(rho * qi[c], 0.25), 1e-3);
-    bool has_ice = (qi[c] >= QSMALL) && (tc_ < 0.0);
-    double dep = (has_ice && sup_i > 0.0) ? (qv[c] - qv_si) / tau_dep : 0.0;
-    double sub = (has_ice && sup_i < 0.0) ? (qv_si - qv[c]) / tau_dep : 0.0;
+    double dep, sub, berg = 0.0, rim, shed = 0.0, melt;
+    double qrcol = 0.0, nr_col = 0.0, ni_self = 0.0, nr_shed_wg = 0.0;
+    double rho_rime = 400.0;
+    double ev;
 
-    double vi = std::clamp(1.2 * std::pow(std::max(rho * qi[c], 0.0), 0.0625),
-                           0.3, 3.0);
-    double rim = (qi[c] >= QSMALL && qc[c] >= QSMALL && tc_ < 0.0)
-                     ? 0.7 * 2.0 * vi * qi[c] * qc[c]
-                     : 0.0;
+    if (tab) {
+      // -- table tier (mirrors physics/p3.py tables branch) --------------
+      double rhop = std::clamp(qm[c] / std::max(bm[c], 1e-30), 50.0, 900.0);
+      IceIdx idx = ice_table_indices(qi[c], ni[c], qm[c], rhop);
+      double rhofaci = std::pow(rho_600mb * inv_rho, 0.54);
+      const double eci = 0.5;
+      double collect_qc =
+          rhofaci * interp_ice(4, idx) * qc[c] * eci * rho * ni[c];
+      bool both_ic = (qi[c] >= QSMALL) && (qc[c] >= QSMALL);
+      rim = (both_ic && tc_ < 0.0) ? collect_qc : 0.0;
+      shed = (both_ic && tc_ > 0.0) ? collect_qc : 0.0;
+      double vi_table = rhofaci * interp_ice(2, idx);
 
-    double melt = (qi[c] >= QSMALL && tc_ > 0.0) ? qi[c] * tc_ / 60.0 : 0.0;
+      // rime density (calc_rime_density, micro_p3.F90:2413-2490)
+      double vt_qc = cloud_vt(qc[c]);
+      double d_c = (mu_cd + 4.0) / cloud_lamc(qc[c]);
+      double i_tc = 1.0 / std::min(-0.001, tc_);
+      double ri =
+          std::clamp(-0.5e6 * d_c * std::fabs(vi_table - vt_qc) * i_tc, 1.0,
+                     12.0);
+      rho_rime = ri <= 8.0
+                     ? (0.051 + 0.114 * ri - 0.0055 * ri * ri) * 1000.0
+                     : 611.0 + 72.25 * (ri - 8.0);
+      if (!(rim > 0.0 && qc[c] >= QSMALL)) rho_rime = 400.0;
 
-    // conservation rescaling
-    {
-      double total = (au + ac + qc_frz + rim) * dt;
-      if (total > qc[c]) {
-        double r = qc[c] / std::max(total, 1e-300);
-        au *= r; ac *= r; qc_frz *= r; rim *= r;
+      // ice-rain collection (ice_rain_collection, micro_p3.F90:2103-2157)
+      int j0;
+      double fj;
+      rain_collection_index(qr[c], nr[c], &j0, &fj);
+      double lamr = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
+                              std::max(nr[c], NSMALL) /
+                              std::max(qr[c], QSMALL));
+      double n0r = std::max(nr[c], NSMALL) * lamr * lamr;
+      bool both_ir = (qi[c] >= QSMALL) && (qr[c] >= QSMALL) && (tc_ <= 0.0);
+      if (both_ir) {
+        qrcol = interp_collect(2, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
+        nr_col = interp_collect(1, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
       }
+
+      // thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
+      double mu_visc = mu_visc0;
+      double dv_diff = 8.794e-5 * std::pow(temp, 1.81) / pres[c];
+      double sc_n = mu_visc / (rho * dv_diff);
+      double kap = 1.414e3 * mu_visc;
+      double eii =
+          std::clamp(0.001 + (temp - 253.15) * (0.3 - 0.001) / 20.0, 0.001,
+                     0.3);
+      double fr = qm[c] / std::max(qi[c], QSMALL);
+      double eii_fact = std::clamp(1.0 - (fr - 0.6) / 0.3, 0.0, 1.0);
+      bool has_ice_t = qi[c] >= QSMALL;
+      if (has_ice_t) {
+        ni_self = interp_ice(3, idx) * rho * eii * eii_fact * rhofaci *
+                  ni[c] * ni[c];
+      }
+      double vent =
+          interp_ice(5, idx) +
+          interp_ice(10, idx) * std::cbrt(sc_n) *
+              std::sqrt(rhofaci * rho / mu_visc);
+      double qsat0 = svp_liquid(TMELT) / (R_V * TMELT * rho_d[c]);
+      melt = (has_ice_t && tc_ > 0.0)
+                 ? std::max(vent *
+                                (tc_ * kap -
+                                 rho * Lv * dv_diff * (qsat0 - qv[c])) *
+                                2.0 * PI / Lf * ni[c],
+                            0.0)
+                 : 0.0;
+      double epsi =
+          has_ice_t ? vent * 2.0 * PI * rho * dv_diff * ni[c] : 0.0;
+      double dqsidt = (Lv + LATICE) * qv_si / (R_V * temp * temp);
+      double abi = 1.0 + dqsidt * (Lv + LATICE) / CP_D;
+      double qi_tend = std::min(epsi / abi, 1.0 / dt) * (qv[c] - qv_si);
+      dep = tc_ < 0.0 ? std::max(qi_tend, 0.0) : 0.0;
+      sub = std::max(-qi_tend, 0.0);
+      // Wegener-Bergeron-Findeisen (ice_deposition_sublimation,
+      // micro_p3.F90:3326-3328)
+      berg = (has_ice_t && tc_ < 0.0)
+                 ? std::max(epsi / abi * (qsl - qv_si), 0.0)
+                 : 0.0;
+
+      // rain ventilation (calc_liq_relaxation_timescale + p3_init_b tables)
+      double dm_r2 = (MU_R + 1.0) / lamr;
+      int i0r;
+      double fir;
+      rain_size_index(dm_r2, &i0r, &fir);
+      double revap_v = interp_rain(g_revap, i0r, fir);
+      double cdistr = std::max(nr[c], NSMALL) * lamr * lamr;
+      double gamma_mu2 = 2.0;
+      double epsr =
+          2.0 * PI * cdistr * rho * dv_diff *
+          (F1R * gamma_mu2 / lamr +
+           F2R * std::sqrt(rho / mu_visc) * std::cbrt(sc_n) * revap_v);
+
+      // wet growth (ice_cldliq_wet_growth, micro_p3.F90:2259-2319)
+      bool cold_mix = (qi[c] >= QSMALL) && (qc[c] + qr[c] >= 1.0e-6) &&
+                      (tc_ < 0.0);
+      double qwgrth =
+          cold_mix
+              ? std::max(vent * 2.0 * PI *
+                             (rho * Lv * dv_diff * (qsat0 - qv[c]) -
+                              tc_ * kap) /
+                             (Lf + CP_L * tc_) * ni[c],
+                         0.0)
+              : 1e300;
+      double excess = std::max(rim + qrcol - qwgrth, 0.0);
+      if (excess < 1.0e-10) excess = 0.0;
+      double tot_col = std::max(rim + qrcol, 1e-30);
+      double wg_frac = (rim + qrcol >= 1.0e-10) ? excess / tot_col : 0.0;
+      shed += excess * (rim / tot_col);
+      rim *= (1.0 - wg_frac);
+      qrcol *= (1.0 - wg_frac);
+      nr_shed_wg = excess * 1.923e6;
+
+      // rain evaporation: analytically-integrated supersaturation
+      // relaxation (evaporate_rain, micro_p3.F90:3383-3537)
+      double dqsldt = Lv * qsl / (R_V * temp * temp);
+      double abl = 1.0 + dqsldt * Lv / CP_D;
+      double ssat_r = qv[c] - qsl;
+      double qvp = qv_prev ? qv_prev[c] : qv[c];
+      double tp = t_prev ? t_prev[c] : temp;
+      bool below = tc_ < 0.0;
+      double eps_eff = std::max(
+          below ? epsr + epsi * (1.0 + Ls / CP_D * dqsldt) / abi : epsr,
+          1.0e-20);
+      double tau_eff = 1.0 / eps_eff;
+      double A_c = (qv[c] - qvp) / dt - dqsldt * (temp - tp) / dt -
+                   (below ? (qsl - qv_si) * (1.0 + Ls / CP_D * dqsldt) / abi *
+                                epsi
+                          : 0.0);
+      double tau_r = 1.0 / std::max(epsr, 1.0e-20);
+      double dtau = dt / tau_eff;
+      double w_ts = -std::expm1(-dtau) / dtau;
+      double instant = -ssat_r / (abl * tau_r);
+      double equilib = -A_c / abl * tau_eff / tau_r;
+      double ev_big = instant * w_ts + equilib * (1.0 - w_ts);
+      ev = (qr[c] < 1.0e-12 && qv[c] / std::max(qsl, QSMALL) < 0.999)
+               ? qr[c] / dt
+               : ev_big;
+      ev = std::min(ev, -ssat_r / dt / abl);
+      ev = std::min(std::max(ev, 0.0), qr[c] / dt);
+      if (!((qc[c] + qi[c] < 1.0e-6) && ssat_r < 0.0 && qr[c] >= QSMALL))
+        ev = 0.0;
+    } else {
+      // -- continuous tier ------------------------------------------------
+      double subsat = std::max(qsl - qv[c], 0.0) / std::max(qsl, QSMALL);
+      double tau_evap = 150.0 / std::max(std::pow(rho * qr[c], 0.35), 1e-4);
+      ev = (qr[c] >= QSMALL && qc[c] < QSMALL) ? subsat * qr[c] / tau_evap
+                                               : 0.0;
+      double tau_dep = 300.0 / std::max(std::pow(rho * qi[c], 0.25), 1e-3);
+      bool has_ice = (qi[c] >= QSMALL) && (tc_ < 0.0);
+      dep = (has_ice && sup_i > 0.0) ? (qv[c] - qv_si) / tau_dep : 0.0;
+      sub = (has_ice && sup_i < 0.0) ? (qv_si - qv[c]) / tau_dep : 0.0;
+      double vi =
+          std::clamp(1.2 * std::pow(std::max(rho * qi[c], 0.0), 0.0625), 0.3,
+                     3.0);
+      rim = (qi[c] >= QSMALL && qc[c] >= QSMALL && tc_ < 0.0)
+                ? 0.7 * 2.0 * vi * qi[c] * qc[c]
+                : 0.0;
+      melt = (qi[c] >= QSMALL && tc_ > 0.0) ? qi[c] * tc_ / 60.0 : 0.0;
     }
-    conserve2(qr[c], ev, qr_frz);
-    conserve2(qi[c], sub, melt);
+
+    // -- conservation rescaling (*_conservation, micro_p3.F90:3029-3106 +
+    //    2957-3007; mirrors physics/p3.py) --------------------------------
+    double sinks_qc = (au + ac + qc_frz + rim + shed + berg) * dt;
+    double ratio_qc = 1.0;
+    if (sinks_qc > qc[c] && sinks_qc >= 1.0e-20) {
+      ratio_qc = qc[c] / std::max(sinks_qc, 1e-30);
+      au *= ratio_qc; ac *= ratio_qc; qc_frz *= ratio_qc;
+      rim *= ratio_qc; shed *= ratio_qc; berg *= ratio_qc;
+    }
+    if (qc[c] > 1.0e-20) {
+      dep *= (1.0 - ratio_qc);
+      sub *= (1.0 - ratio_qc);
+    }
+
+    double sinks_qr = (ev + qrcol + qr_frz) * dt;
+    double sources_qr = qr[c] + (au + ac + melt + shed) * dt;
+    if (sinks_qr > sources_qr && sinks_qr >= 1.0e-20) {
+      double r = sources_qr / std::max(sinks_qr, 1e-30);
+      ev *= r; qrcol *= r; qr_frz *= r;
+    }
+
+    double sinks_qi = (sub + melt) * dt;
+    double sources_qi =
+        qi[c] + (dep + qinuc + berg + qrcol + rim + qr_frz + qc_frz) * dt;
+    if (sinks_qi > sources_qi && sinks_qi >= 1.0e-20) {
+      double r = sources_qi / std::max(sinks_qi, 1e-30);
+      sub *= r; melt *= r;
+    }
+
     conserve2(std::max(qv[c] - qv_si, 0.0), dep, qinuc);
 
-    double qc_new = qc[c] + dt * (-au - ac - qc_frz - rim);
-    double qr_new = qr[c] + dt * (au + ac - ev - qr_frz + melt);
-    double qi_new =
-        qi[c] + dt * (qc_frz + qr_frz + dep + qinuc - sub - melt + rim);
-    double qv_new = qv[c] + dt * (ev + sub - dep - qinuc);
-    // melting moves ice number to rain number; sublimation removes ice
-    // number (matches physics/p3.py's shared update equations)
     double ni2nr_melt = melt * ni[c] / std::max(qi[c], QSMALL);
-    double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz + ni2nr_melt -
-                                  ev * nr[c] / std::max(qr[c], QSMALL));
-    double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz - ni2nr_melt -
-                                  sub * ni[c] / std::max(qi[c], QSMALL));
-    double qm_new = qm[c] + dt * (rim + qr_frz -
+    double ni_sub_n = sub * ni[c] / std::max(qi[c], QSMALL);
+    double nr_evap = ev * nr[c] / std::max(qr[c], QSMALL);
+
+    {
+      double sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt;
+      // sources include nc2nr_autoconv (the reference's nr_conservation
+      // source list, micro_p3.F90:2981-3000)
+      double sources_nr = nr[c] + (ni2nr_melt + nr_shed_wg +
+                                   shed * inv_dropmass +
+                                   au * nc[c] / std::max(qc[c], QSMALL)) * dt;
+      if (sinks_nr > sources_nr) {
+        double r = sources_nr / std::max(sinks_nr, 1e-30);
+        nr_col *= r; nr_frz *= r; nr_self *= r; nr_evap *= r;
+      }
+    }
+    {
+      double sinks_ni = (ni2nr_melt + ni_sub_n + ni_self) * dt;
+      double sources_ni = ni[c] + (ninuc + nr_frz + nc_frz) * dt;
+      if (sinks_ni > sources_ni) {
+        double r = sources_ni / std::max(sinks_ni, 1e-30);
+        ni2nr_melt *= r; ni_sub_n *= r; ni_self *= r;
+      }
+    }
+
+    double qc_new = qc[c] + dt * (-au - ac - qc_frz - rim - shed - berg);
+    double qr_new = qr[c] + dt * (au + ac - ev - qr_frz - qrcol + melt + shed);
+    double qi_new = qi[c] + dt * (qc_frz + qr_frz + qrcol + dep + qinuc +
+                                  berg - sub - melt + rim);
+    double qv_new = qv[c] + dt * (ev + sub - dep - qinuc);
+    double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz - nr_col +
+                                  ni2nr_melt + shed * inv_dropmass +
+                                  nr_shed_wg - nr_evap);
+    double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz - ni_self -
+                                  ni2nr_melt - ni_sub_n);
+    double qm_new = qm[c] + dt * (rim + qr_frz + qrcol + qc_frz -
                                   (melt + sub) * qm[c] / std::max(qi[c], QSMALL));
-    double bm_new = bm[c] + dt * (rim / 400.0 + qr_frz / 900.0 -
-                                  (melt + sub) * bm[c] / std::max(qi[c], QSMALL));
+    double bm_new =
+        bm[c] + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0 -
+                      (melt + sub) * bm[c] / std::max(qi[c], QSMALL));
     theta[c] += dt / (CP_D * exner[c]) *
                 (Lv * (-ev) + Ls * (dep + qinuc - sub) +
-                 Lf * (qc_frz + qr_frz + rim - melt));
+                 Lf * (qc_frz + qr_frz + qrcol + rim + berg - melt));
 
     qc[c] = std::max(qc_new, 0.0);
     qr[c] = std::max(qr_new, 0.0);
@@ -227,17 +595,44 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     if (dz[c] < dz_min) dz_min = dz[c];
   }
 
+  // fall speeds (table tier: vm table * rhofacr for rain, table(2) *
+  // rhofaci for ice; continuous KW-style otherwise)
+  auto rain_fallspeed = [&](double qr_, double nr_, double rho,
+                            double rho0) {
+    if (!tab) {
+      return std::clamp(36.34 * std::pow(std::max(rho * qr_, 0.0), 0.1364) *
+                            std::sqrt(rho0 / rho),
+                        0.0, 9.1);
+    }
+    double lam = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
+                           std::max(nr_, NSMALL) / std::max(qr_, QSMALL));
+    int i0;
+    double fi;
+    rain_size_index((MU_R + 1.0) / lam, &i0, &fi);
+    double rhofacr = std::pow(rho_1000mb / rho, 0.54);
+    double v = rhofacr * interp_rain(g_vm, i0, fi);
+    return qr_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+  };
+  auto ice_fallspeed = [&](double qi_, double ni_, double qm_, double bm_,
+                           double rho) {
+    if (!tab) {
+      return std::clamp(1.2 * std::pow(std::max(rho * qi_, 0.0), 0.0625), 0.3,
+                        3.0);
+    }
+    double rhop = std::clamp(qm_ / std::max(bm_, 1e-30), 50.0, 900.0);
+    IceIdx idx = ice_table_indices(qi_, ni_, qm_, rhop);
+    double v = std::pow(rho_600mb / rho, 0.54) * interp_ice(2, idx);
+    return qi_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+  };
+
   // Global CFL sub-cycle count (matches the JAX path's global max, computed
-  // with pre-process rho and post-process qr/qi).
+  // with pre-process rho and post-process hydrometeors).
   for (std::int64_t c = 0; c < n; ++c) {
     std::int64_t col = c / nz;
     double rho0 = rho_pre[col * nz];
     double rho = rho_pre[c];
-    double vr = std::clamp(36.34 * std::pow(std::max(rho * qr[c], 0.0), 0.1364) *
-                               std::sqrt(rho0 / rho),
-                           0.0, 9.1);
-    double vi = std::clamp(1.2 * std::pow(std::max(rho * qi[c], 0.0), 0.0625),
-                           0.3, 3.0);
+    double vr = rain_fallspeed(qr[c], nr[c], rho, rho0);
+    double vi = ice_fallspeed(qi[c], ni[c], qm[c], bm[c], rho);
     double temp_c = temp_pre[c];
     double mu_v = 1.496e-6 * std::pow(temp_c, 1.5) / (temp_c + 120.0);
     double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
@@ -277,12 +672,8 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     for (double it = 0; it < nsub; ++it) {
       // recompute fall speeds each sub-step (matches JAX sub_body)
       for (std::int64_t k = 0; k < nz; ++k) {
-        vr_k[k] = std::clamp(
-            36.34 * std::pow(std::max(Rho[k] * Qr[k], 0.0), 0.1364) *
-                std::sqrt(rho0 / Rho[k]),
-            0.0, 9.1);
-        vi_k[k] = std::clamp(
-            1.2 * std::pow(std::max(Rho[k] * Qi[k], 0.0), 0.0625), 0.3, 3.0);
+        vr_k[k] = rain_fallspeed(Qr[k], Nr[k], Rho[k], rho0);
+        vi_k[k] = ice_fallspeed(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
         // Stokes cloud fall speed with the gamma DSD (matches the JAX
         // cloud_fallspeed; p3_main cloud sedimentation,
         // micro_p3.F90:3670-3690)

@@ -1,0 +1,149 @@
+"""On-chip timing breakdown of the benchmark step (axon TPU).
+
+Times each piece of the physics chain separately (scan-fused, value-fetch
+synced) so perf work targets the real wall, not a guess:
+
+  full        -- the bench.py step (dycore + Kessler + sponge + nudging)
+  dycore      -- dycore.time_step only
+  tendencies  -- one RHS evaluation (3 direction fluxes + FCT + div)
+  dir_x/y/z   -- one direction's fused recon+Riemann megakernel
+  kessler     -- microphysics only
+
+Usage: python scripts/profile_step.py  (env: MWML_BENCH_NX/NY/NZ, MWML_PROF_INNER)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniweatherml_tpu.config import config_from_dict
+from miniweatherml_tpu.experiments.supercell_example import build
+from miniweatherml_tpu.dycore.euler import Dycore, IDR, _AX_X, _AX_Y, _AX_Z, IDU, IDV, IDW
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    nx = int(os.environ.get("MWML_BENCH_NX", 512 if on_tpu else 64))
+    ny = int(os.environ.get("MWML_BENCH_NY", 512 if on_tpu else 64))
+    nz = int(os.environ.get("MWML_BENCH_NZ", 64 if on_tpu else 32))
+    inner = int(os.environ.get("MWML_PROF_INNER", 10 if on_tpu else 2))
+
+    config = config_from_dict(dict(
+        sim_time=1.0e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
+        xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
+        init_data="supercell", out_prefix="prof", dt_phys=0.0, out_freq=-1.0,
+    ))
+    state, mods, dycore = build(config)
+    dy = Dycore(ord=int(os.environ.get("MWML_BENCH_ORD", 5)),
+                riemann_impl="pallas" if on_tpu else "xla",
+                fast_weights=on_tpu)
+    mods = [dy.time_step] + list(mods[1:])
+    dt = dy.compute_time_step(state)
+
+    g = state.grid
+    consts = dy._consts(state)
+    hy = dy._hy(state)
+    immersed = state["immersed_proportion"]
+    positive = np.array([t.positive for t in state.meta.tracers])
+    s0, tr0 = jax.jit(dy.convert_coupler_to_dynamics)(state)
+
+    def timeit(name, fn, *args):
+        f = jax.jit(fn)
+        out = f(*args)                      # compile + run
+        val = float(jnp.max(jax.tree.leaves(out)[0]))  # sync via value fetch
+        t0 = time.perf_counter()
+        out = f(*args)
+        val = float(jnp.max(jax.tree.leaves(out)[0]))
+        el = (time.perf_counter() - t0) / inner * 1e3
+        print(f"{name:14s} {el:8.2f} ms/iter   (sync={val:.3e})")
+        return el
+
+    def scan_wrap(body):
+        def fn(s, tr):
+            def step(carry, _):
+                s, tr = carry
+                s2, tr2 = body(s, tr)
+                return (s2, tr2), None
+            (s, tr), _ = jax.lax.scan(step, (s, tr), None, length=inner)
+            return s, tr
+        return fn
+
+    # --- full chain (state-level) ---
+    def full_body(st):
+        def step(st, _):
+            for m in mods:
+                st = m(st, dt)
+            return st, None
+        st, _ = jax.lax.scan(step, st, None, length=inner)
+        return st
+
+    f = jax.jit(full_body)
+    st = f(state); _ = float(jnp.max(st.fields["temp"]))
+    t0 = time.perf_counter(); st = f(state)
+    _ = float(jnp.max(st.fields["temp"]))
+    t_full = (time.perf_counter() - t0) / inner * 1e3
+    print(f"{'full':14s} {t_full:8.2f} ms/iter")
+
+    def dyc_body(st):
+        def step(st, _):
+            return dy.time_step(st, dt), None
+        st, _ = jax.lax.scan(step, st, None, length=inner)
+        return st
+    fd = jax.jit(dyc_body)
+    st = fd(state); _ = float(jnp.max(st.fields["temp"]))
+    t0 = time.perf_counter(); st = fd(state)
+    _ = float(jnp.max(st.fields["temp"]))
+    print(f"{'dycore':14s} {(time.perf_counter() - t0) / inner * 1e3:8.2f} ms/iter")
+
+    # --- tendencies: one RHS eval ---
+    def tend(s, tr):
+        st_, tt_ = dy._tendencies(g, consts, hy, immersed, positive, None,
+                                  s, tr, dt)
+        return s + 1e-30 * st_, tr + 1e-30 * tt_
+    timeit("tendencies", scan_wrap(tend), s0, tr0)
+
+    # --- single directions ---
+    hyc = hy[0][:, :, None, None]
+    full_r0 = s0[IDR] + hyc
+
+    def mkdir(axis, n, bc, nid, label):
+        def one(s, tr):
+            SF, TF = dy._direction_fluxes(g, consts, hy, s, tr, s[IDR] + hyc,
+                                          axis, n, bc, nid, None)
+            ds = jax.lax.slice_in_dim(SF, 0, s.shape[axis + 5] if False else None, axis=0)
+            # fold a flux dependency back into the carry (keeps scan honest)
+            s2 = s + 1e-30 * (jax.lax.slice_in_dim(SF, 0, n, axis=axis)
+                              - 0.0)
+            tr2 = tr + 1e-30 * jax.lax.slice_in_dim(TF, 0, n, axis=axis)
+            return s2, tr2
+        timeit(label, scan_wrap(one), s0, tr0)
+
+    mkdir(_AX_X, g.nx, consts.bc_x, IDU, "dir_x")
+    mkdir(_AX_Z, g.nz, consts.bc_z, IDW, "dir_z")
+    if not g.sim2d:
+        mkdir(_AX_Y, g.ny, consts.bc_y, IDV, "dir_y")
+
+    # --- microphysics ---
+    micro = mods[1]
+    def kes_body(st):
+        def step(st, _):
+            return micro(st, dt), None
+        st, _ = jax.lax.scan(step, st, None, length=inner)
+        return st
+    fk = jax.jit(kes_body)
+    st = fk(state); _ = float(jnp.max(st.fields["temp"]))
+    t0 = time.perf_counter(); st = fk(state)
+    _ = float(jnp.max(st.fields["temp"]))
+    print(f"{'kessler':14s} {(time.perf_counter() - t0) / inner * 1e3:8.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ def test_conversion_roundtrip():
                                    rtol=1e-12, atol=1e-12, err_msg=name)
 
 
+@pytest.mark.slow
 def test_supercell_hydrostatic_balance():
     """Unperturbed supercell init must stay nearly motionless: the GLL
     quadrature hydrostatic integration (dynamics...h:1725-1840) balances the
@@ -51,6 +52,7 @@ def test_supercell_hydrostatic_balance():
     assert not st.validate()
 
 
+@pytest.mark.slow
 def test_thermal_symmetry_and_conservation():
     """x-symmetric thermal bubble stays x-symmetric; total mass conserved
     under periodic-x/wall-z BCs."""
@@ -74,6 +76,7 @@ def test_thermal_symmetry_and_conservation():
     assert float(jnp.abs(st["wvel"]).max()) > 0.1  # bubble actually rises
 
 
+@pytest.mark.slow
 def test_thermal_bubble_rises():
     st, dy, _ = _setup("thermal", nx=32, nz=16)
     dt = dy.compute_time_step(st)
@@ -128,6 +131,7 @@ def test_3d_runs_and_2d_consistency():
     assert float(jnp.abs(st3["vvel"]).max()) < 1e-8
 
 
+@pytest.mark.slow
 def test_building_immersed_blocks_flow():
     """Immersed boundary damps velocity inside the building box
     (dynamics...h:534-550)."""
@@ -161,4 +165,57 @@ def test_ord3_hydrostatic_and_step():
     # order-3 quadrature balances less tightly than order 5 (the 1e-4
     # bound of the ord-5 test); a few cm/s of residual w is expected
     assert float(jnp.abs(st["wvel"]).max()) < 0.05
+    assert not st.validate()
+
+
+def test_open_bc_uniform_flow_invariance():
+    """BC_OPEN end-to-end: a uniform flow through open x boundaries is an
+    exact steady state (edge replication reproduces the uniform stencil, so
+    fluxes are divergence-free).  Covers ops/stencil.py pad_bc BC_OPEN,
+    euler._apply_edge_bcs open branch, and the open halo path
+    (reference open-BC extrapolation, dynamics...h:772-779, :1021-1038)."""
+    from miniweatherml_tpu.ops.stencil import BC_OPEN
+
+    st, dy, _ = _setup("building", nx=32, ny=8, nz=12, xlen=2000.0,
+                       ylen=500.0, zlen=500.0, enable_gravity=False)
+    st = st.set_options(bc_x=BC_OPEN, use_immersed_boundaries=False)
+    dt = dy.compute_time_step(st)
+    u0 = np.asarray(st["uvel"]).copy()
+    step = jax.jit(lambda s: dy.time_step(s, dt))
+    for _ in range(5):
+        st = step(st)
+    np.testing.assert_allclose(np.asarray(st["uvel"]), u0, rtol=0,
+                               atol=1e-10)
+    assert float(jnp.abs(st["wvel"]).max()) < 1e-10
+    assert not st.validate()
+
+
+def test_open_bc_disturbance_exits():
+    """A localized momentum bump advects OUT through the open boundary and
+    leaves the domain (total perturbation energy decays), instead of
+    wrapping around as with periodic BCs."""
+    from miniweatherml_tpu.ops.stencil import BC_OPEN
+
+    st, dy, _ = _setup("building", nx=48, ny=1, nz=8, xlen=2000.0,
+                       ylen=500.0, zlen=300.0, enable_gravity=False)
+    st = st.set_options(bc_x=BC_OPEN, use_immersed_boundaries=False)
+    # temperature bump near the outflow edge
+    temp = np.asarray(st["temp"]).copy()
+    temp[:, :, :, 40:44] += 2.0
+    st = st.replace_fields(temp=jnp.asarray(temp))
+    dt = dy.compute_time_step(st)
+    dev0 = float(jnp.abs(st["temp"] - temp.mean()).sum())
+
+    def many(s):
+        def body(s, _):
+            return dy.time_step(s, dt), None
+        return jax.lax.scan(body, s, None, length=40)[0]
+
+    step40 = jax.jit(many)
+    # bump advects at u=20 + radiates acoustically at ~350 m/s; ~15 s of
+    # simulated time clears the 2 km domain through the open ends
+    for _ in range(8):
+        st = step40(st)
+    dev1 = float(jnp.abs(st["temp"] - temp.mean()).sum())
+    assert dev1 < 0.5 * dev0     # the bump left the domain
     assert not st.validate()

@@ -78,6 +78,7 @@ def test_is_active_mask():
     assert mask.sum() == 1 and mask[0, 0, 0, 0]
 
 
+@pytest.mark.slow
 def test_workflow_end_to_end(tmp_path):
     """Harvest -> train -> deploy: the full surrogate loop of SURVEY.md
     section 2.5 on a tiny supercell."""
@@ -113,6 +114,7 @@ def test_workflow_end_to_end(tmp_path):
     assert np.isfinite(diffs).all()
 
 
+@pytest.mark.slow
 def test_stats_gatherer_ratio():
     from miniweatherml_tpu.experiments.gather_statistics import (
         run_gather_statistics)

@@ -101,6 +101,77 @@ def test_p3_scheme_ice_forms_when_cold():
     assert float(jnp.max(qi)) > 0.0
 
 
+def test_p3_bergeron_grows_ice_from_liquid():
+    """Wegener-Bergeron-Findeisen (qc2qi_berg_tend,
+    micro_p3.F90:3326-3328): in a supercooled mixed-phase cell at liquid
+    saturation, ice grows at the expense of cloud water (the liquid-vs-ice
+    saturation excess deposits), while vapor deposition is suppressed for
+    the liquid-covered fraction of the step (:3051-3058)."""
+    from miniweatherml_tpu.physics.p3 import (
+        saturation_vapor_pressure as svp_l)
+
+    col = _column(tsurf=268.0, qc0=1e-3, qi0=2e-4, qv0=1e-3)
+    # set qv exactly at liquid saturation -> zero liquid supersaturation,
+    # positive ice supersaturation: only Bergeron can grow ice mass from
+    # the liquid reservoir
+    temp = np.asarray(col["theta"] * col["exner"])
+    qsl = np.asarray(svp_l(temp)) / (461.505 * temp * np.asarray(col["rho_d"]))
+    col["qv"] = jnp.asarray(qsl)
+    out = p3_scheme(**col, dt=5.0)
+    qc1, qi1, qv1 = out[0], out[4], out[8]
+    cold = temp < 273.15
+    # ice grew, cloud shrank in the supercooled levels
+    assert (np.asarray(qi1)[cold] > np.asarray(col["qi"])[cold]).all()
+    assert (np.asarray(qc1)[cold] < np.asarray(col["qc"])[cold]).all()
+
+
+def test_p3_rain_evap_uses_qv_history():
+    """evaporate_rain's analytic integration (micro_p3.F90:3383-3537)
+    consumes the previous call's qv/T through the A_c source term: a drying
+    history (qv_prev > qv) must increase the equilibrium evaporation."""
+    col = _column(tsurf=295.0, qr0=1e-3, qv0=4e-3)  # subsaturated, rainy
+    base = p3_scheme(**col, dt=30.0,
+                     qv_prev=col["qv"], t_prev=col["theta"] * col["exner"])
+    drying = p3_scheme(**col, dt=30.0,
+                       qv_prev=col["qv"] + 2e-3,
+                       t_prev=col["theta"] * col["exner"])
+    qr_base, qr_dry = np.asarray(base[2]), np.asarray(drying[2])
+    assert float(qr_base.sum()) < float(np.asarray(col["qr"]).sum())  # evap
+    # qv dropped by 2e-3 over the last step (A_c < 0) -> more evaporation
+    # needed to hold equilibrium -> less rain remains
+    assert float(qr_dry.sum()) < float(qr_base.sum())
+
+
+def test_p3_predicted_droplet_number():
+    """do_predict_nc (micro_p3.F90 p3_main nc branches): predicted nc is
+    consumed by autoconversion/accretion instead of being reset to
+    nccnst/rho each call (update_prognostic_liquid :3251-3255)."""
+    col = _column(qc0=2e-3, qv0=0.017)
+    out_presc = p3_scheme(**col, dt=20.0, do_predict_nc=False)
+    out_pred = p3_scheme(**col, dt=20.0, do_predict_nc=True)
+    rho = np.asarray(col["rho_d"]) * (1 + np.asarray(col["qv"])
+                                      + np.asarray(col["qc"]))
+    # prescribed: nc == nccnst / rho everywhere
+    np.testing.assert_allclose(np.asarray(out_presc[1]), 200.0e6 / rho,
+                               rtol=1e-2)
+    # predicted: nc decreased from its initial value where rain formed
+    nc0 = np.asarray(col["nc"])
+    nc1 = np.asarray(out_pred[1])
+    assert (nc1 <= nc0 + 1e-9).all() and (nc1 < nc0).any()
+
+
+def test_p3_freezing_rimes_ice():
+    """All freezing paths add rime mass/volume (update_prognostic_ice dum
+    term, micro_p3.F90:3180-3186): a supercooled rainy/cloudy column must
+    grow qm and bm with rime density <= 900."""
+    col = _column(tsurf=258.0, qc0=1e-3, qr0=1e-3, qi0=1e-4, qv0=1e-3)
+    out = p3_scheme(**col, dt=20.0)
+    qm1, bm1 = np.asarray(out[6]), np.asarray(out[7])
+    assert qm1.max() > 0.0 and bm1.max() > 0.0
+    rhop = qm1[qm1 > 1e-12] / np.maximum(bm1[qm1 > 1e-12], 1e-30)
+    assert (rhop <= 900.0 + 1e-6).all()
+
+
 def test_p3_scheme_water_mass_conserved_without_sedimentation():
     """Total water (qv+qc+qr+qi) is conserved by process exchanges; only
     sedimentation removes mass through the surface."""
@@ -133,6 +204,7 @@ def _p3_supercell_state(nx=24, nz=16):
     return st, dy, micro
 
 
+@pytest.mark.slow
 def test_p3_module_integration_with_dycore():
     """P3's 9 tracers ride through dycore + micro steps; state stays valid
     (the reference's supercell-with-P3 configuration)."""
@@ -160,6 +232,7 @@ def test_p3_adds_mass_flags():
         "ice_rime": False, "ice_rime_vol": False, "water_vapor": True}
 
 
+@pytest.mark.slow
 def test_p3_module_f32_supercell_no_nan():
     """f32 regression guard: the wet-growth shed fraction must not produce
     0/0 NaN on the all-ice-free initial supercell (1e-300 floors underflow

@@ -56,11 +56,22 @@ def _mixed_column(nz=24, ncol=8, seed=1):
 
 
 def test_native_scheme_matches_jax():
+    """The C++ twin runs the SAME fidelity tier as the JAX path: with the
+    v4.1.1 lookup-table asset available both sides run the table-driven
+    scheme (p3_set_tables mirrors p3_init_a/p3_init_b); without it both
+    fall back to the continuous tier."""
+    from miniweatherml_tpu.native import load_p3_library
     from miniweatherml_tpu.physics.p3 import _p3_scheme_native_callback
+    from miniweatherml_tpu.physics.p3_tables import (default_table_path,
+                                                     load_p3_tables)
+
+    tables = None
+    if load_p3_library().p3_has_tables():
+        tables = load_p3_tables(default_table_path())
 
     col = _mixed_column()
     dt = 15.0
-    jax_out = p3_scheme(**col, dt=dt, z_axis=1)
+    jax_out = p3_scheme(**col, dt=dt, z_axis=1, tables=tables)
     native_out = _p3_scheme_native_callback(
         col["qc"], col["nc"], col["qr"], col["nr"], col["qi"], col["ni"],
         col["qm"], col["bm"], col["qv"], col["theta"], col["exner"],
@@ -77,6 +88,7 @@ def test_native_scheme_matches_jax():
             rtol=1e-9, atol=1e-12 * scale, err_msg=name)
 
 
+@pytest.mark.slow
 def test_native_backend_in_module():
     """MicrophysicsP3(backend='native') runs inside jit via pure_callback."""
     from tests.test_p3 import _p3_supercell_state

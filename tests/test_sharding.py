@@ -87,6 +87,7 @@ def test_halo_width_validation():
             mesh=mesh, in_specs=P("x"), out_specs=P("x"))(arr)
 
 
+@pytest.mark.slow
 def test_shard_count_invariance():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     ref = _run_steps(mesh=None)
@@ -104,6 +105,7 @@ def test_shard_count_invariance():
                                    err_msg=f"8-dev mismatch in {k}")
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

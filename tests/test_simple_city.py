@@ -47,6 +47,24 @@ def test_city_init_random_buildings():
     assert len(np.unique(heights)) >= 3
 
 
+def test_city_heights_match_reference_rng():
+    """The shipped height stream is the reference's exact RNG sequence:
+    std::mt19937{17} + std::normal_distribution<>{60,10} under libstdc++
+    (dynamics...h:1441-1452).  First values pinned from an independent run
+    of that exact C++ expression."""
+    from miniweatherml_tpu.dycore.init_cases import _city_height_stream
+
+    expected = np.array([63.728571591396367, 56.553173412840039,
+                         61.199638244368671, 61.520419472859963,
+                         51.152126899262427])
+    got = _city_height_stream(5)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-13)
+    # Statistics sanity over the full stream.
+    full = _city_height_stream(65536)
+    assert abs(full.mean() - 60.0) < 0.2 and abs(full.std() - 10.0) < 0.2
+
+
+@pytest.mark.slow
 def test_simple_city_step_runs_and_is_finite():
     state, mods, dycore, _ = build(_building_config())
     dt = dycore.compute_time_step(state)

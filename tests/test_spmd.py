@@ -3,6 +3,7 @@ single-device and auto-SPMD results (shard-count invariance the reference
 cannot test without a cluster -- SURVEY.md section 4)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -27,6 +28,7 @@ _CHECK = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor",
           "cloud_liquid", "precip_liquid", "precl")
 
 
+@pytest.mark.slow
 def test_spmd_step_matches_single_device():
     state, mods, dycore = _build()
     from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
@@ -60,6 +62,7 @@ def test_spmd_step_matches_single_device():
             rtol=5e-5, atol=1e-7, err_msg=name)
 
 
+@pytest.mark.slow
 def test_spmd_step_multiple_steps_stay_valid():
     state, mods, dycore = _build(nx=32, ny=16, nz=12, nens=1)
     from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
@@ -77,6 +80,7 @@ def test_spmd_step_multiple_steps_stay_valid():
         st["temp"].sharding.spec == ("ens", None, "y", "x")
 
 
+@pytest.mark.slow
 def test_spmd_step_with_p3():
     """P3 (9 tracers, global sedimentation sub-cycle count via pmax/pmin)
     under the explicit shard_map path matches the single-device chain."""
@@ -149,6 +153,7 @@ def test_horizontal_sponge_spmd_matches_global():
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_spmd_step_with_pallas_kernels():
     """The Pallas megakernels run per shard inside shard_map (ppermute
     halos feed the kernels); result matches the single-device XLA chain."""
@@ -176,3 +181,46 @@ def test_spmd_step_with_pallas_kernels():
         np.testing.assert_allclose(
             np.asarray(out[name]), a,
             rtol=1e-4, atol=1e-4 * scale, err_msg=name)
+
+
+@pytest.mark.slow
+def test_spmd_pallas_open_and_wall_bc_on_sharded_axis():
+    """In-kernel boundary conditions under shard_map: with bc_x=BC_OPEN on
+    an x-sharded mesh, only the boundary shards apply the edge fixup (SMEM
+    boundary-mode scalars gated by lax.axis_index).  The sharded Pallas
+    result must match the single-device XLA path."""
+    from miniweatherml_tpu.core.coupler import Grid, make_coupler_state
+    from miniweatherml_tpu.dycore.euler import Dycore
+    from miniweatherml_tpu.ops.stencil import BC_OPEN
+    from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
+
+    g = Grid(nx=48, ny=8, nz=10, nens=1, xlen=2000.0, ylen=500.0,
+             zlen=400.0)
+    st = make_coupler_state(g, dtype="float64",
+                            options={"init_data": "building",
+                                     "out_freq": -1.0,
+                                     "enable_gravity": False})
+    micro = MicrophysicsKessler()
+    dy_x = Dycore(ord=5)
+    st = micro.init(st)
+    st = dy_x.init(st)
+    st = st.set_options(bc_x=BC_OPEN, use_immersed_boundaries=False)
+    # non-uniform field so the open-edge handling actually matters
+    temp = np.asarray(st["temp"]).copy()
+    temp[:, :, :, 20:28] += 1.5
+    st = st.replace_fields(temp=jnp.asarray(temp))
+
+    dt = dy_x.compute_time_step(st)
+    ref = jax.jit(lambda s: dy_x.time_step(s, dt))(st)
+
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    mesh = make_mesh(devices=jax.devices()[:4], ens=1)  # y=2, x=2 spatial
+    sst = shard_state(st, mesh)
+    step = make_spmd_step(st, mesh, dy_p, micro=None,
+                          sponge_time_scale=None)
+    out = jax.jit(lambda s: step(s, dt))(sst)
+    for name in ("temp", "uvel", "wvel", "water_vapor"):
+        a = np.asarray(ref[name])
+        scale = np.abs(a).max() + 1e-30
+        np.testing.assert_allclose(np.asarray(out[name]) / scale, a / scale,
+                                   rtol=0, atol=1e-11, err_msg=name)

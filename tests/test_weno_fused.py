@@ -29,6 +29,7 @@ def test_fused_matches_dense(ord_, cutoff):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dycore_fused_matches_dense_step():
     """A full dycore step must be identical (to fp tolerance) under both
     reconstruction implementations."""
