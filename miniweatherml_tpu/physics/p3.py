@@ -408,7 +408,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         dm_r2 = (MU_R + 1.0) / lamr
         i0r, fir = rain_size_index(dm_r2)
         revap_v = interp_rain(revap_row, i0r, fir)
-        cdistr = jnp.maximum(nr, NSMALL) * lamr * lamr  # Gamma(mu+1)=1
+        # cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
+        # micro_p3.F90:1880)
+        cdistr = jnp.maximum(nr, NSMALL)
         gamma_mu2 = 2.0  # Gamma(mu_r + 2) = Gamma(3)
         epsr = 2.0 * jnp.pi * cdistr * rho * dv_diff * (
             F1R * gamma_mu2 / lamr

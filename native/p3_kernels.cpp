@@ -433,7 +433,9 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       double fir;
       rain_size_index(dm_r2, &i0r, &fir);
       double revap_v = interp_rain(g_revap, i0r, fir);
-      double cdistr = std::max(nr[c], NSMALL) * lamr * lamr;
+      // cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
+      // micro_p3.F90:1880)
+      double cdistr = std::max(nr[c], NSMALL);
       double gamma_mu2 = 2.0;
       double epsr =
           2.0 * PI * cdistr * rho * dv_diff *

@@ -129,10 +129,12 @@ def test_p3_rain_evap_uses_qv_history():
     """evaporate_rain's analytic integration (micro_p3.F90:3383-3537)
     consumes the previous call's qv/T through the A_c source term: a drying
     history (qv_prev > qv) must increase the equilibrium evaporation."""
+    from miniweatherml_tpu.physics.p3_tables import load_p3_tables
+    tables = load_p3_tables()  # history term lives in the table-tier evap
     col = _column(tsurf=295.0, qr0=1e-3, qv0=4e-3)  # subsaturated, rainy
-    base = p3_scheme(**col, dt=30.0,
+    base = p3_scheme(**col, dt=30.0, tables=tables,
                      qv_prev=col["qv"], t_prev=col["theta"] * col["exner"])
-    drying = p3_scheme(**col, dt=30.0,
+    drying = p3_scheme(**col, dt=30.0, tables=tables,
                        qv_prev=col["qv"] + 2e-3,
                        t_prev=col["theta"] * col["exner"])
     qr_base, qr_dry = np.asarray(base[2]), np.asarray(drying[2])
