@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.coupler import CouplerState
-from ..ops.stencil import BC_OPEN, BC_PERIODIC, BC_WALL, gather_stencils, pad_bc
+from ..ops.stencil import (BC_OPEN, BC_PERIODIC, BC_WALL, gather_stencils,
+                           halo_strips, pad_bc)
 from ..ops.weno import reconstruct_edges, weno_matrices
 from ..ops.weno_fused import reconstruct_edges_shifted
 
@@ -75,6 +76,11 @@ NUM_STATE = 5
 # Directions: name, field axis (negative, on (nens,nz,ny,nx)), normal momentum id
 _AX_X, _AX_Y, _AX_Z = -1, -2, -3
 
+# Padded-stencil-axis cap for the whole-axis sublane kernel (beyond it the
+# Mosaic VMEM temp stack overflows; longer axes use the overlapped-chunk
+# path).  Module constant so tests can force the chunked branch.
+_SUB_WHOLE_NP_CAP = 192
+
 # Fixed max wave speed and CFL (reference dynamics...h:70-77) and the frozen
 # acoustic speed used by the Riemann solver (dynamics...h:402).
 _MAXWAVE = 350.0 + 80.0
@@ -92,6 +98,30 @@ def _index_axis(a, axis, i):
     idx = [slice(None)] * a.ndim
     idx[axis] = i
     return tuple(idx)
+
+
+def _chunk_size(n: int) -> int | None:
+    """Largest divisor of ``n`` in [32, 186] -- the per-chunk stencil extent
+    for the overlapped-chunk sublane kernel (chunk + halos must stay within
+    the Mosaic VMEM working set, like the whole-axis Np <= 192 path)."""
+    for cn in range(min(n - 1, 186), 31, -1):
+        if n % cn == 0:
+            return cn
+    return None
+
+
+def _stitch_chunk_faces(F, nens, nz, C, cn, lanes):
+    """Reassemble global faces from per-chunk face arrays.
+
+    ``F`` is (nv, nens*nz*C, cn+1, lanes) with chunks minor in the row axis.
+    Adjacent chunks both compute their shared boundary face (bitwise equal:
+    same stencil inputs); keep each chunk's first ``cn`` faces plus the last
+    chunk's final face -> (nv, nens, nz, C*cn + 1, lanes)."""
+    nv = F.shape[0]
+    F = F.reshape(nv, nens, nz, C, cn + 1, lanes)
+    body = F[:, :, :, :, :cn, :].reshape(nv, nens, nz, C * cn, lanes)
+    last = F[:, :, :, C - 1, cn:, :]
+    return jnp.concatenate([body, last], axis=3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -339,22 +369,17 @@ class Dycore:
         reconstruction replaces the reference's separate edge exchange.
         """
         hp = self.hs + 1
+        zv = normal_id if bc == BC_WALL else None
         mesh_ax = spmd.get(axis) if spmd is not None else None
         if mesh_ax is not None:
             from ..parallel.halo import exchange_halos
             name, ns = mesh_ax
-            padded = exchange_halos(prim, axis, hp, name, ns, bc)
-            if bc == BC_WALL:
-                padded = padded.at[normal_id].set(exchange_halos(
-                    prim[normal_id], axis, hp, name, ns, bc, zero_halo=True))
+            padded = exchange_halos(prim, axis, hp, name, ns, bc,
+                                    zero_var=zv)
             return self._recon_from_padded(padded, axis, n)
-        padded = pad_bc(prim, axis, hp, bc)
-        if bc == BC_WALL:
-            # Wall: zero the normal-velocity halos (negative axis index is
-            # valid for the one-fewer-dim per-var array too).
-            padded = padded.at[normal_id].set(
-                pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True)
-            )
+        # Wall: the normal-velocity halo is zeroed, fused into the pad
+        # (zero_var) so no second full-array pass is needed.
+        padded = pad_bc(prim, axis, hp, bc, zero_var=zv)
         return self._recon_from_padded(padded, axis, n)
 
     def _recon_from_padded(self, padded, axis, n):
@@ -428,16 +453,12 @@ class Dycore:
         tr_flux = ru_upw * jnp.where(useL[None], TRL, TRR) / r_upw
         return flux, tr_flux
 
-    def _direction_fluxes(self, grid, consts, hy, s, tr, full_r, axis, n, bc,
+    def _direction_fluxes(self, grid, consts, hy, prim, axis, n, bc,
                           normal_id, spmd=None):
-        """Full per-direction pipeline: de-densitize -> pad/BC -> WENO ->
+        """Per-direction pipeline on the shared de-densitized variables
+        (computed once per RHS in _tendencies): pad/BC -> WENO ->
         backgrounds/density at faces -> face BCs -> Riemann."""
         hyc, hyt, hye, hyte = hy
-        # de-densitized variables (dynamics...h:248-255): rho', u, v, w,
-        # (rho theta)', tracer concentrations
-        prim = jnp.concatenate(
-            [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT : IDT + 1], tr / full_r]
-        )
         # The Pallas megakernels run single-device AND inside shard_map
         # (halos then come from ring ppermute exchanges); physical edge BCs
         # (wall/open) are applied inside the kernel from SMEM boundary-mode
@@ -482,30 +503,33 @@ class Dycore:
 
         hyc, hyt, hye, hyte = hy
         hp = self.hs + 1
+        Np = n + 2 + 2 * self.hs
+        zv = normal_id if bc == BC_WALL else None
         mesh_ax = spmd.get(axis) if spmd is not None else None
+        # Unsharded, un-chunked axes reconstruct their exterior face limits
+        # in-block (local_edges: hs-wide strips, lane/sublane-aligned vector
+        # widths); sharded or chunked axes need the halo-cell
+        # reconstruction, so their strips are hp-wide.
+        will_chunk = (axis == _AX_Y and Np > _SUB_WHOLE_NP_CAP
+                      and _chunk_size(n) is not None)
+        hw = self.hs if (mesh_ax is None and not will_chunk) else hp
         # In-kernel boundary mode: 0 none, 1 wall, 2 open.
         mode = {BC_PERIODIC: 0, BC_WALL: 1, BC_OPEN: 2}[bc]
         if mesh_ax is not None:
-            # inside shard_map: halo cells come from the ring neighbors
-            from ..parallel.halo import exchange_halos
+            # inside shard_map: halo strips come from the ring neighbors
+            from ..parallel.halo import exchange_halo_strips
             name, ns = mesh_ax
-            padded = exchange_halos(prim, axis, hp, name, ns, bc)
-            if bc == BC_WALL:
-                padded = padded.at[normal_id].set(exchange_halos(
-                    prim[normal_id], axis, hp, name, ns, bc, zero_halo=True))
+            lo, hi = exchange_halo_strips(prim, axis, hw, name, ns, bc,
+                                          zero_var=zv)
             idx = jax.lax.axis_index(name)
             bc_lo = jnp.where(idx == 0, mode, 0).astype(jnp.int32)
             bc_hi = jnp.where(idx == ns - 1, mode, 0).astype(jnp.int32)
         else:
-            padded = pad_bc(prim, axis, hp, bc)
-            if bc == BC_WALL:
-                padded = padded.at[normal_id].set(
-                    pad_bc(prim[normal_id], axis, hp, bc, zero_halo=True))
+            lo, hi = halo_strips(prim, axis, hw, bc, zero_var=zv)
             bc_lo = bc_hi = jnp.int32(mode)
 
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
-        Np = n + 2 + 2 * self.hs
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
         kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra)
         y_lane_layout = False
@@ -513,37 +537,79 @@ class Dycore:
         kw["bc"] = (bc_lo, bc_hi)
 
         if axis == _AX_X:
-            flat = padded.reshape(nvar, nens * nz * ny, Np)
+            flat = prim.reshape(nvar, nens * nz * ny, n)
+            lo_f = lo.reshape(nvar, nens * nz * ny, hw)
+            hi_f = hi.reshape(nvar, nens * nz * ny, hw)
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, ny)).reshape(-1)
             hyt_rows = jnp.broadcast_to(
                 hyt[:, :, None], (nens, nz, ny)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args, **kw)
-        elif axis == _AX_Y and Np <= 192:
+            SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
+                                             *args, **kw)
+        elif axis == _AX_Y and Np <= _SUB_WHOLE_NP_CAP:
             # stencil on the sublane axis; x stays on lanes (no transpose).
-            # Only viable while the whole padded stencil axis fits in the
-            # VMEM working set (Np*128 lanes within the Mosaic temp stack).
-            resh = padded.reshape(nvar, nens * nz, Np, nx)
+            # Only viable while the whole stencil axis fits in the VMEM
+            # working set (Np*128 lanes within the Mosaic temp stack).
+            resh = prim.reshape(nvar, nens * nz, n, nx)
+            lo_r = lo.reshape(nvar, nens * nz, hw, nx)
+            hi_r = hi.reshape(nvar, nens * nz, hw, nx)
             hyr_r = hyc.reshape(-1, 1)
             hyt_r = hyt.reshape(-1, 1)
-            SF, TF = direction_fluxes_pallas_sub(resh, hyr_r, hyt_r, *args, **kw)
+            SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r,
+                                                 hyr_r, hyt_r, *args, **kw)
+        elif axis == _AX_Y and (cn := _chunk_size(n)) is not None:
+            # large ny: split the stencil axis into chunks that individually
+            # fit in VMEM, still on sublanes -- no transpose.  Chunks are a
+            # free reshape; each chunk's halo strips come from its
+            # neighbors in the same row (global strips at the ends).  A
+            # chunk produces its cn+1 faces; the shared chunk-boundary face
+            # is computed identically in both chunks (same stencil inputs)
+            # and _stitch_chunk_faces drops the duplicates.
+            C = n // cn
+            resh = prim.reshape(nvar, nens * nz * C, cn, nx)
+            los = [lo] + [
+                jax.lax.slice_in_dim(prim, c * cn - hp, c * cn, axis=3)
+                for c in range(1, C)]
+            his = [
+                jax.lax.slice_in_dim(prim, (c + 1) * cn,
+                                     (c + 1) * cn + hp, axis=3)
+                for c in range(C - 1)] + [hi]
+            lo_r = jnp.stack(los, axis=3).reshape(
+                nvar, nens * nz * C, hp, nx)
+            hi_r = jnp.stack(his, axis=3).reshape(
+                nvar, nens * nz * C, hp, nx)
+            hyr_r = jnp.broadcast_to(
+                hyc[:, :, None], (nens, nz, C)).reshape(-1, 1)
+            hyt_r = jnp.broadcast_to(
+                hyt[:, :, None], (nens, nz, C)).reshape(-1, 1)
+            SF, TF = direction_fluxes_pallas_sub(
+                resh, lo_r, hi_r, hyr_r, hyt_r, cn, *args[1:], nchunk=C,
+                **kw)
+            SF = _stitch_chunk_faces(SF, nens, nz, C, cn, nx)
+            TF = _stitch_chunk_faces(TF, nens, nz, C, cn, nx)
         elif axis == _AX_Y:
-            # large ny: transpose y onto lanes and use the lane kernel
-            moved = jnp.moveaxis(padded, -2, -1)   # (nvar, E, Z, X, Np)
-            flat = moved.reshape(nvar, nens * nz * nx, Np)
+            # no usable chunk size: transpose y onto lanes, lane kernel
+            moved = jnp.moveaxis(prim, -2, -1)     # (nvar, E, Z, X, n)
+            flat = moved.reshape(nvar, nens * nz * nx, n)
+            lo_f = jnp.moveaxis(lo, -2, -1).reshape(nvar, nens * nz * nx, hw)
+            hi_f = jnp.moveaxis(hi, -2, -1).reshape(nvar, nens * nz * nx, hw)
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, nx)).reshape(-1)
             hyt_rows = jnp.broadcast_to(
                 hyt[:, :, None], (nens, nz, nx)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, hyr_f, hyt_f, *args, **kw)
+            SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
+                                             *args, **kw)
             y_lane_layout = True
         else:  # _AX_Z
-            resh = padded.reshape(nvar, nens, Np, ny * nx)
-            SF, TF = direction_fluxes_pallas_sub(resh, hye, hyte, *args, **kw)
+            resh = prim.reshape(nvar, nens, n, ny * nx)
+            lo_r = lo.reshape(nvar, nens, hw, ny * nx)
+            hi_r = hi.reshape(nvar, nens, hw, ny * nx)
+            SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
+                                                 *args, **kw)
 
         # Unflatten back to the (nv, nens, nz, ny, nx)-faces layout.
         def back(F):
@@ -609,18 +675,23 @@ class Dycore:
         full_r = s[IDR] + hyc
         sim2d = grid.sim2d
 
+        # De-densitized variables (dynamics...h:248-255): rho', u, v, w,
+        # (rho theta)', tracer concentrations -- computed ONCE, shared by
+        # all three direction pipelines.
+        prim = jnp.concatenate(
+            [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT:IDT + 1], tr / full_r]
+        )
+
         SFx, TFx = self._direction_fluxes(
-            grid, consts, hy, s, tr, full_r, _AX_X, grid.nx, consts.bc_x,
-            IDU, spmd)
+            grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd)
         SFz, TFz = self._direction_fluxes(
-            grid, consts, hy, s, tr, full_r, _AX_Z, grid.nz, consts.bc_z,
-            IDW, spmd)
+            grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd)
         if sim2d:
             SFy = TFy = None
         else:
             SFy, TFy = self._direction_fluxes(
-                grid, consts, hy, s, tr, full_r, _AX_Y, grid.ny, consts.bc_y,
-                IDV, spmd)
+                grid, consts, hy, prim, _AX_Y, grid.ny, consts.bc_y, IDV,
+                spmd)
 
         TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt, spmd)
 

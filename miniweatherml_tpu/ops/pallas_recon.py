@@ -184,26 +184,48 @@ def _weno_edges(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff, axis=None,
                              cutoff, axis=axis, fast_weights=fast_weights)
 
 
-def _kernel(bc_ref, p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n, ord_,
-            tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
-            gamma, fast_weights=False, opt=True):
-    """Lane-stencil variant: padded prim (nvar, Bt, Np) with the stencil on
-    the last (lane) axis -- the natural layout for the x direction.
-    ``bc_ref`` is an SMEM (2,) int32: [bc_lo, bc_hi] boundary modes
-    (0 none, 1 wall, 2 open) applied at global faces 0 / n in-kernel."""
-    x = p_ref[...]
-    gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
-                               idl, cutoff, fast_weights=fast_weights,
-                               opt=opt)
-    nd = gll_l.ndim
-    L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
-    R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
+def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
+            *, n, ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
+            ntracers, C0, gamma, fast_weights=False, opt=True,
+            local_edges=False):
+    """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
+    the last (lane) axis -- the natural layout for the x direction -- plus
+    halo strips assembled in VMEM (the full-array HBM pad copy never
+    exists).  ``bc_ref`` is an SMEM (2,) int32: [bc_lo, bc_hi] boundary
+    modes (0 none, 1 wall, 2 open) applied at global faces 0 / n in-kernel.
+
+    ``local_edges`` (unsharded axes): reconstruct exactly ``n`` cells --
+    lane-aligned vector widths -- and take the two exterior face limits by
+    wrapping in-block.  Valid because for periodic single-device axes the
+    halo cells ARE the wrapped interior cells (bitwise-identical windows),
+    and for wall/open the exterior limits are overwritten by the BC rules
+    (reference dynamics...h:1005-1081) regardless.  Strips are hs wide.
+    Sharded/chunked axes use local_edges=False with hp-wide strips (the
+    halo cells there belong to a neighbor and must be reconstructed)."""
+    x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-1)
+    nd = x.ndim
+    if local_edges:
+        gll_l, gll_r = _weno_edges(x, n, ord_, tv_terms, edge_terms,
+                                   idl, cutoff, fast_weights=fast_weights,
+                                   opt=opt)
+        L = jnp.concatenate(
+            [jax.lax.slice_in_dim(gll_r, n - 1, n, axis=nd - 1), gll_r],
+            axis=-1)
+        R = jnp.concatenate(
+            [gll_l, jax.lax.slice_in_dim(gll_l, 0, 1, axis=nd - 1)],
+            axis=-1)
+    else:
+        gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
+                                   idl, cutoff, fast_weights=fast_weights,
+                                   opt=opt)
+        L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 1)
+        R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
     L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -1)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma)
 
 
-def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
+def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
                             block_rows: int = 8, fast_weights: bool = False,
@@ -211,10 +233,11 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
     """Fused recon+Riemann over the LAST axis.
 
     Args:
-      padded: (nvar, B, n + 2 + 2*hs) de-densitized prims with halos, the
-        stencil axis last (callers transpose y/z directions into this
-        layout; the transposes are bandwidth-cheap relative to the fusion
-        win).
+      prim: (nvar, B, n) de-densitized prims WITHOUT halos, the stencil
+        axis last (callers transpose y/z directions into this layout).
+      lo / hi: (nvar, B, hp) halo strips (hp = hs + 1) -- wrap slices,
+        BC edge slabs, or ring-exchange strips; the kernel concatenates
+        them in VMEM so no padded HBM copy is ever built.
       hy_r_faces / hy_t_faces: (B, n+1) hydrostatic background (density /
         rho*theta) at the faces of each row.
       n: number of interior cells along the direction.
@@ -226,10 +249,14 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nvar, B, Np = padded.shape
+    nvar, B, nn = prim.shape
     ntracers = nvar - NUM_STATE
     ord_ = mats.ord
-    assert Np == n + 2 + (ord_ - 1), (Np, n, ord_)
+    hs = (ord_ - 1) // 2
+    local_edges = lo.shape[-1] == hs          # hs-wide strips: in-block edges
+    hp = hs if local_edges else hs + 1
+    assert nn == n and lo.shape[-1] == hp and hi.shape[-1] == hp, (
+        prim.shape, lo.shape, n, ord_)
     tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
 
     Bt = min(block_rows, B)
@@ -238,7 +265,8 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
-        C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt)
+        C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
+        local_edges=local_edges)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -247,7 +275,11 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nvar, Bt, Np), lambda b: (0, b, 0),
+            pl.BlockSpec((nvar, Bt, n), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -261,31 +293,57 @@ def direction_fluxes_pallas(padded, hy_r_faces, hy_t_faces, n: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, B, n + 1), padded.dtype),
-            jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), padded.dtype),
+            jax.ShapeDtypeStruct((NUM_STATE, B, n + 1), prim.dtype),
+            jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), prim.dtype),
         ],
         # Pallas has no native CPU lowering; tests run interpreted.
         interpret=jax.devices()[0].platform != "tpu",
-    )(bc_arr, padded, hy_r_faces, hy_t_faces)
+    )(bc_arr, prim, lo, hi, hy_r_faces, hy_t_faces)
     return sf, tf[:ntracers]
 
 
-def _kernel_sub(bc_ref, p_ref, hyr_ref, hyt_ref, sf_ref, tf_ref, *, n,
-                ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
-                ntracers, C0, gamma, fast_weights=False, opt=True):
-    """Sublane-stencil variant: block (nvar, R, Np, L) with the stencil on
-    axis -2 (TPU sublanes for the minor pair) -- the natural layout for the
-    y and z directions, avoiding any transpose.  hy refs are (R, F, 1)
-    blocks with F in {1, n+1} broadcasting over faces/lanes.  ``bc_ref`` as
-    in _kernel."""
-    x = p_ref[...]
+def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
+                tf_ref, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
+                normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
+                nchunk=1, local_edges=False):
+    """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
+    stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
+    layout for the y and z directions, avoiding any transpose -- plus
+    hp-wide halo strips (nvar, R, hp, L) assembled in VMEM.  hy refs are
+    (R, F, 1) blocks with F in {1, n+1} broadcasting over faces/lanes.
+    ``bc_ref`` as in _kernel.
+
+    ``nchunk > 1``: the R axis interleaves ``nchunk`` stencil chunks per
+    physical row (rows-major, chunks minor), each with its own neighbor
+    strips; the physical boundary faces exist only in the first/last
+    chunk, so the BC modes are gated on the chunk index of this block
+    (requires row blocks of 1)."""
+    from jax.experimental import pallas as pl
+
+    x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-2)
     nd = x.ndim
-    gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
-                               idl, cutoff, axis=nd - 2,
-                               fast_weights=fast_weights, opt=opt)
-    L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
-    R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
-    L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -2)
+    if local_edges:
+        gll_l, gll_r = _weno_edges(x, n, ord_, tv_terms, edge_terms,
+                                   idl, cutoff, axis=nd - 2,
+                                   fast_weights=fast_weights, opt=opt)
+        L = jnp.concatenate(
+            [jax.lax.slice_in_dim(gll_r, n - 1, n, axis=nd - 2), gll_r],
+            axis=nd - 2)
+        R = jnp.concatenate(
+            [gll_l, jax.lax.slice_in_dim(gll_l, 0, 1, axis=nd - 2)],
+            axis=nd - 2)
+    else:
+        gll_l, gll_r = _weno_edges(x, n + 2, ord_, tv_terms, edge_terms,
+                                   idl, cutoff, axis=nd - 2,
+                                   fast_weights=fast_weights, opt=opt)
+        L = jax.lax.slice_in_dim(gll_r, 0, n + 1, axis=nd - 2)
+        R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 2)
+    bc_lo, bc_hi = bc_ref[0], bc_ref[1]
+    if nchunk > 1:
+        c = pl.program_id(0) % nchunk
+        bc_lo = jnp.where(c == 0, bc_lo, 0)
+        bc_hi = jnp.where(c == nchunk - 1, bc_hi, 0)
+    L, R = _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma)
 
@@ -351,36 +409,48 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
         tf_ref[...] = adv * jnp.where(useL, trL * rL, trR * rR)
 
 
-def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
+def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 mats: WenoMatrices, cutoff: float,
                                 normal_id: int, C0: float, gamma: float,
-                                row_block: int = 1, lane_block: int = 512,
+                                row_block: int = 1, lane_block: int = 128,
                                 fast_weights: bool = False, opt: bool = True,
-                                bc=(0, 0)):
+                                bc=(0, 0), nchunk: int = 1):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
-      padded: (nvar, R, Np, L) -- R rows (e.g. nens*nz for y, nens for z),
-        Np = n + 2 + 2hs the padded stencil axis, L the minor lanes axis
-        (x, or y*x for z).
+      prim: (nvar, R, n, L) WITHOUT halos -- R rows (e.g. nens*nz for y,
+        nens for z), n the stencil axis, L the minor lanes axis (x, or
+        y*x for z).
+      lo / hi: (nvar, R, hp, L) halo strips, concatenated in VMEM.
       hy_r / hy_t: (R, F) with F = 1 (constant along the stencil axis, the
         x/y case) or F = n + 1 (per-face profiles, the z case).
+      nchunk: R interleaves this many stencil chunks per physical row
+        (chunks minor), each with its own neighbor strips; BC modes apply
+        only in the first/last chunk.  Callers chunk a long stencil axis
+        (VMEM cap) and stitch the per-chunk faces back
+        (euler._direction_fluxes_pallas).
 
     Returns (state_flux (5, R, n+1, L), tracer_flux (nt, R, n+1, L)).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nvar, Rr, Np, Ll = padded.shape
+    nvar, Rr, nn, Ll = prim.shape
     ntracers = nvar - NUM_STATE
     ord_ = mats.ord
-    assert Np == n + 2 + (ord_ - 1)
+    hs = (ord_ - 1) // 2
+    local_edges = lo.shape[2] == hs           # hs-wide strips: in-block edges
+    hp = hs if local_edges else hs + 1
+    Np = n + 2 * hp
+    assert nn == n and lo.shape[2] == hp and hi.shape[2] == hp
+    assert not (local_edges and nchunk > 1), \
+        "chunked axes need neighbor-cell reconstructions (hp-wide strips)"
     tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
     F = hy_r.shape[1]
     hy3 = hy_r.reshape(Rr, F, 1)
     hyt3 = hy_t.reshape(Rr, F, 1)
 
-    Rt = min(row_block, Rr)
+    Rt = 1 if nchunk > 1 else min(row_block, Rr)
     # Working set scales with Np*Lt: cap so the Mosaic temp stack stays
     # inside the 16 MB VMEM (empirically ~24k Np*lanes at nvar=8 f32;
     # MWML_PALLAS_BUDGET overrides for experiments).
@@ -394,7 +464,7 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
         ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
-        opt=opt)
+        opt=opt, nchunk=nchunk, local_edges=local_edges)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -403,7 +473,11 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nvar, Rt, Np, Lt), lambda r, l: (0, r, 0, l),
+            pl.BlockSpec((nvar, Rt, n, Lt), lambda r, l: (0, r, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -417,10 +491,10 @@ def direction_fluxes_pallas_sub(padded, hy_r, hy_t, n: int,
                          lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, Rr, n + 1, Ll), padded.dtype),
+            jax.ShapeDtypeStruct((NUM_STATE, Rr, n + 1, Ll), prim.dtype),
             jax.ShapeDtypeStruct((max(ntracers, 1), Rr, n + 1, Ll),
-                                 padded.dtype),
+                                 prim.dtype),
         ],
         interpret=jax.devices()[0].platform != "tpu",
-    )(bc_arr, padded, hy3, hyt3)
+    )(bc_arr, prim, lo, hi, hy3, hyt3)
     return sf, tf[:ntracers]

@@ -40,7 +40,8 @@ def _ring_perms(n: int):
 
 
 def exchange_halos(arr, axis: int, halo: int, axis_name: str, nshards: int,
-                   bc: int = BC_PERIODIC, zero_halo: bool = False):
+                   bc: int = BC_PERIODIC, zero_halo: bool = False,
+                   zero_var: int | None = None):
     """Pad a shard-local block with ``halo`` cells from ring neighbors.
 
     Must be called inside ``shard_map`` with ``axis_name`` a mesh axis of
@@ -51,6 +52,8 @@ def exchange_halos(arr, axis: int, halo: int, axis_name: str, nshards: int,
     shards): BC_PERIODIC wraps (the ring already does), BC_OPEN replicates
     the edge cell, BC_WALL replicates with ``zero_halo=True`` zeroing the
     halo (wall-normal velocity, reference dynamics...h:768-797).
+    ``zero_var`` zeroes only variable index ``zero_var`` (leading axis 0)
+    inside the boundary-shard halos -- the fused stacked-variable form.
     """
     if arr.shape[axis] < halo:
         raise ValueError(
@@ -60,7 +63,8 @@ def exchange_halos(arr, axis: int, halo: int, axis_name: str, nshards: int,
     if nshards == 1:
         # Degenerate ring: fall back to local padding semantics.
         from ..ops.stencil import pad_bc
-        return pad_bc(arr, axis, halo, bc, zero_halo=zero_halo)
+        return pad_bc(arr, axis, halo, bc, zero_halo=zero_halo,
+                      zero_var=zero_var)
 
     fwd, bwd = _ring_perms(nshards)
     my_right = _slice_axis(arr, axis, arr.shape[axis] - halo, arr.shape[axis])
@@ -83,10 +87,55 @@ def exchange_halos(arr, axis: int, halo: int, axis_name: str, nshards: int,
             reps[axis] = halo
             bdy_left = jnp.tile(edge_l, reps)
             bdy_right = jnp.tile(edge_r, reps)
+        if zero_var is not None:
+            mask = (jnp.arange(arr.shape[0]) == zero_var).reshape(
+                (-1,) + (1,) * (arr.ndim - 1))
+            bdy_left = jnp.where(mask, 0.0, bdy_left).astype(arr.dtype)
+            bdy_right = jnp.where(mask, 0.0, bdy_right).astype(arr.dtype)
         left_halo = jnp.where(idx == 0, bdy_left, left_halo)
         right_halo = jnp.where(idx == nshards - 1, bdy_right, right_halo)
 
     return jnp.concatenate([left_halo, arr, right_halo], axis=axis)
+
+
+def exchange_halo_strips(arr, axis: int, halo: int, axis_name: str,
+                         nshards: int, bc: int = BC_PERIODIC,
+                         zero_var: int | None = None):
+    """Like exchange_halos but returns the two strips instead of the
+    concatenated array -- for consumers that assemble the halo in VMEM
+    (the Pallas megakernels)."""
+    if arr.shape[axis] < halo:
+        raise ValueError(
+            f"shard-local extent {arr.shape[axis]} along axis {axis} is "
+            f"smaller than the halo width {halo} (ord too high for this "
+            f"grid/mesh split); use fewer shards or a larger grid")
+    if nshards == 1:
+        from ..ops.stencil import halo_strips
+        return halo_strips(arr, axis, halo, bc, zero_var=zero_var)
+
+    fwd, bwd = _ring_perms(nshards)
+    my_right = _slice_axis(arr, axis, arr.shape[axis] - halo, arr.shape[axis])
+    my_left = _slice_axis(arr, axis, 0, halo)
+    left_halo = lax.ppermute(my_right, axis_name, fwd)
+    right_halo = lax.ppermute(my_left, axis_name, bwd)
+
+    if bc != BC_PERIODIC:
+        idx = lax.axis_index(axis_name)
+        edge_l = _slice_axis(arr, axis, 0, 1)
+        edge_r = _slice_axis(arr, axis, arr.shape[axis] - 1, arr.shape[axis])
+        reps = [1] * arr.ndim
+        reps[axis] = halo
+        bdy_left = jnp.tile(edge_l, reps)
+        bdy_right = jnp.tile(edge_r, reps)
+        if zero_var is not None:
+            mask = (jnp.arange(arr.shape[0]) == zero_var).reshape(
+                (-1,) + (1,) * (arr.ndim - 1))
+            bdy_left = jnp.where(mask, 0.0, bdy_left).astype(arr.dtype)
+            bdy_right = jnp.where(mask, 0.0, bdy_right).astype(arr.dtype)
+        left_halo = jnp.where(idx == 0, bdy_left, left_halo)
+        right_halo = jnp.where(idx == nshards - 1, bdy_right, right_halo)
+
+    return left_halo, right_halo
 
 
 def exchange_face_scalar(arr, axis: int, axis_name: str, nshards: int,

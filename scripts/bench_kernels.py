@@ -24,6 +24,7 @@ NENS, NZ, NY, NX = 1, 64, 512, 512
 NVAR = 8
 ORD = 5
 HS = (ORD - 1) // 2
+HP = HS + 1
 INNER = 20
 
 
@@ -60,46 +61,53 @@ def main():
 
     # ---- x-direction shapes ----
     B = NENS * NZ * NY
-    Np = NX + 2 + 2 * HS
-    padded = jnp.asarray(rng.normal(size=(NVAR, B, Np)), dt) + 2.0
+    prim = jnp.asarray(rng.normal(size=(NVAR, B, NX)), dt) + 2.0
+    lo = jnp.asarray(rng.normal(size=(NVAR, B, HP)), dt) + 2.0
+    hi = jnp.asarray(rng.normal(size=(NVAR, B, HP)), dt) + 2.0
     hyr = jnp.ones((B, NX + 1), dt)
     hyt = jnp.full((B, NX + 1), 300.0, dt)
 
     for bt in (8, 16):
         fn = lambda x, bt=bt: PR.direction_fluxes_pallas(
-            x, hyr, hyt, NX, mats, 0.0, 1, 27.5, 1.4,
+            x, lo, hi, hyr, hyt, NX, mats, 0.0, 1, 27.5, 1.4,
             block_rows=bt, fast_weights=True)
-        timeit(f"x lane-kernel block_rows={bt}", scan_wrap(fn), padded)
+        timeit(f"x lane-kernel block_rows={bt}", scan_wrap(fn), prim)
     fn = lambda x: PR.direction_fluxes_pallas(
-        x, hyr, hyt, NX, mats, 0.0, 1, 27.5, 1.4,
+        x, lo, hi, hyr, hyt, NX, mats, 0.0, 1, 27.5, 1.4,
         block_rows=8, fast_weights=True, opt=False)
-    timeit("x lane-kernel ref-algebra (opt=0)", scan_wrap(fn), padded)
+    timeit("x lane-kernel ref-algebra (opt=0)", scan_wrap(fn), prim)
 
     # ---- z-direction shapes ----
-    Npz = NZ + 2 + 2 * HS
-    padded_z = jnp.asarray(rng.normal(size=(NVAR, NENS, Npz, NY * NX)), dt) + 2.0
+    prim_z = jnp.asarray(rng.normal(size=(NVAR, NENS, NZ, NY * NX)), dt) + 2.0
+    lo_z = jnp.asarray(rng.normal(size=(NVAR, NENS, HP, NY * NX)), dt) + 2.0
+    hi_z = jnp.asarray(rng.normal(size=(NVAR, NENS, HP, NY * NX)), dt) + 2.0
     hye = jnp.ones((NENS, NZ + 1), dt)
     hyte = jnp.full((NENS, NZ + 1), 300.0, dt)
 
-    for lb, budget in ((128, 24000), (256, 24000), (512, 48000),
-                       (1024, 96000)):
+    for lb, budget in ((128, 24000), (256, 24000), (512, 48000)):
         os.environ["MWML_PALLAS_BUDGET"] = str(budget)
         fn = lambda x, lb=lb: PR.direction_fluxes_pallas_sub(
-            x, hye, hyte, NZ, mats, 0.0, 3, 27.5, 1.4,
+            x, lo_z, hi_z, hye, hyte, NZ, mats, 0.0, 3, 27.5, 1.4,
             row_block=1, lane_block=lb, fast_weights=True)
-        timeit(f"z sub-kernel lane_block={lb}", scan_wrap(fn), padded_z)
+        timeit(f"z sub-kernel lane_block={lb}", scan_wrap(fn), prim_z)
     os.environ.pop("MWML_PALLAS_BUDGET", None)
 
-    # ---- y-direction via transposed lane kernel (what the step does) ----
-    Npy = NY + 2 + 2 * HS
-    padded_y = jnp.asarray(rng.normal(size=(NVAR, NENS * NZ * NX, Npy)),
-                           dt) + 2.0
-    hyr_y = jnp.ones((NENS * NZ * NX, NY + 1), dt)
-    hyt_y = jnp.full((NENS * NZ * NX, NY + 1), 300.0, dt)
-    fn = lambda x: PR.direction_fluxes_pallas(
-        x, hyr_y, hyt_y, NY, mats, 0.0, 2, 27.5, 1.4,
-        block_rows=8, fast_weights=True)
-    timeit("y lane-kernel (pre-transposed)", scan_wrap(fn), padded_y)
+    # ---- y-direction via chunked sublane kernel (what the step does) ----
+    for cn in (64, 128):
+        C = NY // cn
+        prim_y = jnp.asarray(
+            rng.normal(size=(NVAR, NENS * NZ * C, cn, NX)), dt) + 2.0
+        lo_y = jnp.asarray(
+            rng.normal(size=(NVAR, NENS * NZ * C, HP, NX)), dt) + 2.0
+        hi_y = jnp.asarray(
+            rng.normal(size=(NVAR, NENS * NZ * C, HP, NX)), dt) + 2.0
+        hyr_y = jnp.ones((NENS * NZ * C, 1), dt)
+        hyt_y = jnp.full((NENS * NZ * C, 1), 300.0, dt)
+        fn = lambda x, cn=cn, C=C, l=lo_y, h=hi_y, hr=hyr_y, ht=hyt_y: \
+            PR.direction_fluxes_pallas_sub(
+                x, l, h, hr, ht, cn, mats, 0.0, 2, 27.5, 1.4,
+                fast_weights=True, nchunk=C)
+        timeit(f"y chunked sub-kernel cn={cn}", scan_wrap(fn), prim_y)
 
 
 if __name__ == "__main__":

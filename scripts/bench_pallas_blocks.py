@@ -22,9 +22,12 @@ hy = dy._hy(st)
 s, tr = dy.convert_coupler_to_dynamics(st)
 full_r = s[0] + hy[0][:, :, None, None]
 prim = jnp.concatenate([s[0:1], s[1:4] / full_r, s[4:5], tr / full_r])
-from miniweatherml_tpu.ops.stencil import pad_bc
-padded = pad_bc(prim, -1, dy.hs + 1, consts.bc_x)
-flat = padded.reshape(8, g.nens * g.nz * g.ny, padded.shape[-1])
+from miniweatherml_tpu.ops.stencil import halo_strips
+hp = dy.hs + 1
+lo, hi = halo_strips(prim, -1, hp, consts.bc_x)
+flat = prim.reshape(8, g.nens * g.nz * g.ny, g.nx)
+lo_f = lo.reshape(8, g.nens * g.nz * g.ny, hp)
+hi_f = hi.reshape(8, g.nens * g.nz * g.ny, hp)
 hyr_rows = jnp.broadcast_to(hy[0][:, :, None], (1, 64, 512)).reshape(-1)
 hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, g.nx + 1))
 hyt_rows = jnp.broadcast_to(hy[1][:, :, None], (1, 64, 512)).reshape(-1)
@@ -37,8 +40,14 @@ def sync(x):
 
 
 # XLA reference timing for this single direction
+def _prim(s_, tr_):
+    full_r = s_[0] + hy[0][:, :, None, None]
+    return jnp.concatenate([s_[0:1], s_[1:4] / full_r, s_[4:5],
+                            tr_ / full_r])
+
+
 fx = jax.jit(lambda a: dy._direction_fluxes(
-    g, consts, hy, a[0], a[1], a[0][0] + hy[0][:, :, None, None],
+    g, consts, hy, _prim(a[0], a[1]),
     _AX_X, g.nx, consts.bc_x, IDU, None))
 o = fx((s, tr)); sync(o[0])
 t0 = time.perf_counter()
@@ -49,8 +58,8 @@ print(f"xla x-direction: {(time.perf_counter()-t0)/5*1000:.1f} ms", flush=True)
 
 for bt in (8, 16, 32, 64, 128):
     f = jax.jit(lambda fl, hr, ht, _bt=bt: direction_fluxes_pallas(
-        fl, hr, ht, g.nx, dy.mats, 0.0, IDU, consts.C0, consts.gamma,
-        block_rows=_bt))
+        fl, lo_f, hi_f, hr, ht, g.nx, dy.mats, 0.0, IDU, consts.C0,
+        consts.gamma, block_rows=_bt))
     try:
         o = f(flat, hyr_f, hyt_f); sync(o[0])
         t0 = time.perf_counter()

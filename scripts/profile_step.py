@@ -116,7 +116,10 @@ def main():
 
     def mkdir(axis, n, bc, nid, label):
         def one(s, tr):
-            SF, TF = dy._direction_fluxes(g, consts, hy, s, tr, s[IDR] + hyc,
+            full_r = s[IDR] + hyc
+            prim = jnp.concatenate(
+                [s[IDR:IDU], s[IDU:4] / full_r, s[4:5], tr / full_r])
+            SF, TF = dy._direction_fluxes(g, consts, hy, prim,
                                           axis, n, bc, nid, None)
             ds = jax.lax.slice_in_dim(SF, 0, s.shape[axis + 5] if False else None, axis=0)
             # fold a flux dependency back into the carry (keeps scan honest)

@@ -80,3 +80,75 @@ def test_pallas_fast_weights_close_to_exact():
         np.testing.assert_allclose(np.asarray(out_f[name]), a,
                                    rtol=0.05, atol=0.05, err_msg=name)
     assert out_f.validate() == {}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bc", [(0, 0), (1, 1), (2, 2)])
+def test_pallas_chunked_y_matches_whole_axis(bc):
+    """The overlapped-chunk sublane path (long stencil axes over the VMEM
+    cap) reproduces the whole-axis kernel bitwise: each chunk sees the same
+    stencil inputs, _stitch_chunk_faces drops the duplicated chunk-boundary
+    faces, and the physical BC modes apply only in the first/last chunk."""
+    import jax.numpy as jnp
+
+    import miniweatherml_tpu.dycore.euler as E
+    from miniweatherml_tpu.ops.pallas_recon import direction_fluxes_pallas_sub
+    from miniweatherml_tpu.ops.weno import weno_matrices
+
+    rng = np.random.default_rng(3)
+    nvar, R, n, L = 8, 6, 48, 16
+    hp = 3
+    Np = n + 2 * hp
+    padded = jnp.asarray(rng.normal(size=(nvar, R, Np, L)) * 0.01 + 1.0)
+    prim = padded[:, :, hp:hp + n]
+    lo, hi = padded[:, :, :hp], padded[:, :, hp + n:]
+    hyr = jnp.asarray(np.abs(rng.normal(size=(R, 1))) + 1.0)
+    hyt = jnp.asarray(np.abs(rng.normal(size=(R, 1))) + 300.0)
+    mats = weno_matrices(5)
+    C0, gamma = 27.562941, 1.4
+    SF1, TF1 = direction_fluxes_pallas_sub(
+        prim, lo, hi, hyr, hyt, n, mats, 0.0, 2, C0, gamma, bc=bc)
+
+    cn, C = 12, 4
+    resh = prim.reshape(nvar, R * C, cn, L)
+    los = [lo] + [jax.lax.slice_in_dim(prim, c * cn - hp, c * cn, axis=2)
+                  for c in range(1, C)]
+    his = [jax.lax.slice_in_dim(prim, (c + 1) * cn, (c + 1) * cn + hp,
+                                axis=2) for c in range(C - 1)] + [hi]
+    lo_c = jnp.stack(los, axis=2).reshape(nvar, R * C, hp, L)
+    hi_c = jnp.stack(his, axis=2).reshape(nvar, R * C, hp, L)
+    hyr_c = jnp.broadcast_to(hyr[:, None], (R, C, 1)).reshape(-1, 1)
+    hyt_c = jnp.broadcast_to(hyt[:, None], (R, C, 1)).reshape(-1, 1)
+    SFc, TFc = direction_fluxes_pallas_sub(
+        resh, lo_c, hi_c, hyr_c, hyt_c, cn, mats, 0.0, 2, C0, gamma,
+        bc=bc, nchunk=C)
+    SFs = E._stitch_chunk_faces(SFc, 1, R, C, cn, L)[:, 0]
+    TFs = E._stitch_chunk_faces(TFc, 1, R, C, cn, L)[:, 0]
+    np.testing.assert_array_equal(np.asarray(SFs), np.asarray(SF1))
+    np.testing.assert_array_equal(np.asarray(TFs), np.asarray(TF1))
+
+
+@pytest.mark.slow
+def test_pallas_chunked_y_in_dycore_step():
+    """End-to-end: a ny large enough to take the chunked branch (forced by
+    shrinking the chunk ceiling) matches the XLA path."""
+    import miniweatherml_tpu.dycore.euler as E
+
+    st, dy_x, _ = _setup("supercell", nx=16, ny=48, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dt = dy_x.compute_time_step(st)
+    out_x = jax.jit(lambda s: dy_x.time_step(s, dt))(st)
+    orig_cap, orig_cs = E._SUB_WHOLE_NP_CAP, E._chunk_size
+    try:
+        # ny=48 -> Np=54 would take the whole-axis branch; force chunks.
+        E._SUB_WHOLE_NP_CAP = 16
+        E._chunk_size = lambda n: 12 if n == 48 else orig_cs(n)
+        dy_c = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+        out_c = jax.jit(lambda s: dy_c.time_step(s, dt))(st)
+    finally:
+        E._SUB_WHOLE_NP_CAP, E._chunk_size = orig_cap, orig_cs
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[name]), np.asarray(out_x[name]),
+            rtol=1e-9, atol=1e-11, err_msg=name)
