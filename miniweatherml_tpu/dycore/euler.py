@@ -454,10 +454,14 @@ class Dycore:
         return flux, tr_flux
 
     def _direction_fluxes(self, grid, consts, hy, prim, axis, n, bc,
-                          normal_id, spmd=None):
+                          normal_id, spmd=None, div_scale=None):
         """Per-direction pipeline on the shared de-densitized variables
         (computed once per RHS in _tendencies): pad/BC -> WENO ->
-        backgrounds/density at faces -> face BCs -> Riemann."""
+        backgrounds/density at faces -> face BCs -> Riemann.
+
+        ``div_scale`` (pallas path only): the state output is the per-cell
+        divergence contribution instead of face fluxes (see
+        ops/pallas_recon._riemann_block)."""
         hyc, hyt, hye, hyte = hy
         # The Pallas megakernels run single-device AND inside shard_map
         # (halos then come from ring ppermute exchanges); physical edge BCs
@@ -466,7 +470,8 @@ class Dycore:
         # fused path.
         if self.riemann_impl == "pallas":
             return self._direction_fluxes_pallas(
-                grid, consts, hy, prim, axis, n, bc, normal_id, spmd)
+                grid, consts, hy, prim, axis, n, bc, normal_id, spmd,
+                div_scale=div_scale)
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -488,7 +493,7 @@ class Dycore:
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
-                                 normal_id, spmd=None):
+                                 normal_id, spmd=None, div_scale=None):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
@@ -531,7 +536,8 @@ class Dycore:
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
-        kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra)
+        kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra,
+                  div_scale=div_scale)
         y_lane_layout = False
 
         kw["bc"] = (bc_lo, bc_hi)
@@ -587,7 +593,8 @@ class Dycore:
             SF, TF = direction_fluxes_pallas_sub(
                 resh, lo_r, hi_r, hyr_r, hyt_r, cn, *args[1:], nchunk=C,
                 **kw)
-            SF = _stitch_chunk_faces(SF, nens, nz, C, cn, nx)
+            if div_scale is None:
+                SF = _stitch_chunk_faces(SF, nens, nz, C, cn, nx)
             TF = _stitch_chunk_faces(TF, nens, nz, C, cn, nx)
         elif axis == _AX_Y:
             # no usable chunk size: transpose y onto lanes, lane kernel
@@ -611,19 +618,21 @@ class Dycore:
             SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
                                                  *args, **kw)
 
-        # Unflatten back to the (nv, nens, nz, ny, nx)-faces layout.
-        def back(F):
+        # Unflatten back to the (nv, nens, nz, ny, nx) layout (m = n+1
+        # faces, or n cells for the in-kernel state divergence).
+        def back(F, m):
             nv = F.shape[0]
             if axis == _AX_X:
-                return F.reshape(nv, nens, nz, ny, n + 1)
+                return F.reshape(nv, nens, nz, ny, m)
             if axis == _AX_Y:
                 if y_lane_layout:
                     return jnp.moveaxis(
-                        F.reshape(nv, nens, nz, nx, n + 1), -1, -2)
-                return F.reshape(nv, nens, nz, n + 1, nx)
-            return F.reshape(nv, nens, n + 1, ny, nx)
+                        F.reshape(nv, nens, nz, nx, m), -1, -2)
+                return F.reshape(nv, nens, nz, m, nx)
+            return F.reshape(nv, nens, m, ny, nx)
 
-        return back(SF), back(TF)
+        m_s = n if div_scale is not None else n + 1
+        return back(SF, m_s), back(TF, n + 1)
 
     def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None):
         """Flux-corrected transport: scale outgoing tracer fluxes so no cell
@@ -682,26 +691,41 @@ class Dycore:
             [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT:IDT + 1], tr / full_r]
         )
 
+        # Pallas kernels emit the state divergence contribution directly
+        # (state fluxes are never FCT-limited, so their faces need not
+        # round-trip through HBM); the XLA path emits faces.
+        kdiv = self.riemann_impl == "pallas"
+        ds_x = (1.0 / grid.dx) if kdiv else None
+        ds_y = (1.0 / grid.dy) if kdiv else None
+        ds_z = (1.0 / grid.dz) if kdiv else None
+
         SFx, TFx = self._direction_fluxes(
-            grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd)
+            grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd,
+            div_scale=ds_x)
         SFz, TFz = self._direction_fluxes(
-            grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd)
+            grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd,
+            div_scale=ds_z)
         if sim2d:
             SFy = TFy = None
         else:
             SFy, TFy = self._direction_fluxes(
                 grid, consts, hy, prim, _AX_Y, grid.ny, consts.bc_y, IDV,
-                spmd)
+                spmd, div_scale=ds_y)
 
         TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt, spmd)
 
         def div(F, axis, n, dxi):
             return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi
 
-        s_tend = div(SFx, _AX_X, grid.nx, grid.dx) + div(SFz, _AX_Z, grid.nz, grid.dz)
+        if kdiv:
+            s_tend = SFx + SFz
+        else:
+            s_tend = (div(SFx, _AX_X, grid.nx, grid.dx)
+                      + div(SFz, _AX_Z, grid.nz, grid.dz))
         t_tend = div(TFx, _AX_X, grid.nx, grid.dx) + div(TFz, _AX_Z, grid.nz, grid.dz)
         if not sim2d:
-            s_tend = s_tend + div(SFy, _AX_Y, grid.ny, grid.dy)
+            s_tend = s_tend + (SFy if kdiv
+                               else div(SFy, _AX_Y, grid.ny, grid.dy))
             t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 
         # Gravity + Coriolis sources (dynamics...h:524-527).

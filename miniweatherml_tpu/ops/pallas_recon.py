@@ -187,7 +187,7 @@ def _weno_edges(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff, axis=None,
 def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
             *, n, ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
             ntracers, C0, gamma, fast_weights=False, opt=True,
-            local_edges=False):
+            local_edges=False, div_scale=None):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -222,14 +222,16 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
         R = jax.lax.slice_in_dim(gll_l, 1, n + 2, axis=nd - 1)
     L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -1)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
-                   normal_id, ntracers, C0, gamma)
+                   normal_id, ntracers, C0, gamma, div_scale=div_scale,
+                   face_axis=-1)
 
 
 def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
                             block_rows: int = 8, fast_weights: bool = False,
-                            opt: bool = True, bc=(0, 0)):
+                            opt: bool = True, bc=(0, 0),
+                            div_scale: float | None = None):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -261,12 +263,13 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
 
     Bt = min(block_rows, B)
     grid = (math.ceil(B / Bt),)
+    n_s_out = n if div_scale is not None else n + 1
 
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
-        local_edges=local_edges)
+        local_edges=local_edges, div_scale=div_scale)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -287,13 +290,13 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NUM_STATE, Bt, n + 1), lambda b: (0, b, 0),
+            pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(ntracers, 1), Bt, n + 1), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, B, n + 1), prim.dtype),
+            jax.ShapeDtypeStruct((NUM_STATE, B, n_s_out), prim.dtype),
             jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), prim.dtype),
         ],
         # Pallas has no native CPU lowering; tests run interpreted.
@@ -305,7 +308,7 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
 def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
                 tf_ref, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
                 normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
-                nchunk=1, local_edges=False):
+                nchunk=1, local_edges=False, div_scale=None):
     """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
     stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
     layout for the y and z directions, avoiding any transpose -- plus
@@ -345,7 +348,8 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
         bc_hi = jnp.where(c == nchunk - 1, bc_hi, 0)
     L, R = _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
-                   normal_id, ntracers, C0, gamma)
+                   normal_id, ntracers, C0, gamma, div_scale=div_scale,
+                   face_axis=-2)
 
 
 def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
@@ -378,9 +382,16 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
-                   gamma):
+                   gamma, div_scale=None, face_axis=-1):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
-    arrays broadcast against the per-var face blocks."""
+    arrays broadcast against the per-var face blocks.
+
+    ``div_scale`` (1/dx): emit the STATE divergence contribution
+    ``(F[f] - F[f+1]) / dx`` per cell instead of the n+1 face fluxes --
+    the state fluxes are never FCT-limited (only tracers are,
+    dynamics...h:498-516), so their face round-trip through HBM can be
+    skipped entirely.  Tracer fluxes always stay faces (FCT couples the
+    three directions outside the kernel)."""
     rL = L[IDR] + hyr
     rR = R[IDR] + hyr
     ruL = L[normal_id] * rL
@@ -402,7 +413,15 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
     fT = adv * jnp.where(useL, rtL, rtR)
     flux = [ru_upw, fU, fV, fW, fT]
     flux[normal_id] = flux[normal_id] + p_upw
-    sf_ref[...] = jnp.stack(flux)
+    sflux = jnp.stack(flux)
+    if div_scale is None:
+        sf_ref[...] = sflux
+    else:
+        fa = face_axis % sflux.ndim
+        nf = sflux.shape[fa]
+        a = jax.lax.slice_in_dim(sflux, 0, nf - 1, axis=fa)
+        b = jax.lax.slice_in_dim(sflux, 1, nf, axis=fa)
+        sf_ref[...] = (a - b) * div_scale
     if ntracers:
         trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
         trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
@@ -414,7 +433,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 normal_id: int, C0: float, gamma: float,
                                 row_block: int = 1, lane_block: int = 128,
                                 fast_weights: bool = False, opt: bool = True,
-                                bc=(0, 0), nchunk: int = 1):
+                                bc=(0, 0), nchunk: int = 1,
+                                div_scale: float | None = None):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -451,6 +471,7 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     hyt3 = hy_t.reshape(Rr, F, 1)
 
     Rt = 1 if nchunk > 1 else min(row_block, Rr)
+    n_s_out = n if div_scale is not None else n + 1
     # Working set scales with Np*Lt: cap so the Mosaic temp stack stays
     # inside the 16 MB VMEM (empirically ~24k Np*lanes at nvar=8 f32;
     # MWML_PALLAS_BUDGET overrides for experiments).
@@ -464,7 +485,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
         ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
-        opt=opt, nchunk=nchunk, local_edges=local_edges)
+        opt=opt, nchunk=nchunk, local_edges=local_edges,
+        div_scale=div_scale)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -485,13 +507,13 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NUM_STATE, Rt, n + 1, Lt),
+            pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
                          lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
             pl.BlockSpec((max(ntracers, 1), Rt, n + 1, Lt),
                          lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, Rr, n + 1, Ll), prim.dtype),
+            jax.ShapeDtypeStruct((NUM_STATE, Rr, n_s_out, Ll), prim.dtype),
             jax.ShapeDtypeStruct((max(ntracers, 1), Rr, n + 1, Ll),
                                  prim.dtype),
         ],
