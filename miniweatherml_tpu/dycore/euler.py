@@ -101,13 +101,15 @@ def _index_axis(a, axis, i):
 
 
 def _chunk_size(n: int) -> int | None:
-    """Largest divisor of ``n`` in [32, 186] -- the per-chunk stencil extent
-    for the overlapped-chunk sublane kernel (chunk + halos must stay within
-    the Mosaic VMEM working set, like the whole-axis Np <= 192 path)."""
-    for cn in range(min(n - 1, 186), 31, -1):
-        if n % cn == 0:
-            return cn
-    return None
+    """Divisor of ``n`` in [32, 186] closest to 64 -- the per-chunk stencil
+    extent for the chunked sublane kernel (chunk + halos must stay within
+    the Mosaic VMEM working set; ~64 sublanes measured fastest)."""
+    best = None
+    for cn in range(32, min(n - 1, 186) + 1):
+        if n % cn == 0 and (best is None
+                            or abs(cn - 64) < abs(best - 64)):
+            best = cn
+    return best
 
 
 def _stitch_chunk_faces(F, nens, nz, C, cn, lanes):

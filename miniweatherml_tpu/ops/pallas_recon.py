@@ -137,14 +137,62 @@ def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
             acc = t if acc is None else acc + t
         return acc
 
-    tvs = []
-    for forms in tv_factors:
-        acc = None
-        for terms in forms:
-            f = linform(terms)
-            t = f * f
-            acc = t if acc is None else acc + t
-        tvs.append(acc)
+    def high_tv_sym():
+        # persymmetric high-order TV on pair sums/diffs (weno_fused.
+        # _high_symforms): halves the linear-form multiply-adds.
+        from .weno_fused import _high_symforms
+
+        ev_forms, od_forms = _high_symforms(ord_)
+        h = ord_ // 2
+        P = [shifts[i] + shifts[ord_ - 1 - i] for i in range(h)]
+        M = [shifts[i] - shifts[ord_ - 1 - i] for i in range(h)]
+        th = None
+        for coefs in ev_forms:
+            f = jnp.asarray(coefs[-1], dt) * shifts[h]
+            for c, p in zip(coefs[:-1], P):
+                f = f + jnp.asarray(c, dt) * p
+            th = f * f if th is None else th + f * f
+        for coefs in od_forms:
+            f = None
+            for c, m in zip(coefs, M):
+                t = jnp.asarray(c, dt) * m
+                f = t if f is None else f + t
+            th = th + f * f
+        return th
+
+    if ord_ == 5:
+        # Jiang-Shu factorization of the 3-tap sub-stencil TVs (exactly the
+        # reference's G_k = 13/12 d d^T + 1/4 f f^T) built on shared first
+        # differences: ~30% fewer limiter flops than the generic
+        # eigenvector forms, identical values up to rounding.
+        s = shifts
+        c1312 = jnp.asarray(13.0 / 12.0, dt)
+        c14 = jnp.asarray(0.25, dt)
+        two = jnp.asarray(2.0, dt)
+        e0 = s[0] - s[1]
+        e1 = s[2] - s[1]
+        e2 = s[2] - s[3]
+        e3 = s[4] - s[3]
+        d0 = e0 + e1             # s0 - 2 s1 + s2
+        d1 = e1 + e2             # -(s1 - 2 s2 + s3); sign dies in square
+        d2 = e2 + e3             # s2 - 2 s3 + s4
+        m13 = e2 - e1            # s1 - s3
+        f0 = d0 + two * e1       # s0 - 4 s1 + 3 s2
+        f2 = d2 + two * e2       # 3 s2 - 4 s3 + s4
+        tvs = [c1312 * (d0 * d0) + c14 * (f0 * f0),
+               c1312 * (d1 * d1) + c14 * (m13 * m13),
+               c1312 * (d2 * d2) + c14 * (f2 * f2),
+               high_tv_sym()]
+    else:
+        tvs = []
+        for forms in tv_factors[:-1]:
+            acc = None
+            for terms in forms:
+                f = linform(terms)
+                t = f * f
+                acc = t if acc is None else acc + t
+            tvs.append(acc)
+        tvs.append(high_tv_sym())
 
     T = tvs[0]
     for tv in tvs[1:]:
@@ -229,7 +277,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
 def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
-                            block_rows: int = 8, fast_weights: bool = False,
+                            block_rows: int = 16, fast_weights: bool = False,
                             opt: bool = True, bc=(0, 0),
                             div_scale: float | None = None):
     """Fused recon+Riemann over the LAST axis.

@@ -129,6 +129,45 @@ def _opt_terms(ord_: int):
             tuple(float(v) for v in mats.idl))
 
 
+@lru_cache(maxsize=None)
+def _high_symforms(ord_: int):
+    """Even/odd eigenforms of the high-order TV quadratic form.
+
+    G_high is persymmetric (the TV integral is symmetric about the cell
+    center), so its eigenvectors split into even/odd-symmetric families:
+    TV_high = sum_e (ev_e . P)^2 + sum_o (od_o . M)^2 evaluated on the
+    pair sums P_i = s_i + s_{n-1-i} (plus the center sample) and pair
+    diffs M_i = s_i - s_{n-1-i} -- about half the multiply-adds of the
+    dense per-eigenvector forms.
+
+    Returns (even, odd): even entries are (pair coefs..., center coef),
+    odd entries are (pair coefs...).
+    """
+    from .weno import weno_matrices
+
+    G = np.asarray(weno_matrices(ord_).G[-1], float)
+    n = G.shape[0]
+    J = np.eye(n)[::-1]
+    assert np.abs(J @ G @ J - G).max() <= 1e-12 * np.abs(G).max()
+    w, V = np.linalg.eigh(G)
+    even, odd = [], []
+    for i in range(n):
+        if w[i] <= 1e-12 * w.max():
+            continue
+        v = V[:, i] * np.sqrt(w[i])
+        if np.abs(v - J @ v).max() < 1e-9:
+            even.append(v)
+        elif np.abs(v + J @ v).max() < 1e-9:
+            odd.append(v)
+        else:  # pragma: no cover - persymmetry guarantees the split
+            raise AssertionError("non-symmetric eigenvector of TV form")
+    h = n // 2
+    ev = tuple(tuple([float(v[i]) for i in range(h)] + [float(v[h])])
+               for v in even)
+    od = tuple(tuple(float(v[i]) for i in range(h)) for v in odd)
+    return ev, od
+
+
 def reconstruct_edges_shifted(padded, axis: int, n_out: int,
                               mats: WenoMatrices, cutoff: float = 0.0):
     """WENO-limited left/right edge values from a padded array.
