@@ -72,10 +72,17 @@ def main() -> None:
     # community_benchmark supercell geometry (819.2 km x 819.2 km x 20 km,
     # reference experiments/community_benchmark/inputs/input_euler3d*.yaml),
     # scaled to the chosen grid at the same ~400 m/200 m resolution class.
+    # MWML_BENCH_DTYPE=float64 records the double-precision datapoint (the
+    # reference's `real` is double, main_header.h:59); f32 is the TPU-native
+    # default and the headline configuration.
+    dtype = os.environ.get("MWML_BENCH_DTYPE", "float32")
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     config = config_from_dict(dict(
         sim_time=1.0e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
         xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
         init_data="supercell", out_prefix="bench", dt_phys=0.0, out_freq=-1.0,
+        dtype=dtype,
     ))
     state, mods, dycore = build(config)
     # MWML_BENCH_ORD=3 matches the reference's own benchmark builds
@@ -133,7 +140,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "supercell cell-updates/sec/chip "
                   f"({nx}x{ny}x{nz}, {steps}x{inner} steps, "
-                  f"{jax.devices()[0].platform})",
+                  f"{jax.devices()[0].platform}"
+                  + (f", {dtype}" if dtype != "float32" else "") + ")",
         "value": round(mcellups, 3),
         "unit": "Mcellups",
         "vs_baseline": round(mcellups / _BASELINE_MCELLUPS, 3),

@@ -30,7 +30,16 @@ __all__ = ["MicrophysicsKessler", "kessler_column"]
 
 class MicrophysicsKessler:
     """Registers water_vapor / cloud_liquid / precip_liquid tracers and the
-    ``precl`` precipitation-rate field (reference microphysics_kessler.h:51-95)."""
+    ``precl`` precipitation-rate field (reference microphysics_kessler.h:51-95).
+
+    ``impl``: "xla" (lax.while_loop sub-cycling), "pallas" (VMEM-resident
+    sub-cycle kernel, physics/kessler_pallas.py), or "auto" (= xla).
+    Identical arithmetic.  The Pallas kernel wins in isolation on TPU
+    (7.0 vs 9.0 ms at 512x512x64 -- no per-subcycle HBM round-trip) but
+    LOSES inside the full physics chain (its call boundary blocks XLA from
+    fusing the scheme's prep/post elementwise passes with the neighboring
+    ops), so the fused while_loop stays the default; "pallas" is the
+    right choice when rainsplit is large (heavy rain, small dz)."""
 
     # physical constants (reference microphysics_kessler.h:30-41)
     R_d, cp_d = 287.0, 1003.0
@@ -38,6 +47,11 @@ class MicrophysicsKessler:
     p0, grav = 1.0e5, 9.81
 
     num_tracers = 3
+
+    def __init__(self, impl: str = "auto"):
+        if impl not in ("auto", "xla", "pallas"):
+            raise ValueError("impl must be 'auto', 'xla' or 'pallas'")
+        self.impl = impl
 
     def init(self, state: CouplerState) -> CouplerState:
         g = state.grid
@@ -76,10 +90,20 @@ class MicrophysicsKessler:
         theta = temp / exner
         zmid = ((jnp.arange(g.nz, dtype=temp.dtype) + 0.5) * g.dz)[None, :, None, None]
 
-        theta, qv, qc, qr, precl = kessler_column(
-            theta, qv, qc, qr, rho_d, zmid, exner, dt,
-            self.R_d, self.cp_d, self.p0, z_axis=1, spmd_axes=spmd_axes,
-        )
+        if self.impl == "pallas":
+            from .kessler_pallas import kessler_subcycle_pallas
+
+            rainsplit = kessler_rainsplit(qr, rho_d, zmid, dt,
+                                          spmd_axes=spmd_axes)
+            theta, qv, qc, qr, precl = kessler_subcycle_pallas(
+                theta, qv, qc, qr, rho_d, exner, rainsplit, dt, g.dz,
+                self.R_d, self.cp_d, self.p0)
+        else:
+            theta, qv, qc, qr, precl = kessler_column(
+                theta, qv, qc, qr, rho_d, zmid, exner, dt,
+                self.R_d, self.cp_d, self.p0, z_axis=1,
+                spmd_axes=spmd_axes,
+            )
 
         return state.replace_fields(
             water_vapor=qv * rho_d,
@@ -90,6 +114,25 @@ class MicrophysicsKessler:
             temp=theta * exner,
             precl=precl,
         )
+
+
+def kessler_rainsplit(qr, rho, z, dt, spmd_axes: tuple = ()):
+    """The sedimentation sub-cycle count (reference
+    microphysics_kessler.h:262-280): max stable sub-step from the min over
+    cells below the top of 0.8 dz / velqr, then rainsplit = ceil(dt/max).
+    Same arithmetic as kessler_column's prologue; shared by the Pallas
+    path, which needs the count outside the kernel."""
+    nz = qr.shape[1]
+    r = 0.001 * rho
+    rhalf = jnp.sqrt(rho[:, 0:1] / rho)
+    velqr = 36.34 * (qr * r) ** 0.1364 * rhalf
+    dz_lev = z[:, 1:nz] - z[:, 0:nz - 1]
+    vel_lo = velqr[:, 0:nz - 1]
+    dt2d = jnp.where(vel_lo > 1e-10, 0.8 * dz_lev / vel_lo, dt)
+    dt_max = jnp.minimum(jnp.min(dt2d), dt)
+    for ax_name in spmd_axes:
+        dt_max = jax.lax.pmin(dt_max, ax_name)
+    return jnp.ceil(dt / dt_max).astype(jnp.int32)
 
 
 def kessler_column(theta, qv, qc, qr, rho, z, pk, dt, Rd, cp, p0, z_axis=0,

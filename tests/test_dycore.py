@@ -168,6 +168,7 @@ def test_ord3_hydrostatic_and_step():
     assert not st.validate()
 
 
+@pytest.mark.slow
 def test_open_bc_uniform_flow_invariance():
     """BC_OPEN end-to-end: a uniform flow through open x boundaries is an
     exact steady state (edge replication reproduces the uniform stencil, so

@@ -1,10 +1,12 @@
 """Kessler microphysics unit tests (reference microphysics_kessler.h)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from miniweatherml_tpu.physics.kessler import kessler_column
+from miniweatherml_tpu.physics.perturb import perturb_temperature
 
 
 def _column(nz=40, ncol=3, dz=500.0, dtype=jnp.float64):
@@ -105,3 +107,27 @@ def test_jit_and_vectorized_shapes():
     th2, qv2, qc2, qr2, precl = f(theta, qv, qc, qr, rho, jnp.asarray(z), pk)
     assert th2.shape == shape
     assert precl.shape == (2, ny, nx)
+
+
+@pytest.mark.slow
+def test_kessler_pallas_matches_xla():
+    """The VMEM-resident Pallas sub-cycle kernel (physics/kessler_pallas.py)
+    reproduces the while_loop path's arithmetic (interpret mode on CPU;
+    same comparison runs on hardware via bench/verify)."""
+    from tests.test_dycore import _setup
+
+    st, dy, micro = _setup("supercell", nx=24, ny=4, nz=12,
+                           xlen=100000.0, ylen=100000.0, zlen=20000.0)
+    st = perturb_temperature(st)
+    dt = 6.0
+    from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
+
+    m_x = MicrophysicsKessler(impl="xla")
+    m_p = MicrophysicsKessler(impl="pallas")
+    out_x = jax.jit(lambda s: m_x.time_step(s, dt))(st)
+    out_p = jax.jit(lambda s: m_p.time_step(s, dt))(st)
+    for name in ("temp", "water_vapor", "cloud_liquid", "precip_liquid",
+                 "precl"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[name]), np.asarray(out_x[name]),
+            rtol=1e-12, atol=1e-14, err_msg=name)

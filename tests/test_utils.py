@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from miniweatherml_tpu.utils.profiling import (annotate, reset_timers, timer,
                                                timer_report)
@@ -27,6 +28,7 @@ def test_annotate_runs():
     assert float(y.sum()) == 8.0
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_resumes_identically(tmp_path):
     """Run 4 steps; checkpoint at 2; restart from the checkpoint and verify
     the resumed trajectory matches the uninterrupted one."""
