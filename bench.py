@@ -99,6 +99,9 @@ def main() -> None:
     # library default because auto-SPMD cannot partition pallas_call; opt
     # out with MWML_BENCH_PALLAS=0.)
     use_pallas = os.environ.get("MWML_BENCH_PALLAS", "1" if on_tpu else "0") == "1"
+    # Mosaic TPU kernels are f32-only; the f64 datapoint runs the XLA path.
+    if dtype == "float64":
+        use_pallas = False
     if ordv != 5 or use_pallas:
         from miniweatherml_tpu.dycore.euler import Dycore
         dy = Dycore(ord=ordv,

@@ -548,10 +548,12 @@ class Dycore:
             flat = prim.reshape(nvar, nens * nz * ny, n)
             lo_f = lo.reshape(nvar, nens * nz * ny, hw)
             hi_f = hi.reshape(nvar, nens * nz * ny, hw)
-            hyr_f = jnp.broadcast_to(
-                hyc[:, :, None], (nens, nz, ny)).reshape(-1, 1)
-            hyt_f = jnp.broadcast_to(
-                hyt[:, :, None], (nens, nz, ny)).reshape(-1, 1)
+            hyr_rows = jnp.broadcast_to(
+                hyc[:, :, None], (nens, nz, ny)).reshape(-1)
+            hyt_rows = jnp.broadcast_to(
+                hyt[:, :, None], (nens, nz, ny)).reshape(-1)
+            hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
             SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
                                              *args, **kw)
         elif axis == _AX_Y and Np <= _SUB_WHOLE_NP_CAP:
@@ -602,10 +604,12 @@ class Dycore:
             flat = moved.reshape(nvar, nens * nz * nx, n)
             lo_f = jnp.moveaxis(lo, -2, -1).reshape(nvar, nens * nz * nx, hw)
             hi_f = jnp.moveaxis(hi, -2, -1).reshape(nvar, nens * nz * nx, hw)
-            hyr_f = jnp.broadcast_to(
-                hyc[:, :, None], (nens, nz, nx)).reshape(-1, 1)
-            hyt_f = jnp.broadcast_to(
-                hyt[:, :, None], (nens, nz, nx)).reshape(-1, 1)
+            hyr_rows = jnp.broadcast_to(
+                hyc[:, :, None], (nens, nz, nx)).reshape(-1)
+            hyt_rows = jnp.broadcast_to(
+                hyt[:, :, None], (nens, nz, nx)).reshape(-1)
+            hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
+            hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
             SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
                                              *args, **kw)
             y_lane_layout = True

@@ -207,16 +207,14 @@ def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
         tot = tot + w
     inv = recip(tot)
 
-    # normalized weights shared by both edges
-    wn = [w * inv for w in ws]
     edges = []
     for e in range(2):
         acc = None
         for k, terms in enumerate(edge_terms):
             if gamma is not None:
-                c = wn[k] + jnp.asarray(gamma[e, k], dt) * wn[-1]
+                c = (ws[k] + jnp.asarray(gamma[e, k], dt) * ws[-1]) * inv
             else:
-                c = wn[k]
+                c = ws[k] * inv
             t = c * linform(terms[e])
             acc = t if acc is None else acc + t
         edges.append(acc)
@@ -290,8 +288,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
       lo / hi: (nvar, B, hp) halo strips (hp = hs + 1) -- wrap slices,
         BC edge slabs, or ring-exchange strips; the kernel concatenates
         them in VMEM so no padded HBM copy is ever built.
-      hy_r_faces / hy_t_faces: (B, F) hydrostatic background (density /
-        rho*theta), F = 1 (row-constant, the x/y case) or n+1 (per-face).
+      hy_r_faces / hy_t_faces: (B, n+1) hydrostatic background (density /
+        rho*theta) at the faces of each row.
       n: number of interior cells along the direction.
       normal_id: index of the normal-momentum variable (IDU/IDV/IDW).
 
@@ -314,7 +312,6 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     Bt = min(block_rows, B)
     grid = (math.ceil(B / Bt),)
     n_s_out = n if div_scale is not None else n + 1
-    Fh = hy_r_faces.shape[1]
 
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
@@ -335,9 +332,9 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, Fh), lambda b: (b, 0),
+            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, Fh), lambda b: (b, 0),
+            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
