@@ -48,6 +48,10 @@ class MicrophysicsKessler:
 
     num_tracers = 3
 
+    # class default so subclasses with their own __init__ (e.g. the
+    # surrogate micro) inherit the implementation choice
+    impl = "auto"
+
     def __init__(self, impl: str = "auto"):
         if impl not in ("auto", "xla", "pallas"):
             raise ValueError("impl must be 'auto', 'xla' or 'pallas'")
