@@ -522,6 +522,7 @@ class Dycore:
         hw = self.hs if (mesh_ax is None and not will_chunk) else hp
         # In-kernel boundary mode: 0 none, 1 wall, 2 open.
         mode = {BC_PERIODIC: 0, BC_WALL: 1, BC_OPEN: 2}[bc]
+        self_bc = None
         if mesh_ax is not None:
             # inside shard_map: halo strips come from the ring neighbors
             from ..parallel.halo import exchange_halo_strips
@@ -531,23 +532,33 @@ class Dycore:
             idx = jax.lax.axis_index(name)
             bc_lo = jnp.where(idx == 0, mode, 0).astype(jnp.int32)
             bc_hi = jnp.where(idx == ns - 1, mode, 0).astype(jnp.int32)
-        else:
+        elif will_chunk:
+            # chunks need real strip arrays (global ends; interior chunk
+            # strips are sliced from prim below)
             lo, hi = halo_strips(prim, axis, hw, bc, zero_var=zv)
+            bc_lo = bc_hi = jnp.int32(mode)
+        else:
+            # unsharded whole-axis: the kernel builds its own halos from
+            # the block's edges -- no strip arrays at all
+            lo = hi = None
+            self_bc = mode
             bc_lo = bc_hi = jnp.int32(mode)
 
         nvar = prim.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
         kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra,
-                  div_scale=div_scale)
+                  div_scale=div_scale, self_bc=self_bc)
         y_lane_layout = False
 
         kw["bc"] = (bc_lo, bc_hi)
 
         if axis == _AX_X:
             flat = prim.reshape(nvar, nens * nz * ny, n)
-            lo_f = lo.reshape(nvar, nens * nz * ny, hw)
-            hi_f = hi.reshape(nvar, nens * nz * ny, hw)
+            lo_f = hi_f = None
+            if self_bc is None:
+                lo_f = lo.reshape(nvar, nens * nz * ny, hw)
+                hi_f = hi.reshape(nvar, nens * nz * ny, hw)
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, ny)).reshape(-1)
             hyt_rows = jnp.broadcast_to(
@@ -561,8 +572,10 @@ class Dycore:
             # Only viable while the whole stencil axis fits in the VMEM
             # working set (Np*128 lanes within the Mosaic temp stack).
             resh = prim.reshape(nvar, nens * nz, n, nx)
-            lo_r = lo.reshape(nvar, nens * nz, hw, nx)
-            hi_r = hi.reshape(nvar, nens * nz, hw, nx)
+            lo_r = hi_r = None
+            if self_bc is None:
+                lo_r = lo.reshape(nvar, nens * nz, hw, nx)
+                hi_r = hi.reshape(nvar, nens * nz, hw, nx)
             hyr_r = hyc.reshape(-1, 1)
             hyt_r = hyt.reshape(-1, 1)
             SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r,
@@ -602,8 +615,12 @@ class Dycore:
             # no usable chunk size: transpose y onto lanes, lane kernel
             moved = jnp.moveaxis(prim, -2, -1)     # (nvar, E, Z, X, n)
             flat = moved.reshape(nvar, nens * nz * nx, n)
-            lo_f = jnp.moveaxis(lo, -2, -1).reshape(nvar, nens * nz * nx, hw)
-            hi_f = jnp.moveaxis(hi, -2, -1).reshape(nvar, nens * nz * nx, hw)
+            lo_f = hi_f = None
+            if self_bc is None:
+                lo_f = jnp.moveaxis(lo, -2, -1).reshape(
+                    nvar, nens * nz * nx, hw)
+                hi_f = jnp.moveaxis(hi, -2, -1).reshape(
+                    nvar, nens * nz * nx, hw)
             hyr_rows = jnp.broadcast_to(
                 hyc[:, :, None], (nens, nz, nx)).reshape(-1)
             hyt_rows = jnp.broadcast_to(
@@ -615,8 +632,10 @@ class Dycore:
             y_lane_layout = True
         else:  # _AX_Z
             resh = prim.reshape(nvar, nens, n, ny * nx)
-            lo_r = lo.reshape(nvar, nens, hw, ny * nx)
-            hi_r = hi.reshape(nvar, nens, hw, ny * nx)
+            lo_r = hi_r = None
+            if self_bc is None:
+                lo_r = lo.reshape(nvar, nens, hw, ny * nx)
+                hi_r = hi.reshape(nvar, nens, hw, ny * nx)
             SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
                                                  *args, **kw)
 

@@ -232,10 +232,37 @@ def _weno_edges(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff, axis=None,
                              cutoff, axis=axis, fast_weights=fast_weights)
 
 
+
+def _self_halo(xb, hs, self_bc, normal_id, axis):
+    """Build the halo in-kernel from the block's OWN edges -- valid when the
+    whole (unsharded) stencil axis rides in the block: periodic halos ARE
+    the wrapped interior cells; wall/open halos are edge replication with
+    the wall-normal variable zeroed (reference dynamics...h:749-827).  No
+    strip inputs, no HBM strip traffic."""
+    nd = xb.ndim
+    ax = axis % nd
+    n = xb.shape[ax]
+    if self_bc == 0:                      # periodic: wrap
+        lo = jax.lax.slice_in_dim(xb, n - hs, n, axis=ax)
+        hi = jax.lax.slice_in_dim(xb, 0, hs, axis=ax)
+    else:                                 # wall/open: replicate edges
+        e0 = jax.lax.slice_in_dim(xb, 0, 1, axis=ax)
+        e1 = jax.lax.slice_in_dim(xb, n - 1, n, axis=ax)
+        shape = list(xb.shape)
+        shape[ax] = hs
+        lo = jnp.broadcast_to(e0, shape)
+        hi = jnp.broadcast_to(e1, shape)
+        if self_bc == 1:                  # wall: zero the normal velocity
+            vid = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), 0)
+            lo = jnp.where(vid == normal_id, 0.0, lo)
+            hi = jnp.where(vid == normal_id, 0.0, hi)
+    return jnp.concatenate([lo, xb, hi], axis=ax)
+
+
 def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
             *, n, ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
             ntracers, C0, gamma, fast_weights=False, opt=True,
-            local_edges=False, div_scale=None):
+            local_edges=False, div_scale=None, self_bc=None):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -250,7 +277,11 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
     (reference dynamics...h:1005-1081) regardless.  Strips are hs wide.
     Sharded/chunked axes use local_edges=False with hp-wide strips (the
     halo cells there belong to a neighbor and must be reconstructed)."""
-    x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-1)
+    hs_ = (ord_ - 1) // 2
+    if self_bc is not None:
+        x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -1)
+    else:
+        x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-1)
     nd = x.ndim
     if local_edges:
         gll_l, gll_r = _weno_edges(x, n, ord_, tv_terms, edge_terms,
@@ -279,7 +310,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             normal_id: int, C0: float, gamma: float,
                             block_rows: int = 16, fast_weights: bool = False,
                             opt: bool = True, bc=(0, 0),
-                            div_scale: float | None = None):
+                            div_scale: float | None = None,
+                            self_bc: int | None = None):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -303,10 +335,17 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     ntracers = nvar - NUM_STATE
     ord_ = mats.ord
     hs = (ord_ - 1) // 2
-    local_edges = lo.shape[-1] == hs          # hs-wide strips: in-block edges
-    hp = hs if local_edges else hs + 1
-    assert nn == n and lo.shape[-1] == hp and hi.shape[-1] == hp, (
-        prim.shape, lo.shape, n, ord_)
+    if self_bc is not None:
+        # whole-axis unsharded: the kernel builds its own halos from the
+        # block's edges (static BC mode); no strip inputs at all.
+        assert lo is None and hi is None
+        local_edges = True
+        hp = 0
+    else:
+        local_edges = lo.shape[-1] == hs      # hs-wide strips: in-block edges
+        hp = hs if local_edges else hs + 1
+        assert lo.shape[-1] == hp and hi.shape[-1] == hp, (lo.shape, ord_)
+    assert nn == n, (prim.shape, n)
     tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
 
     Bt = min(block_rows, B)
@@ -317,26 +356,40 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
-        local_edges=local_edges, div_scale=div_scale)
+        local_edges=local_edges, div_scale=div_scale, self_bc=self_bc)
+    if self_bc is not None:
+        base = kernel
+
+        def kernel(bc_r, p_r, hyr_r, hyt_r, sf_r, tf_r):
+            return base(bc_r, p_r, None, None, hyr_r, hyt_r, sf_r, tf_r)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((nvar, Bt, n), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [bc_arr, prim]
+    if self_bc is None:
+        in_specs += [
+            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [lo, hi]
+    in_specs += [
+        pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [hy_r_faces, hy_t_faces]
     sf, tf = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nvar, Bt, n), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvar, Bt, hp), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, n + 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
@@ -349,14 +402,14 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         ],
         # Pallas has no native CPU lowering; tests run interpreted.
         interpret=jax.devices()[0].platform != "tpu",
-    )(bc_arr, prim, lo, hi, hy_r_faces, hy_t_faces)
+    )(*operands)
     return sf, tf[:ntracers]
 
 
 def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
                 tf_ref, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
                 normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
-                nchunk=1, local_edges=False, div_scale=None):
+                nchunk=1, local_edges=False, div_scale=None, self_bc=None):
     """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
     stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
     layout for the y and z directions, avoiding any transpose -- plus
@@ -371,7 +424,11 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
     (requires row blocks of 1)."""
     from jax.experimental import pallas as pl
 
-    x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-2)
+    hs_ = (ord_ - 1) // 2
+    if self_bc is not None:
+        x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -2)
+    else:
+        x = jnp.concatenate([lo_ref[...], p_ref[...], hi_ref[...]], axis=-2)
     nd = x.ndim
     if local_edges:
         gll_l, gll_r = _weno_edges(x, n, ord_, tv_terms, edge_terms,
@@ -482,7 +539,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 row_block: int = 1, lane_block: int = 128,
                                 fast_weights: bool = False, opt: bool = True,
                                 bc=(0, 0), nchunk: int = 1,
-                                div_scale: float | None = None):
+                                div_scale: float | None = None,
+                                self_bc: int | None = None):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -507,10 +565,17 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     ntracers = nvar - NUM_STATE
     ord_ = mats.ord
     hs = (ord_ - 1) // 2
-    local_edges = lo.shape[2] == hs           # hs-wide strips: in-block edges
-    hp = hs if local_edges else hs + 1
+    if self_bc is not None:
+        # whole-axis unsharded: in-kernel halos from the block's own edges
+        assert lo is None and hi is None and nchunk == 1
+        local_edges = True
+        hp = hs
+    else:
+        local_edges = lo.shape[2] == hs       # hs-wide strips: in-block edges
+        hp = hs if local_edges else hs + 1
+        assert lo.shape[2] == hp and hi.shape[2] == hp
     Np = n + 2 * hp
-    assert nn == n and lo.shape[2] == hp and hi.shape[2] == hp
+    assert nn == n
     assert not (local_edges and nchunk > 1), \
         "chunked axes need neighbor-cell reconstructions (hp-wide strips)"
     tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
@@ -534,26 +599,40 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
         ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
         opt=opt, nchunk=nchunk, local_edges=local_edges,
-        div_scale=div_scale)
+        div_scale=div_scale, self_bc=self_bc)
+    if self_bc is not None:
+        base = kernel
+
+        def kernel(bc_r, p_r, hyr_r, hyt_r, sf_r, tf_r):
+            return base(bc_r, p_r, None, None, hyr_r, hyt_r, sf_r, tf_r)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((nvar, Rt, n, Lt), lambda r, l: (0, r, 0, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [bc_arr, prim]
+    if self_bc is None:
+        in_specs += [
+            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [lo, hi]
+    in_specs += [
+        pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [hy3, hyt3]
     sf, tf = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nvar, Rt, n, Lt), lambda r, l: (0, r, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvar, Rt, hp, Lt), lambda r, l: (0, r, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rt, F, 1), lambda r, l: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
                          lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
@@ -566,5 +645,5 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                  prim.dtype),
         ],
         interpret=jax.devices()[0].platform != "tpu",
-    )(bc_arr, prim, lo, hi, hy3, hyt3)
+    )(*operands)
     return sf, tf[:ntracers]
