@@ -390,6 +390,10 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         kernel,
         grid=grid,
         in_specs=in_specs,
+        # let XLA fuse input producers (the de-densitize pass, broadcasts)
+        # into the kernel's input reads instead of materializing them
+        compiler_params=pltpu.CompilerParams(
+            allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
         out_specs=[
             pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
@@ -633,6 +637,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
         kernel,
         grid=grid,
         in_specs=in_specs,
+        compiler_params=pltpu.CompilerParams(
+            allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
         out_specs=[
             pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
                          lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
