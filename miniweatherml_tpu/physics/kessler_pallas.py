@@ -128,6 +128,9 @@ def kessler_subcycle_pallas(theta, qv, qc, qr, rho, pk, rainsplit, dt, dz,
     th, qv, qc, qr, precl = pl.pallas_call(
         kernel,
         grid=grid,
+        # let the theta/exner/mixing-ratio prep fuse into the input reads
+        compiler_params=pltpu.CompilerParams(
+            allow_input_fusion=[False] + [True] * 6),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
         out_specs=[spec] * 4 + [col_spec],
         out_shape=[jax.ShapeDtypeStruct(theta.shape, theta.dtype)] * 4
