@@ -12,8 +12,23 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# --cpu N: self-provision an N-virtual-device CPU mesh (env JAX_PLATFORMS
+# is not honored under the axon plugin; the config update must precede
+# backend init, same trick as __graft_entry__.dryrun_multichip)
+if "--cpu" in sys.argv:
+    i = sys.argv.index("--cpu")
+    _n = int(sys.argv[i + 1])
+    del sys.argv[i:i + 2]
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={_n}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
