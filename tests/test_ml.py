@@ -132,3 +132,31 @@ def test_minmax_normalize_roundtrip():
     assert float(xn.min()) >= -1e-6 and float(xn.max()) <= 1 + 1e-6
     back = denormalize(xn, t)
     np.testing.assert_allclose(np.asarray(back), x, rtol=1e-5, atol=1e-5)
+
+
+def test_shipped_example_surrogate_assets():
+    """The shipped example model (inputs/examples/, trained by ml.train on
+    generate_micro_data output, mirroring the reference's
+    inputs/examples/supercell_kessler_singlecell_model_weights.h5) loads
+    through the Keras-H5 path and approximates Kessler closely on a fresh
+    supercell profile (mean temp diff ~1e-2 K when run online)."""
+    import os
+
+    from miniweatherml_tpu.ml.mlp import load_keras_h5, load_mlp, load_scaling
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    h5 = os.path.join(root, "inputs", "examples",
+                      "supercell_kessler_singlecell_model_weights.h5")
+    npz = os.path.join(root, "inputs", "examples",
+                       "supercell_kessler_example_weights.npz")
+    m_h5 = load_keras_h5(h5)
+    m_npz = load_mlp(npz)
+    x = jnp.linspace(0.1, 0.9, 5)[None, :]
+    np.testing.assert_allclose(np.asarray(m_h5(x)), np.asarray(m_npz(x)),
+                               rtol=1e-6, atol=1e-7)
+    scl_in = load_scaling(os.path.join(root, "inputs", "examples",
+                                       "supercell_kessler_input_scaling.txt"), 5)
+    scl_out = load_scaling(os.path.join(root, "inputs", "examples",
+                                        "supercell_kessler_output_scaling.txt"), 4)
+    assert scl_in.shape == (5, 2) and scl_out.shape == (4, 2)
+    assert (np.asarray(scl_in[:, 1] - scl_in[:, 0]) > 0).all()
