@@ -62,3 +62,26 @@ def test_checkpoint_restart_resumes_identically(tmp_path):
     for name in ("temp", "wvel", "water_vapor"):
         np.testing.assert_allclose(np.asarray(s2[name]), np.asarray(s[name]),
                                    rtol=1e-6, atol=1e-8, err_msg=name)
+
+
+def test_reference_input_files_parse_verbatim():
+    """Every input YAML shipped by the reference parses through our config
+    loader with the same semantic fields (drivers read the same key set,
+    reference experiments/*/driver.cpp:23-38; extra keys like dt_gcm are
+    tolerated exactly as the reference's yaml-cpp usage tolerates ours)."""
+    import glob
+
+    from miniweatherml_tpu.config import load_config
+
+    ref = "/root/reference/experiments"
+    paths = sorted(glob.glob(ref + "/*/inputs/*.yaml"))
+    if not paths:
+        import pytest
+        pytest.skip("reference checkout not present")
+    assert len(paths) >= 8
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.grid.nx > 0 and cfg.grid.nz > 0, p
+        assert cfg.init_data == "supercell" or cfg.init_data in (
+            "city", "building", "thermal"), p
+        assert cfg.sim_time > 0, p
