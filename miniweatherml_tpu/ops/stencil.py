@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["BC_PERIODIC", "BC_OPEN", "BC_WALL", "pad_bc", "gather_stencils"]
+__all__ = ["BC_PERIODIC", "BC_OPEN", "BC_WALL", "pad_bc", "halo_strips",
+           "gather_stencils"]
 
 # Reference enum values (dynamics_euler_stratified_wenofv.h:46-48).
 BC_PERIODIC = 0

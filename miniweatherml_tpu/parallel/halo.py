@@ -24,7 +24,8 @@ from jax import lax
 
 from ..ops.stencil import BC_OPEN, BC_PERIODIC, BC_WALL
 
-__all__ = ["exchange_halos", "exchange_face_scalar"]
+__all__ = ["exchange_halos", "exchange_halo_strips",
+           "exchange_face_scalar"]
 
 
 def _slice_axis(a, axis, start, stop):
