@@ -73,7 +73,7 @@ def build(config: SimConfig, micro: MicrophysicsKesslerSurrogate | None = None):
     return state, step_modules, dycore
 
 
-def main(argv=None) -> CouplerState:
+def main(argv=None, quiet: bool = False) -> CouplerState:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         raise SystemExit("usage: inference_surrogate <input.yaml>")
@@ -82,10 +82,16 @@ def main(argv=None) -> CouplerState:
     writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
 
     def on_step(s, dt, etime):
-        # mean NN - Kessler diffs (reference prints these every step,
-        # microphysics_kessler_ponni.h:266-269; we print per heartbeat-free
-        # step only when comparing)
-        pass
+        # Mean NN - Kessler diffs, printed every step like the reference
+        # (microphysics_kessler_ponni.h:266-269).  The value fetch is a
+        # device sync, which is fine: this driver is the comparison
+        # harness, not the benchmark path.
+        if not quiet:
+            d = [float(x) for x in s["surrogate_diffs"]]
+            print(f"Etime: {etime:10.6e}  mean diff NN - Kessler "
+                  f"[temp, rho_v, rho_c, rho_r]: "
+                  f"[{d[0]: .6e}, {d[1]: .6e}, {d[2]: .6e}, {d[3]: .6e}]",
+                  flush=True)
 
     timers = Timers()
     timers.start("main")

@@ -149,19 +149,32 @@ def _high_symforms(ord_: int):
     n = G.shape[0]
     J = np.eye(n)[::-1]
     assert np.abs(J @ G @ J - G).max() <= 1e-12 * np.abs(G).max()
-    w, V = np.linalg.eigh(G)
-    even, odd = [], []
-    for i in range(n):
-        if w[i] <= 1e-12 * w.max():
-            continue
-        v = V[:, i] * np.sqrt(w[i])
-        if np.abs(v - J @ v).max() < 1e-9:
-            even.append(v)
-        elif np.abs(v + J @ v).max() < 1e-9:
-            odd.append(v)
-        else:  # pragma: no cover - persymmetry guarantees the split
-            raise AssertionError("non-symmetric eigenvector of TV form")
     h = n // 2
+    # Diagonalize within the even/odd symmetry-adapted subspaces directly:
+    # JGJ = G means G block-diagonalizes exactly in these orthonormal
+    # bases, so every eigenform is purely even or purely odd by
+    # construction -- exact for any persymmetric G including (near-)
+    # degenerate spectra (no tolerance-based classification).
+    Be = np.zeros((n, h + n % 2))
+    Bo = np.zeros((n, h))
+    for i in range(h):
+        Be[i, i] = Be[n - 1 - i, i] = 1.0 / np.sqrt(2.0)
+        Bo[i, i] = 1.0 / np.sqrt(2.0)
+        Bo[n - 1 - i, i] = -1.0 / np.sqrt(2.0)
+    if n % 2:
+        Be[h, h] = 1.0
+    blocks = []
+    for B in (Be, Bo):
+        Gs = B.T @ G @ B
+        w, U = np.linalg.eigh((Gs + Gs.T) / 2.0)
+        blocks.append((B, w, U))
+    wmax = max(b[1].max(initial=0.0) for b in blocks)
+    even, odd = [], []
+    for out, (B, w, U) in zip((even, odd), blocks):
+        for i in range(len(w)):
+            if w[i] <= 1e-12 * wmax:
+                continue
+            out.append(B @ U[:, i] * np.sqrt(w[i]))
     ev = tuple(tuple([float(v[i]) for i in range(h)] + [float(v[h])])
                for v in even)
     od = tuple(tuple(float(v[i]) for i in range(h)) for v in odd)

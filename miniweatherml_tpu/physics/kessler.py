@@ -97,6 +97,17 @@ class MicrophysicsKessler:
         if self.impl == "pallas":
             from .kessler_pallas import kessler_subcycle_pallas
 
+            # The Pallas sub-cycle kernel sediments with a scalar dz
+            # (reference kessler.h:296-299 uses z(k+1)-z(k)); Grid is
+            # uniform by construction today, but a stretched vertical
+            # coordinate (per-level dz array) introduced later must not
+            # silently select this path.
+            import numpy as _np
+            if _np.ndim(g.dz) != 0:
+                raise ValueError(
+                    "impl='pallas' requires a uniform vertical grid "
+                    "(scalar Grid.dz)")
+
             rainsplit = kessler_rainsplit(qr, rho_d, zmid, dt,
                                           spmd_axes=spmd_axes)
             theta, qv, qc, qr, precl = kessler_subcycle_pallas(

@@ -64,8 +64,10 @@ def main():
     prim = jnp.asarray(rng.normal(size=(NVAR, B, NX)), dt) + 2.0
     lo = jnp.asarray(rng.normal(size=(NVAR, B, HP)), dt) + 2.0
     hi = jnp.asarray(rng.normal(size=(NVAR, B, HP)), dt) + 2.0
-    hyr = jnp.ones((B, 1), dt)
-    hyt = jnp.full((B, 1), 300.0, dt)
+    # The lane kernel's hy BlockSpec requires full face arrays (Bt, NX+1)
+    # (euler._direction_fluxes_pallas broadcasts the same way).
+    hyr = jnp.ones((B, NX + 1), dt)
+    hyt = jnp.full((B, NX + 1), 300.0, dt)
 
     for bt in (8, 16):
         fn = lambda x, bt=bt: PR.direction_fluxes_pallas(

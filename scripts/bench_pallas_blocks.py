@@ -28,8 +28,14 @@ lo, hi = halo_strips(prim, -1, hp, consts.bc_x)
 flat = prim.reshape(8, g.nens * g.nz * g.ny, g.nx)
 lo_f = lo.reshape(8, g.nens * g.nz * g.ny, hp)
 hi_f = hi.reshape(8, g.nens * g.nz * g.ny, hp)
-hyr_f = jnp.broadcast_to(hy[0][:, :, None], (1, 64, 512)).reshape(-1, 1)
-hyt_f = jnp.broadcast_to(hy[1][:, :, None], (1, 64, 512)).reshape(-1, 1)
+# Face-broadcast shapes (rows, nx+1): the lane kernel's hy BlockSpec
+# requires (Bt, nx+1), matching euler._direction_fluxes_pallas.
+hyr_rows = jnp.broadcast_to(
+    hy[0][:, :, None], (g.nens, g.nz, g.ny)).reshape(-1)
+hyt_rows = jnp.broadcast_to(
+    hy[1][:, :, None], (g.nens, g.nz, g.ny)).reshape(-1)
+hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, g.nx + 1))
+hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyt_rows.size, g.nx + 1))
 flat = jax.device_put(flat)
 
 

@@ -114,6 +114,43 @@ def test_workflow_end_to_end(tmp_path):
     assert np.isfinite(diffs).all()
 
 
+def test_inference_driver_prints_diffs(tmp_path, capsys):
+    """A compare-mode inference_surrogate run surfaces the per-step mean
+    NN - Kessler diffs (reference microphysics_kessler_ponni.h:266-269
+    prints them every step)."""
+    import yaml
+
+    from miniweatherml_tpu.experiments.inference_surrogate import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ex = os.path.join(repo, "inputs", "examples")
+    cfg = dict(
+        sim_time=3.0, nens=1, nx_glob=50, ny_glob=1, nz=20,
+        xlen=100000.0, ylen=100000.0, zlen=20000.0,
+        init_data="supercell", out_prefix=str(tmp_path / "s"),
+        dt_phys=0.0, out_freq=-1.0,
+        keras_weights_h5=os.path.join(
+            ex, "supercell_kessler_singlecell_model_weights.h5"),
+        nn_input_scaling=os.path.join(
+            ex, "supercell_kessler_input_scaling.txt"),
+        nn_output_scaling=os.path.join(
+            ex, "supercell_kessler_output_scaling.txt"),
+        surrogate_compare=True,
+    )
+    path = tmp_path / "in.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    main([str(path)])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "mean diff NN - Kessler" in ln]
+    assert lines, "per-step diff lines missing from driver output"
+    # The shipped example surrogate is not exact: at least one printed diff
+    # must be nonzero (a dead reporting path would print all zeros).
+    import re
+    vals = [float(v) for ln in lines
+            for v in re.findall(r"-?\d+\.\d+e[+-]\d+", ln)]
+    assert any(v != 0.0 for v in vals)
+
+
 @pytest.mark.slow
 def test_stats_gatherer_ratio():
     from miniweatherml_tpu.experiments.gather_statistics import (
