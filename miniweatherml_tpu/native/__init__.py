@@ -64,7 +64,7 @@ def load_p3_library():
         lib.p3_column_step.argtypes = (
             [ctypes.c_int64, ctypes.c_int64, ctypes.c_double] + [dp] * 18)
         lib.p3_column_step.restype = None
-        lib.p3_set_tables.argtypes = [dp] * 4
+        lib.p3_set_tables.argtypes = [dp] * 5
         lib.p3_set_tables.restype = None
         lib.p3_has_tables.argtypes = []
         lib.p3_has_tables.restype = ctypes.c_int
@@ -86,12 +86,14 @@ def _maybe_load_tables(lib) -> None:
         if path is None:
             return
         tables = load_p3_tables(path)
-        _, vm, revap = generate_rain_tables()
+        vn, vm, revap = generate_rain_tables()
         ice = np.ascontiguousarray(tables.ice, np.float64)
         coll = np.ascontiguousarray(tables.collect, np.float64)
+        vn = np.ascontiguousarray(vn, np.float64)
         vm = np.ascontiguousarray(vm, np.float64)
         revap = np.ascontiguousarray(revap, np.float64)
-        lib.p3_set_tables(_ptr(ice), _ptr(coll), _ptr(vm), _ptr(revap))
+        lib.p3_set_tables(_ptr(ice), _ptr(coll), _ptr(vn), _ptr(vm),
+                          _ptr(revap))
     except Exception:  # pragma: no cover - table-less operation is valid
         pass
 

@@ -82,6 +82,10 @@ NSMALL = 1.0e-16      # micro_p3_utils.F90:19
 NCCNST = 200.0e6      # prescribed droplet number (micro_p3_utils.F90:115)
 # 1/(pi/6*rho_h2o*(25um)^3): new raindrops are 25 um (micro_p3_utils.F90:175)
 CONS3 = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 25.0e-6 ** 3)
+T_HOMOGFRZ = TMELT - 40.0   # homogeneous freezing (micro_p3_utils.F90:123)
+MAX_TOTAL_NI = 500.0e3      # max ice number, m^-3 (micro_p3_utils.F90:112)
+RHO_RIMEMIN = 50.0          # bulk rime density bounds
+RHO_RIMEMAX = 900.0         # (micro_p3_utils.F90:151-153)
 
 
 def saturation_vapor_pressure(temp):
@@ -199,6 +203,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     Lf = LATICE
     cp = CP_D
     nz = qc.shape[z_axis]
+
+    def cap_ni(ni_):
+        """Cap total ice number at MAX_TOTAL_NI m^-3 (impose_max_total_ni,
+        micro_p3.F90:1947-1969; cld_frac_i = 1 in the wrapper)."""
+        dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
+        return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
+
+    # part1/part2 analog of the ni cap (p3_main_part1:637, part2:924):
+    # applied before any table lookups / process rates see ni.
+    ni = cap_ni(ni)
 
     def ax(a, sl):
         idx = [slice(None)] * a.ndim
@@ -404,7 +418,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # evaporate_rain; p3_init_b tables ported in p3_tables.py)
         from .p3_tables import (F1R, MU_R, generate_rain_tables,
                                 interp_rain, rain_size_index, F2R)
-        _, vm_row, revap_row = generate_rain_tables()
+        vn_row, vm_row, revap_row = generate_rain_tables()
         dm_r2 = (MU_R + 1.0) / lamr
         i0r, fir = rain_size_index(dm_r2)
         revap_v = interp_rain(revap_row, i0r, fir)
@@ -487,6 +501,17 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
             v = rhofacr * interp_rain(vm_row, i0, fi_)
             return jnp.where(qr_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+
+        def rain_fallspeed_n(qr_, nr_):
+            """Number-weighted rain fall speed V_nr from the vn table --
+            nr sediments slower than qr (compute_rain_fall_velocity,
+            micro_p3.F90:3872-3908; vn table from p3_init_b :351)."""
+            lam = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
+                           * jnp.maximum(nr_, NSMALL)
+                           / jnp.maximum(qr_, QSMALL))
+            i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
+            v = rhofacr * interp_rain(vn_row, i0, fi_)
+            return jnp.where(qr_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -506,6 +531,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             return jnp.clip(
                 36.34 * jnp.maximum(rho * qr_, 0.0) ** 0.1364
                 * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
+
+        # table-less fallback: no vn table, so the number-weighted speed
+        # degrades to the mass-weighted one
+        rain_fallspeed_n = rain_fallspeed
         # melting above freezing: thermal relaxation  [approx]
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
         # no ventilation/relaxation machinery without tables -> no Bergeron
@@ -664,13 +693,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     def sub_body(carry):
         it, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
         vr_ = rain_fallspeed(qr, nr)
+        vnr_ = rain_fallspeed_n(qr, nr)
         vi_ = ice_fallspeed(qi, ni, qm, bm)
         vc_ = cloud_fallspeed(qc)
         qc, pl = fall(qc, vc_, pl)
         if do_predict_nc:
             nc_, _ = fall(nc_, vc_, jnp.zeros_like(pl))
         qr, pl = fall(qr, vr_, pl)
-        nr, _ = fall(nr, vr_, jnp.zeros_like(pl))
+        # nr falls at the number-weighted V_nr (rain_sedimentation,
+        # micro_p3.F90:3785-3791: V_qr for qr, V_nr for nr)
+        nr, _ = fall(nr, vnr_, jnp.zeros_like(pl))
         qi, pi_ = fall(qi, vi_, pi_)
         ni, _ = fall(ni, vi_, jnp.zeros_like(pl))
         qm, _ = fall(qm, vi_, jnp.zeros_like(pl))
@@ -684,6 +716,105 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     _, qc, nc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
     precip_liq = jnp.squeeze(pl, axis=z_axis) / dt
     precip_ice = jnp.squeeze(pi_, axis=z_axis) / dt
+
+    # -- homogeneous freezing of cloud and rain (homogeneous_freezing,
+    # micro_p3.F90:4145-4200, called after sedimentation at :1452-1454):
+    # below T_homogfrz = tmelt - 40 ALL remaining liquid freezes instantly
+    # into rimed ice packed at rho_rimeMax, with latent heating.  This is
+    # the main glaciation path of a supercell's anvil (< -40 C aloft).
+    t_cur = theta * exner
+    frz_c = (qc >= QSMALL) & (t_cur < T_HOMOGFRZ)
+    q_nuc = jnp.where(frz_c, qc, 0.0)
+    qm = qm + q_nuc
+    qi = qi + q_nuc
+    bm = bm + q_nuc / RHO_RIMEMAX
+    ni = ni + jnp.where(frz_c, jnp.maximum(nc, NSMALL), 0.0)
+    theta = theta + q_nuc * Lf / (cp * exner)
+    qc = jnp.where(frz_c, 0.0, qc)
+    nc = jnp.where(frz_c, 0.0, nc)
+    frz_r = (qr >= QSMALL) & (t_cur < T_HOMOGFRZ)
+    q_nuc = jnp.where(frz_r, qr, 0.0)
+    qm = qm + q_nuc
+    qi = qi + q_nuc
+    bm = bm + q_nuc / RHO_RIMEMAX
+    ni = ni + jnp.where(frz_r, jnp.maximum(nr, NSMALL), 0.0)
+    theta = theta + q_nuc * Lf / (cp * exner)
+    qr = jnp.where(frz_r, 0.0, qr)
+    nr = jnp.where(frz_r, 0.0, nr)
+
+    # -- final mass/number consistency (p3_main_part3, micro_p3.F90:977-
+    # 1137, called at :1460).  Only the prognostic effects are implemented:
+    # the diagnostic outputs (effective radii, reflectivity) are discarded
+    # by the reference wrapper.  cld_frac_* = 1 in the wrapper.
+    cons1 = jnp.pi / 6.0 * RHO_H2O
+
+    # cloud (:1020-1035): tiny qc evaporates back to vapor with latent
+    # cooling; otherwise get_cloud_dsd2's lambda limiters may adjust nc
+    # (:1774-1837).
+    small_c = qc < QSMALL
+    qv = qv + jnp.where(small_c, qc, 0.0)
+    theta = theta - jnp.where(small_c, qc, 0.0) * Lv / (cp * exner)
+    s_c = 0.0005714 * (jnp.maximum(nc, NSMALL) * 1.0e-6 * rho) + 0.2714
+    mu_c3 = jnp.clip(1.0 / (s_c * s_c) - 1.0, 2.0, 15.0)
+    mval = (mu_c3 + 3.0) * (mu_c3 + 2.0) * (mu_c3 + 1.0)
+    lamc3 = jnp.cbrt(cons1 * jnp.maximum(nc, NSMALL) * mval
+                     / jnp.maximum(qc, QSMALL))
+    lamc3_cl = jnp.clip(lamc3, (mu_c3 + 1.0) * 2.5e4, (mu_c3 + 1.0) * 1.0e6)
+    nc_lim = jnp.where(lamc3 != lamc3_cl,
+                       lamc3_cl ** 3 * qc / (cons1 * mval),
+                       jnp.maximum(nc, NSMALL))
+    nc = jnp.where(small_c, 0.0, nc_lim)
+    qc = jnp.where(small_c, 0.0, qc)
+
+    # rain (:1037-1060): tiny qr evaporates; otherwise get_rain_dsd2's
+    # lambda limiters (mu_r = 1 constant, :1841-1893) may adjust nr.
+    small_r = qr < QSMALL
+    qv = qv + jnp.where(small_r, qr, 0.0)
+    theta = theta - jnp.where(small_r, qr, 0.0) * Lv / (cp * exner)
+    lamr3 = jnp.cbrt(cons1 * jnp.maximum(nr, NSMALL) * 24.0
+                     / jnp.maximum(qr, QSMALL))
+    lamr3_cl = jnp.clip(lamr3, 2.0 * 500.0, 2.0 * 1.0e5)
+    # nr from clipped lambda: Gamma(mu_r+1)/Gamma(mu_r+4) = 1/24
+    nr_lim = jnp.where(lamr3 != lamr3_cl,
+                       lamr3_cl ** 3 * qr / (24.0 * cons1),
+                       jnp.maximum(nr, NSMALL))
+    nr = jnp.where(small_r, 0.0, nr_lim)
+    qr = jnp.where(small_r, 0.0, qr)
+
+    # ice (:1062-1126): tiny qi sublimates back to vapor; otherwise
+    # calc_bulkRhoRime re-bounds qm/bm (:1904-1943), the total ice number
+    # cap applies (:1073), and the table lambda limiters bound ni.
+    small_i = qi < QSMALL
+    qv = qv + jnp.where(small_i, qi, 0.0)
+    theta = theta - jnp.where(small_i, qi, 0.0) * Ls / (cp * exner)
+    ni = jnp.maximum(ni, NSMALL)
+    # calc_bulkRhoRime: rho_rime = qm/bm bounded to [50, 900] (bm adjusts),
+    # qm <= qi, tiny qm zeroed
+    has_bm = bm >= 1.0e-15
+    rho_rime3 = jnp.where(has_bm,
+                          jnp.clip(qm / jnp.maximum(bm, 1e-30),
+                                   RHO_RIMEMIN, RHO_RIMEMAX), 0.0)
+    bm = jnp.where(has_bm, qm / jnp.maximum(rho_rime3, RHO_RIMEMIN), 0.0)
+    qm = jnp.where(has_bm, qm, 0.0)
+    over = (qm > qi) & (rho_rime3 > 0.0)
+    qm = jnp.where(over, qi, qm)
+    bm = jnp.where(over, qm / jnp.maximum(rho_rime3, RHO_RIMEMIN), bm)
+    tiny_m = qm < QSMALL
+    qm = jnp.where(tiny_m, 0.0, qm)
+    bm = jnp.where(tiny_m, 0.0, bm)
+    ni = cap_ni(ni)
+    if tables is not None:
+        from .p3_tables import ice_table_indices, interp_ice
+        rhop3 = jnp.clip(qm / jnp.maximum(bm, 1e-30), RHO_RIMEMIN,
+                         RHO_RIMEMAX)
+        idx3 = ice_table_indices(qi, ni, qm, rhop3)
+        # normalized lambda-limiter factors (tables 7/8, :1085-1097)
+        ni = jnp.minimum(ni, interp_ice(tables, 7, *idx3) * ni)
+        ni = jnp.maximum(ni, interp_ice(tables, 8, *idx3) * ni)
+    qi = jnp.where(small_i, 0.0, qi)
+    ni = jnp.where(small_i, 0.0, ni)
+    qm = jnp.where(small_i, 0.0, qm)
+    bm = jnp.where(small_i, 0.0, bm)
 
     return qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, precip_liq, precip_ice
 

@@ -37,6 +37,10 @@ constexpr double TMELT = 273.15;
 constexpr double QSMALL = 1.0e-14;
 constexpr double NSMALL = 1.0e-16;
 constexpr double NCCNST = 200.0e6;
+constexpr double T_HOMOGFRZ = TMELT - 40.0;  // micro_p3_utils.F90:123
+constexpr double MAX_TOTAL_NI = 500.0e3;     // micro_p3_utils.F90:112
+constexpr double RHO_RIMEMIN = 50.0;         // micro_p3_utils.F90:151
+constexpr double RHO_RIMEMAX = 900.0;        // micro_p3_utils.F90:152
 constexpr double PI = 3.14159265358979323846;
 const double CONS3 = 1.0 / (PI / 6.0 * RHO_H2O * 25.0e-6 * 25.0e-6 * 25.0e-6);
 
@@ -51,6 +55,7 @@ constexpr double F1R = 0.78, F2R = 0.32;      // micro_p3_utils:138-139
 bool g_have_tables = false;
 std::vector<double> g_ice;      // (DENSIZE, RIMSIZE, ISIZE, 12)
 std::vector<double> g_coll;     // (DENSIZE, RIMSIZE, ISIZE, RCOLLSIZE, 2)
+std::vector<double> g_vn;       // (300,) number-weighted rain fall speed
 std::vector<double> g_vm;       // (300,) mass-weighted rain fall speed
 std::vector<double> g_revap;    // (300,) rain ventilation integral
 
@@ -191,12 +196,13 @@ extern "C" {
 
 // Install the lookup tables (parsed/generated on the Python side by
 // physics/p3_tables.py, the p3_init_a/p3_init_b analog).  Sizes fixed:
-// ice (5*4*50*12), coll (5*4*50*30*2), vm/revap (300).
-void p3_set_tables(const double* ice, const double* coll, const double* vm,
-                   const double* revap) {
+// ice (5*4*50*12), coll (5*4*50*30*2), vn/vm/revap (300).
+void p3_set_tables(const double* ice, const double* coll, const double* vn,
+                   const double* vm, const double* revap) {
   g_ice.assign(ice, ice + (std::size_t)DENSIZE * RIMSIZE * ISIZE * 12);
   g_coll.assign(coll,
                 coll + (std::size_t)DENSIZE * RIMSIZE * ISIZE * RCOLLSIZE * 2);
+  g_vn.assign(vn, vn + 300);
   g_vm.assign(vm, vm + 300);
   g_revap.assign(revap, revap + 300);
   g_have_tables = true;
@@ -286,6 +292,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double Lf = LATICE;
 
     nc[c] = NCCNST * inv_rho;  // prescribed droplet number
+
+    // part1/part2 analog of the total-ice-number cap (impose_max_total_ni,
+    // micro_p3.F90:1947-1969, called at :637 and :924): applied before any
+    // table lookup / process rate sees ni (mirrors the JAX scheme).
+    if (ni[c] >= 1e-20) {
+      ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
+    }
 
     // cloud gamma-DSD (get_cloud_dsd2, micro_p3.F90:1774-1835)
     double mu_visc0 = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
@@ -615,6 +628,21 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double v = rhofacr * interp_rain(g_vm, i0, fi);
     return qr_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
   };
+  // number-weighted V_nr for nr sedimentation (compute_rain_fall_velocity,
+  // micro_p3.F90:3872-3908; vn table from p3_init_b :351); table-less
+  // fallback degrades to the mass-weighted speed, matching the JAX scheme.
+  auto rain_fallspeed_n = [&](double qr_, double nr_, double rho,
+                              double rho0) {
+    if (!tab) return rain_fallspeed(qr_, nr_, rho, rho0);
+    double lam = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
+                           std::max(nr_, NSMALL) / std::max(qr_, QSMALL));
+    int i0;
+    double fi;
+    rain_size_index((MU_R + 1.0) / lam, &i0, &fi);
+    double rhofacr = std::pow(rho_1000mb / rho, 0.54);
+    double v = rhofacr * interp_rain(g_vn, i0, fi);
+    return qr_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+  };
   auto ice_fallspeed = [&](double qi_, double ni_, double qm_, double bm_,
                            double rho) {
     if (!tab) {
@@ -655,7 +683,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
   double dts = dt / nsub;
 
   // Pass 2: sedimentation, per column, upstream differencing.
-  std::vector<double> vr_k(nz), vi_k(nz), vc_k(nz), flux(nz);
+  std::vector<double> vr_k(nz), vnr_k(nz), vi_k(nz), vc_k(nz), flux(nz);
   for (std::int64_t col = 0; col < ncol; ++col) {
     double* Qc = qc + col * nz;
     double* Nc = nc + col * nz;
@@ -675,6 +703,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       // recompute fall speeds each sub-step (matches JAX sub_body)
       for (std::int64_t k = 0; k < nz; ++k) {
         vr_k[k] = rain_fallspeed(Qr[k], Nr[k], Rho[k], rho0);
+        vnr_k[k] = rain_fallspeed_n(Qr[k], Nr[k], Rho[k], rho0);
         vi_k[k] = ice_fallspeed(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
         // Stokes cloud fall speed with the gamma DSD (matches the JAX
         // cloud_fallspeed; p3_main cloud sedimentation,
@@ -706,7 +735,9 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       };
       fall(Qc, vc_k.data(), &pl);
       fall(Qr, vr_k.data(), &pl);
-      fall(Nr, vr_k.data(), nullptr);
+      // nr falls at the number-weighted V_nr (rain_sedimentation,
+      // micro_p3.F90:3785-3791: V_qr for qr, V_nr for nr)
+      fall(Nr, vnr_k.data(), nullptr);
       fall(Qi, vi_k.data(), &pi_srf);
       fall(Ni, vi_k.data(), nullptr);
       fall(Qm, vi_k.data(), nullptr);
@@ -714,6 +745,130 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     }
     precip_liq[col] = pl / dt;
     precip_ice[col] = pi_srf / dt;
+  }
+
+  // Pass 3: homogeneous freezing + p3_main_part3 final consistency
+  // (mirrors physics/p3.py; per-cell, so pass structure is equivalent to
+  // the JAX element-wise formulation).
+  for (std::int64_t c = 0; c < n; ++c) {
+    double rho = rho_pre[c];
+    double inv_rho = 1.0 / rho;
+    double temp0 = temp_pre[c];
+    double Lv = latent_heat_condensation(temp0);
+    double Ls = Lv + LATICE;
+    double Lf = LATICE;
+    double cpex = CP_D * exner[c];
+    const double cons1 = PI / 6.0 * RHO_H2O;
+
+    // homogeneous freezing of cloud and rain (homogeneous_freezing,
+    // micro_p3.F90:4145-4200, called after sedimentation at :1452-1454):
+    // below T_homogfrz all remaining liquid freezes instantly into rimed
+    // ice packed at rho_rimeMax, with latent heating.
+    double t_cur = theta[c] * exner[c];
+    if (qc[c] >= QSMALL && t_cur < T_HOMOGFRZ) {
+      double q_nuc = qc[c];
+      qm[c] += q_nuc;
+      qi[c] += q_nuc;
+      bm[c] += q_nuc / RHO_RIMEMAX;
+      ni[c] += std::max(nc[c], NSMALL);
+      theta[c] += q_nuc * Lf / cpex;
+      qc[c] = 0.0;
+      nc[c] = 0.0;
+    }
+    if (qr[c] >= QSMALL && t_cur < T_HOMOGFRZ) {
+      double q_nuc = qr[c];
+      qm[c] += q_nuc;
+      qi[c] += q_nuc;
+      bm[c] += q_nuc / RHO_RIMEMAX;
+      ni[c] += std::max(nr[c], NSMALL);
+      theta[c] += q_nuc * Lf / cpex;
+      qr[c] = 0.0;
+      nr[c] = 0.0;
+    }
+
+    // p3_main_part3 (micro_p3.F90:977-1137): prognostic effects only (the
+    // diagnostic outputs are discarded by the reference wrapper).
+
+    // cloud (:1020-1035)
+    bool small_c = qc[c] < QSMALL;
+    if (small_c) {
+      qv[c] += qc[c];
+      theta[c] -= qc[c] * Lv / cpex;
+    }
+    double nc_eff = std::max(nc[c], NSMALL);
+    double s_c = 0.0005714 * (nc_eff * 1.0e-6 * rho) + 0.2714;
+    double mu_c3 = std::clamp(1.0 / (s_c * s_c) - 1.0, 2.0, 15.0);
+    double mval = (mu_c3 + 3.0) * (mu_c3 + 2.0) * (mu_c3 + 1.0);
+    double lamc3 =
+        std::cbrt(cons1 * nc_eff * mval / std::max(qc[c], QSMALL));
+    double lamc3_cl =
+        std::clamp(lamc3, (mu_c3 + 1.0) * 2.5e4, (mu_c3 + 1.0) * 1.0e6);
+    double nc_lim = (lamc3 != lamc3_cl)
+                        ? lamc3_cl * lamc3_cl * lamc3_cl * qc[c] /
+                              (cons1 * mval)
+                        : nc_eff;
+    nc[c] = small_c ? 0.0 : nc_lim;
+    qc[c] = small_c ? 0.0 : qc[c];
+
+    // rain (:1037-1060); mu_r = 1 constant
+    bool small_r = qr[c] < QSMALL;
+    if (small_r) {
+      qv[c] += qr[c];
+      theta[c] -= qr[c] * Lv / cpex;
+    }
+    double nr_eff = std::max(nr[c], NSMALL);
+    double lamr3 =
+        std::cbrt(cons1 * nr_eff * 24.0 / std::max(qr[c], QSMALL));
+    double lamr3_cl = std::clamp(lamr3, 2.0 * 500.0, 2.0 * 1.0e5);
+    double nr_lim = (lamr3 != lamr3_cl)
+                        ? lamr3_cl * lamr3_cl * lamr3_cl * qr[c] /
+                              (24.0 * cons1)
+                        : nr_eff;
+    nr[c] = small_r ? 0.0 : nr_lim;
+    qr[c] = small_r ? 0.0 : qr[c];
+
+    // ice (:1062-1126)
+    bool small_i = qi[c] < QSMALL;
+    if (small_i) {
+      qv[c] += qi[c];
+      theta[c] -= qi[c] * Ls / cpex;
+    }
+    ni[c] = std::max(ni[c], NSMALL);
+    // calc_bulkRhoRime (:1904-1943): bound rho_rime to [50, 900] (bm
+    // adjusts), qm <= qi, tiny qm zeroed
+    bool has_bm = bm[c] >= 1.0e-15;
+    double rho_rime3 =
+        has_bm ? std::clamp(qm[c] / std::max(bm[c], 1e-30), RHO_RIMEMIN,
+                            RHO_RIMEMAX)
+               : 0.0;
+    bm[c] = has_bm ? qm[c] / std::max(rho_rime3, RHO_RIMEMIN) : 0.0;
+    qm[c] = has_bm ? qm[c] : 0.0;
+    if (qm[c] > qi[c] && rho_rime3 > 0.0) {
+      qm[c] = qi[c];
+      bm[c] = qm[c] / std::max(rho_rime3, RHO_RIMEMIN);
+    }
+    if (qm[c] < QSMALL) {
+      qm[c] = 0.0;
+      bm[c] = 0.0;
+    }
+    // total-ice-number cap (:1073)
+    if (ni[c] >= 1e-20) {
+      ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
+    }
+    if (tab) {
+      // normalized lambda-limiter factors (tables 7/8, :1085-1097)
+      double rhop3 = std::clamp(qm[c] / std::max(bm[c], 1e-30), RHO_RIMEMIN,
+                                RHO_RIMEMAX);
+      IceIdx idx3 = ice_table_indices(qi[c], ni[c], qm[c], rhop3);
+      ni[c] = std::min(ni[c], interp_ice(7, idx3) * ni[c]);
+      ni[c] = std::max(ni[c], interp_ice(8, idx3) * ni[c]);
+    }
+    if (small_i) {
+      qi[c] = 0.0;
+      ni[c] = 0.0;
+      qm[c] = 0.0;
+      bm[c] = 0.0;
+    }
   }
 }
 

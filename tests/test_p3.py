@@ -153,9 +153,14 @@ def test_p3_predicted_droplet_number():
     out_pred = p3_scheme(**col, dt=20.0, do_predict_nc=True)
     rho = np.asarray(col["rho_d"]) * (1 + np.asarray(col["qv"])
                                       + np.asarray(col["qc"]))
-    # prescribed: nc == nccnst / rho everywhere
-    np.testing.assert_allclose(np.asarray(out_presc[1]), 200.0e6 / rho,
+    # prescribed: nc == nccnst / rho wherever cloud survives; part3 zeroes
+    # nc where qc < qsmall (micro_p3.F90:1030-1034)
+    qc1 = np.asarray(out_presc[0])
+    nc1p = np.asarray(out_presc[1])
+    cloudy = qc1 >= 1e-14
+    np.testing.assert_allclose(nc1p[cloudy], (200.0e6 / rho)[cloudy],
                                rtol=1e-2)
+    assert (nc1p[~cloudy] == 0.0).all()
     # predicted: nc decreased from its initial value where rain formed
     nc0 = np.asarray(col["nc"])
     nc1 = np.asarray(out_pred[1])
@@ -252,3 +257,113 @@ def test_p3_module_f32_supercell_no_nan():
     for _ in range(3):
         st = step(st)
     assert st.validate() == {}
+
+
+def test_p3_homogeneous_freezing_glaciates_below_233K():
+    """Below T_homogfrz = 233.15 K all cloud and rain freeze instantly into
+    rimed ice with latent heating (homogeneous_freezing,
+    micro_p3.F90:4145-4200, called after sedimentation at :1452-1454).
+    A cold-top column (anvil analog) must be fully glaciated aloft."""
+    col = _column(tsurf=290.0, qc0=5e-4, qr0=5e-4, qv0=1e-3)
+    temp0 = np.asarray(col["theta"] * col["exner"])
+    out = p3_scheme(**col, dt=10.0)
+    qc1, _, qr1, nr1, qi1, ni1, qm1, bm1 = (np.asarray(a) for a in out[:8])
+    theta1 = np.asarray(out[9])
+    cold = temp0 < 233.15 - 0.5       # margin for latent warming in-step
+    assert cold.any(), "column must reach below T_homogfrz"
+    assert (qc1[cold] == 0.0).all()
+    assert (qr1[cold] == 0.0).all()
+    assert (qi1[cold] > 0.0).all()       # liquid became ice
+    assert (qm1[cold] > 0.0).all()       # ... as rime
+    assert (bm1[cold] > 0.0).all()
+    # latent heating: theta rose in glaciated cells relative to input
+    theta0 = np.asarray(col["theta"])
+    assert (theta1[cold] >= theta0[cold]).all()
+    assert (theta1[cold] > theta0[cold]).any()
+
+
+def test_p3_rain_number_weighted_fall_speed_slower():
+    """nr sediments with the number-weighted V_nr, which is strictly slower
+    than the mass-weighted V_qr for a gamma DSD (compute_rain_fall_velocity,
+    micro_p3.F90:3872-3908; sedimentation speeds at :3785-3791)."""
+    from miniweatherml_tpu.physics.p3_tables import generate_rain_tables
+    vn, vm, _ = generate_rain_tables()
+    assert (vn <= vm + 1e-12).all()
+    # strictly slower over the mid-size range (not degenerate/equal tables)
+    assert (vn[5:250] < vm[5:250]).any()
+    assert vn.shape == vm.shape == (300,)
+
+
+def test_p3_rain_number_sediments_slower_than_mass():
+    """Behavioral check of V_nr: for a rain shaft aloft, the center of mass
+    of qr must descend farther than that of nr in one step (table tier)."""
+    from miniweatherml_tpu.physics.p3_tables import load_p3_tables
+    tables = load_p3_tables()
+    col = _column(nz=20, qv0=0.012)
+    # rain shaft at WARM mid-levels (aloft it would homogeneously freeze);
+    # big drops (low nr) spread the vm/vn gap
+    z_idx = np.arange(20).reshape(1, 20, 1, 1)
+    qr = jnp.asarray(np.where((z_idx >= 6) & (z_idx < 12), 2e-3, 0.0))
+    col["qr"] = qr
+    col["nr"] = qr * 1e5   # big drops
+    zc = (np.arange(20) + 0.5) * 400.0
+    def com(a):
+        w = np.asarray(a)[0, :, 0, 0]
+        return (w * zc).sum() / max(w.sum(), 1e-300)
+    com_q0, com_n0 = com(col["qr"]), com(col["nr"])
+    out = p3_scheme(**col, dt=60.0, tables=tables)
+    qr1, nr1 = out[2], out[3]
+    drop_q = com_q0 - com(qr1)
+    drop_n = com_n0 - com(nr1)
+    assert drop_q > 0.0 and drop_n > 0.0
+    assert drop_q > drop_n * 1.05  # mass falls measurably faster
+
+
+def test_p3_max_total_ni_capped():
+    """Total ice number is capped at max_total_ni = 500e3 m^-3
+    (impose_max_total_ni, micro_p3.F90:1947-1969, applied in part1/2/3 at
+    :637/:924/:1073)."""
+    col = _column(tsurf=260.0, qv0=2e-3, qi0=1e-4)
+    col["ni"] = jnp.full_like(col["ni"], 1.0e9)   # grossly over the cap
+    rho = np.asarray(col["rho_d"]) * (1 + np.asarray(col["qv"])
+                                      + np.asarray(col["qi"]))
+    out = p3_scheme(**col, dt=10.0)   # table-less: part3 cap is final op
+    ni1 = np.asarray(out[5])
+    assert (ni1 * rho <= 500.0e3 * (1.0 + 1e-10)).all()
+    assert (ni1 > 0.0).any()
+
+
+def test_p3_part3_small_mass_cleanup():
+    """p3_main_part3 (micro_p3.F90:977-1137): sub-qsmall hydrometeors return
+    to vapor with latent cooling and their numbers are zeroed."""
+    col = _column(tsurf=285.0, qv0=1e-3)
+    tiny = 1e-16   # < qsmall = 1e-14
+    for k in ("qc", "qr", "qi"):
+        col[k] = jnp.full_like(col[k], tiny)
+    col["nr"] = jnp.full_like(col["nr"], 1e3)
+    col["ni"] = jnp.full_like(col["ni"], 1e3)
+    qv0 = np.asarray(col["qv"])
+    out = p3_scheme(**col, dt=10.0)
+    qc1, nc1, qr1, nr1, qi1, ni1, qm1, bm1, qv1 = (
+        np.asarray(a) for a in out[:9])
+    assert (qc1 == 0.0).all() and (qr1 == 0.0).all() and (qi1 == 0.0).all()
+    assert (nc1 == 0.0).all() and (nr1 == 0.0).all() and (ni1 == 0.0).all()
+    assert (qm1 == 0.0).all() and (bm1 == 0.0).all()
+    np.testing.assert_allclose(qv1, qv0 + 3 * tiny, rtol=1e-6)
+
+
+def test_p3_part3_rain_lambda_limiter():
+    """get_rain_dsd2's lambda limiters adjust nr for consistency in part3
+    (micro_p3.F90:1841-1893 via :1043): a DSD with absurdly few drops for
+    its mass (lamr < lammin) must have nr raised to the 2 mm bound."""
+    col = _column(tsurf=285.0, qv0=0.012)
+    qr = jnp.full_like(col["qr"], 1e-3)
+    col["qr"] = qr
+    col["nr"] = jnp.full_like(col["nr"], 1e-2)    # ~0 drops: giant raindrops
+    out = p3_scheme(**col, dt=1e-3)   # tiny dt: processes negligible
+    qr1, nr1 = np.asarray(out[2]), np.asarray(out[3])
+    # nr was raised to match lamr = lammin = (mu_r+1)*500
+    cons1 = np.pi / 6.0 * 1000.0
+    lamr1 = np.cbrt(cons1 * nr1 * 24.0 / np.maximum(qr1, 1e-14))
+    ok = qr1 >= 1e-14
+    np.testing.assert_allclose(lamr1[ok], 1000.0, rtol=2e-2)
