@@ -198,8 +198,12 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     temp = theta * exner
     rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
     inv_rho = 1.0 / rho
-    Lv = latent_heat_condensation(temp)
-    Ls = Lv + LATICE
+    # P3-internal latent heats are CONSTANTS (latent_heat_vapor = latvap,
+    # latent_heat_sublim = latvap + latice, micro_p3_utils.F90:146-147);
+    # only the wrapper's saturation pre-adjustment uses the T-dependent
+    # form (microphysics_p3.h:452-455, compute_adjusted_state above).
+    Lv = LATVAP
+    Ls = LATVAP + LATICE
     Lf = LATICE
     cp = CP_D
     nz = qc.shape[z_axis]
@@ -210,9 +214,33 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
         return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
 
-    # part1/part2 analog of the ni cap (p3_main_part1:637, part2:924):
-    # applied before any table lookups / process rates see ni.
-    ni = cap_ni(ni)
+    _cons1 = jnp.pi / 6.0 * RHO_H2O
+
+    def rain_dsd_nr(qr_, nr_):
+        """get_rain_dsd2's lambda-limiter adjustment of nr (micro_p3.F90:
+        1841-1893, mu_r = 1 constant): keeps the mean drop size within
+        [10 um, 2 mm] so process rates (notably the Verlinde-Cotton breakup
+        exponential, :2725-2737) never see absurd DSDs."""
+        nr1 = jnp.maximum(nr_, NSMALL)
+        lamr = jnp.cbrt(_cons1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
+        lamr_cl = jnp.clip(lamr, 2.0 * 500.0, 2.0 * 1.0e5)
+        nr_lim = jnp.where(lamr != lamr_cl,
+                           lamr_cl ** 3 * qr_ / (24.0 * _cons1), nr1)
+        return jnp.where(qr_ >= QSMALL, nr_lim, nr_)
+
+    def cloud_dsd_nc(qc_, nc_):
+        """get_cloud_dsd2's lambda-limiter adjustment of nc
+        (micro_p3.F90:1774-1837)."""
+        nc1 = jnp.maximum(nc_, NSMALL)
+        s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714
+        mu_ = jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
+        mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
+        lamc = jnp.cbrt(_cons1 * nc1 * mval_ / jnp.maximum(qc_, QSMALL))
+        lamc_cl = jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
+        nc_lim = jnp.where(lamc != lamc_cl,
+                           lamc_cl ** 3 * qc_ / (_cons1 * mval_), nc1)
+        return jnp.where(qc_ >= QSMALL, nc_lim, nc_)
+
 
     def ax(a, sl):
         idx = [slice(None)] * a.ndim
@@ -228,6 +256,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # prescribed droplet number (do_predict_nc = false,
         # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436)
         nc = jnp.full_like(nc, NCCNST) * inv_rho
+
+    # part2's pre-process DSD limiting + ni cap, in the reference order
+    # (get_cloud_dsd2 :626, get_rain_dsd2 :630, impose_max_total_ni :637):
+    # applied before any table lookup / process rate sees the DSDs.
+    nc = cloud_dsd_nc(qc, nc)
+    nr = rain_dsd_nr(qr, nr)
+    ni = cap_ni(ni)
 
     # cloud gamma-DSD shape/slope and Stokes mass-weighted droplet fall
     # speed, shared by sedimentation and rime density
@@ -282,28 +317,55 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qv_si = saturation_vapor_pressure_ice(temp) / (R_V * temp * rho_d)
     sup_i = qv / jnp.maximum(qv_si, QSMALL) - 1.0
 
-    # ice nucleation: Cooper 1986 N = 0.005 exp(0.304 (T0-T)), capped
-    # [P3 form] (micro_p3.F90:2576-2618)
-    n_coop = jnp.minimum(0.005 * jnp.exp(0.304 * jnp.maximum(-tc, 0.0)),
-                         208.9e3) * 1.0e3 * inv_rho
-    nucleate = (tc < -15.0) & (sup_i > 0.05)
-    qinuc = jnp.where(nucleate,
-                      jnp.maximum(n_coop - ni, 0.0) * 1.0e-12 / dt, 0.0)
-    ninuc = jnp.where(nucleate, jnp.maximum(n_coop - ni, 0.0) / dt, 0.0)
+    # ice nucleation: Cooper 1986 N = 0.005 exp(0.304 (T0-T)) * 1e3 / rho,
+    # capped at 100e3/rho; new crystals have mass mi0 = 4pi/3 * 900 * 1e-18
+    # (ice_nucleation, micro_p3.F90:2576-2618; mi0 micro_p3_utils.F90:162)
+    mi0 = 4.0 * jnp.pi / 3.0 * 900.0 * 1.0e-18
+    n_coop = jnp.minimum(
+        0.005 * jnp.exp(0.304 * jnp.maximum(-tc, 0.0)) * 1.0e3 * inv_rho,
+        100.0e3 * inv_rho)
+    nucleate = (tc < -15.0) & (sup_i >= 0.05)
+    n_nuc = jnp.maximum(n_coop - ni, 0.0) / dt
+    nucleate = nucleate & (n_nuc >= 1.0e-20)
+    qinuc = jnp.where(nucleate, n_nuc * mi0, 0.0)
+    ninuc = jnp.where(nucleate, n_nuc, 0.0)
 
-    # immersion freezing, Bigg 1953: rate ~ volume * (exp(a(-tc)) - 1)
-    # [P3 form] (micro_p3.F90:2504-2573)
-    # Bigg: dq/dt = B (exp(a(-tc)) - 1) * rho q^2 / (6 rho_w n)
-    big_a, big_b = 0.66, 100.0
-    bigg = jnp.where(tc < -4.0,
-                     big_b * (jnp.exp(big_a * jnp.minimum(-tc, 40.0)) - 1.0),
-                     0.0)
-    qc_frz = bigg * rho * qc * qc / (
-        RHO_H2O * jnp.maximum(nc * rho, NSMALL) * 6.0)
-    qr_frz = bigg * rho * qr * qr / (
-        RHO_H2O * jnp.maximum(nr * rho, NSMALL) * 6.0)
-    nc_frz = qc_frz * nc / jnp.maximum(qc, QSMALL)
-    nr_frz = qr_frz * nr / jnp.maximum(qr, QSMALL)
+    # immersion freezing of cloud and rain, DSD-integrated Bigg 1953
+    # (cldliq_immersion_freezing :2504-2538, rain_immersion_freezing
+    # :2540-2573; aimm = 0.65, bimm = 2, micro_p3_utils.F90:159-160,
+    # cons5 = pi/6 * bimm, cons6 = (pi/6)^2 * rho_h2o * bimm :177-178):
+    #   Q = cons6 * cdist1 * Gamma(7+mu) * exp(aimm (T0-T)) / lam^6
+    #   N = cons5 * cdist1 * Gamma(4+mu) * exp(aimm (T0-T)) / lam^3
+    aimm, bimm = 0.65, 2.0
+    cons5 = jnp.pi / 6.0 * bimm
+    cons6 = (jnp.pi / 6.0) ** 2 * RHO_H2O * bimm
+    # the exp argument is capped only by T_rainfrz gating in the reference;
+    # clamp at 40 K supercooling for f32 safety (exp(26) ~ 2e11 is fine)
+    dum1_frz = jnp.exp(aimm * jnp.minimum(-tc, 40.0))
+    frz_gate_c = (qc >= QSMALL) & (tc <= -4.0)   # T_rainfrz = tmelt - 4
+    lamc_frz = cloud_dsd_lamc(qc)
+    cdist1_c = jnp.maximum(nc, NSMALL) * jnp.exp(-gammaln(_mu_cd + 1.0))
+    qc_frz = jnp.where(
+        frz_gate_c,
+        cons6 * cdist1_c * jnp.exp(gammaln(7.0 + _mu_cd)) * dum1_frz
+        / lamc_frz ** 6, 0.0)
+    nc_frz = jnp.where(
+        frz_gate_c,
+        cons5 * cdist1_c * jnp.exp(gammaln(4.0 + _mu_cd)) * dum1_frz
+        / lamc_frz ** 3, 0.0)
+    frz_gate_r = (qr >= QSMALL) & (tc <= -4.0)
+    # rain DSD at mu_r = 1: cdistr = nr / Gamma(2) = nr, Gamma(8) = 5040,
+    # Gamma(5) = 24 (get_rain_dsd2 :1880)
+    lamr_frz = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
+                        * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
+    qr_frz = jnp.where(
+        frz_gate_r,
+        cons6 * jnp.maximum(nr, NSMALL) * 5040.0 * dum1_frz
+        / lamr_frz ** 6, 0.0)
+    nr_frz = jnp.where(
+        frz_gate_r,
+        cons5 * jnp.maximum(nr, NSMALL) * 24.0 * dum1_frz
+        / lamr_frz ** 3, 0.0)
 
     # deposition/sublimation: relax vapor toward ice saturation below
     # freezing [approx tier; the tables branch below replaces these with
@@ -331,7 +393,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # above freezing, collected cloud water is shed as 1 mm rain drops
         # (ice_cldliq_collection T>0 branch, micro_p3.F90:2063-2071)
         shed = jnp.where(both_ic & (tc > 0.0), collect_qc, 0.0)
-        inv_dropmass = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 1.0e-3 ** 3)
+        # 1 mm shed drops: dropmass = 5.2e-7 kg (micro_p3_utils.F90:57)
+        inv_dropmass = 1.0 / 5.2e-7
         vi_table = rhofaci * interp_ice(tables, 2, *idx)
         # rime density of cloud riming (calc_rime_density,
         # micro_p3.F90:2413-2490): Cober-List Ri fit of impact velocity x

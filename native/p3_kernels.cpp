@@ -32,6 +32,7 @@ constexpr double R_V = 461.505;
 constexpr double CP_V = 1859.0;
 constexpr double CP_L = 4188.0;
 constexpr double RHO_H2O = 1000.0;
+constexpr double LATVAP = 2501000.0;
 constexpr double LATICE = 333700.0;
 constexpr double TMELT = 273.15;
 constexpr double QSMALL = 1.0e-14;
@@ -280,24 +281,52 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
   const bool tab = g_have_tables;
   const double rho_600mb = 60000.0 / (287.042 * 253.15);
   const double rho_1000mb = 100000.0 / (287.042 * 273.15);
-  const double inv_dropmass = 1.0 / (PI / 6.0 * RHO_H2O * 1.0e-9);
+  // 1 mm shed drops: dropmass = 5.2e-7 kg (micro_p3_utils.F90:57)
+  const double inv_dropmass = 1.0 / 5.2e-7;
 
   // Pass 1: process rates + tendencies, cell-local.
   for (std::int64_t c = 0; c < n; ++c) {
     double temp = theta[c] * exner[c];
     double rho = rho_pre[c];
     double inv_rho = 1.0 / rho;
-    double Lv = latent_heat_condensation(temp);
-    double Ls = Lv + LATICE;
+    // P3-internal latent heats are CONSTANTS (micro_p3_utils.F90:146-147)
+    double Lv = LATVAP;
+    double Ls = LATVAP + LATICE;
     double Lf = LATICE;
 
     nc[c] = NCCNST * inv_rho;  // prescribed droplet number
 
-    // part1/part2 analog of the total-ice-number cap (impose_max_total_ni,
-    // micro_p3.F90:1947-1969, called at :637 and :924): applied before any
-    // table lookup / process rate sees ni (mirrors the JAX scheme).
-    if (ni[c] >= 1e-20) {
-      ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
+    // part2's pre-process DSD limiting + ni cap, reference order
+    // (get_cloud_dsd2 micro_p3.F90:626, get_rain_dsd2 :630,
+    // impose_max_total_ni :637): applied before any table lookup /
+    // process rate sees the DSDs (mirrors the JAX scheme).
+    {
+      const double cons1 = PI / 6.0 * RHO_H2O;
+      if (qc[c] >= QSMALL) {
+        double nc1 = std::max(nc[c], NSMALL);
+        double s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714;
+        double mu_ = std::clamp(1.0 / (s_ * s_) - 1.0, 2.0, 15.0);
+        double mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0);
+        double lamc =
+            std::cbrt(cons1 * nc1 * mval_ / std::max(qc[c], QSMALL));
+        double lamc_cl =
+            std::clamp(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6);
+        nc[c] = (lamc != lamc_cl)
+                    ? lamc_cl * lamc_cl * lamc_cl * qc[c] / (cons1 * mval_)
+                    : nc1;
+      }
+      if (qr[c] >= QSMALL) {
+        double nr1 = std::max(nr[c], NSMALL);
+        double lamr =
+            std::cbrt(cons1 * nr1 * 24.0 / std::max(qr[c], QSMALL));
+        double lamr_cl = std::clamp(lamr, 2.0 * 500.0, 2.0 * 1.0e5);
+        nr[c] = (lamr != lamr_cl)
+                    ? lamr_cl * lamr_cl * lamr_cl * qr[c] / (24.0 * cons1)
+                    : nr1;
+      }
+      if (ni[c] >= 1e-20) {
+        ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
+      }
     }
 
     // cloud gamma-DSD (get_cloud_dsd2, micro_p3.F90:1774-1835)
@@ -339,22 +368,44 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double qv_si = svp_ice(temp) / (R_V * temp * rho_d[c]);
     double sup_i = qv[c] / std::max(qv_si, QSMALL) - 1.0;
 
-    double n_coop =
-        std::min(0.005 * std::exp(0.304 * std::max(-tc_, 0.0)), 208.9e3) *
-        1.0e3 * inv_rho;
-    bool nucleate = (tc_ < -15.0) && (sup_i > 0.05);
-    double qinuc = nucleate ? std::max(n_coop - ni[c], 0.0) * 1.0e-12 / dt : 0.0;
-    double ninuc = nucleate ? std::max(n_coop - ni[c], 0.0) / dt : 0.0;
+    // ice nucleation, Cooper 1986 capped at 100e3/rho; crystals of mass
+    // mi0 = 4pi/3 * 900e-18 (ice_nucleation micro_p3.F90:2576-2618)
+    const double mi0 = 4.0 * PI / 3.0 * 900.0 * 1.0e-18;
+    double n_coop = std::min(
+        0.005 * std::exp(0.304 * std::max(-tc_, 0.0)) * 1.0e3 * inv_rho,
+        100.0e3 * inv_rho);
+    double n_nuc_r = std::max(n_coop - ni[c], 0.0) / dt;
+    bool nucleate = (tc_ < -15.0) && (sup_i >= 0.05) && (n_nuc_r >= 1.0e-20);
+    double qinuc = nucleate ? n_nuc_r * mi0 : 0.0;
+    double ninuc = nucleate ? n_nuc_r : 0.0;
 
-    double big_a = 0.66, big_b = 100.0;
-    double bigg =
-        tc_ < -4.0 ? big_b * (std::exp(big_a * std::min(-tc_, 40.0)) - 1.0) : 0.0;
-    double qc_frz =
-        bigg * rho * qc[c] * qc[c] / (RHO_H2O * std::max(nc[c] * rho, NSMALL) * 6.0);
-    double qr_frz =
-        bigg * rho * qr[c] * qr[c] / (RHO_H2O * std::max(nr[c] * rho, NSMALL) * 6.0);
-    double nc_frz = qc_frz * nc[c] / std::max(qc[c], QSMALL);
-    double nr_frz = qr_frz * nr[c] / std::max(qr[c], QSMALL);
+    // immersion freezing of cloud and rain, DSD-integrated Bigg 1953
+    // (cldliq/rain_immersion_freezing micro_p3.F90:2504-2573; aimm = 0.65,
+    // bimm = 2; cons5/cons6 micro_p3_utils.F90:177-178)
+    const double aimm = 0.65, bimm = 2.0;
+    const double cons5 = PI / 6.0 * bimm;
+    const double cons6 = (PI / 6.0) * (PI / 6.0) * RHO_H2O * bimm;
+    double dum1_frz = std::exp(aimm * std::min(-tc_, 40.0));
+    double qc_frz = 0.0, nc_frz = 0.0, qr_frz = 0.0, nr_frz = 0.0;
+    if (qc[c] >= QSMALL && tc_ <= -4.0) {   // T_rainfrz = tmelt - 4
+      double lamc_frz = cloud_lamc(qc[c]);
+      double cdist1_c =
+          std::max(nc[c], NSMALL) * std::exp(-std::lgamma(mu_cd + 1.0));
+      qc_frz = cons6 * cdist1_c * std::exp(std::lgamma(7.0 + mu_cd)) *
+               dum1_frz / std::pow(lamc_frz, 6.0);
+      nc_frz = cons5 * cdist1_c * std::exp(std::lgamma(4.0 + mu_cd)) *
+               dum1_frz / std::pow(lamc_frz, 3.0);
+    }
+    if (qr[c] >= QSMALL && tc_ <= -4.0) {
+      // mu_r = 1: cdistr = nr, Gamma(8) = 5040, Gamma(5) = 24
+      double lamr_frz = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
+                                  std::max(nr[c], NSMALL) /
+                                  std::max(qr[c], QSMALL));
+      qr_frz = cons6 * std::max(nr[c], NSMALL) * 5040.0 * dum1_frz /
+               std::pow(lamr_frz, 6.0);
+      nr_frz = cons5 * std::max(nr[c], NSMALL) * 24.0 * dum1_frz /
+               std::pow(lamr_frz, 3.0);
+    }
 
     double dep, sub, berg = 0.0, rim, shed = 0.0, melt;
     double qrcol = 0.0, nr_col = 0.0, ni_self = 0.0, nr_shed_wg = 0.0;
@@ -753,9 +804,9 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
   for (std::int64_t c = 0; c < n; ++c) {
     double rho = rho_pre[c];
     double inv_rho = 1.0 / rho;
-    double temp0 = temp_pre[c];
-    double Lv = latent_heat_condensation(temp0);
-    double Ls = Lv + LATICE;
+    // constant P3-internal latent heats (micro_p3_utils.F90:146-147)
+    double Lv = LATVAP;
+    double Ls = LATVAP + LATICE;
     double Lf = LATICE;
     double cpex = CP_D * exner[c];
     const double cons1 = PI / 6.0 * RHO_H2O;

@@ -134,6 +134,66 @@ def main():
     if not g.sim2d:
         mkdir(_AX_Y, g.ny, consts.bc_y, IDV, "dir_y")
 
+    # --- glue pieces ---
+    def prim_only(s, tr):
+        full_r = s[IDR] + hyc
+        prim = jnp.concatenate(
+            [s[IDR:IDU], s[IDU:4] / full_r, s[4:5], tr / full_r])
+        return s + 1e-30 * prim[:5], tr + 1e-30 * prim[5:]
+    timeit("prim", scan_wrap(prim_only), s0, tr0)
+
+    positive_np = positive
+
+    def fct_div(s, tr):
+        def faces(axis):
+            pad = [(0, 0)] * tr.ndim
+            pad[axis] = (0, 1)
+            return jnp.pad(tr, pad) + 1e-6
+        TFx = faces(-1)
+        TFz = faces(-3)
+        TFy = None if g.sim2d else faces(-2)
+        TFx, TFy, TFz = dy._fct(g, tr, positive_np, TFx, TFy, TFz, dt, None)
+        def div(F, axis, n, dxi):
+            return -(jax.lax.slice_in_dim(F, 1, n + 1, axis=axis)
+                     - jax.lax.slice_in_dim(F, 0, n, axis=axis)) / dxi
+        t_tend = (div(TFx, -1, g.nx, g.dx) + div(TFz, -3, g.nz, g.dz))
+        if TFy is not None:
+            t_tend = t_tend + div(TFy, -2, g.ny, g.dy)
+        return s, tr + 1e-30 * t_tend
+    timeit("fct+div(t)", scan_wrap(fct_div), s0, tr0)
+
+    def rk_combine(s, tr):
+        # one SSPRK3 stage-2-style combine over state+tracers
+        s2 = 0.75 * s + 0.25 * s + 0.25 * dt * (1e-30 * s)
+        t2 = jnp.maximum(0.75 * tr + 0.25 * tr + 0.25 * dt * (1e-30 * tr),
+                         0.0)
+        return s2, t2
+    timeit("rk_combine", scan_wrap(rk_combine), s0, tr0)
+
+    # --- dir_z A/B: self-halo (default) vs explicit strips ---
+    from miniweatherml_tpu.ops.stencil import halo_strips as _hstrips
+    from miniweatherml_tpu.ops import pallas_recon as PR
+
+    def dirz_strips(s, tr):
+        full_r = s[IDR] + hyc
+        prim = jnp.concatenate(
+            [s[IDR:IDU], s[IDU:4] / full_r, s[4:5], tr / full_r])
+        hp = dy.hs + 1
+        lo, hi = _hstrips(prim, _AX_Z, hp, consts.bc_z, zero_var=IDW)
+        nvar = prim.shape[0]
+        resh = prim.reshape(nvar, g.nens, g.nz, g.ny * g.nx)
+        lo_r = lo.reshape(nvar, g.nens, hp, g.ny * g.nx)
+        hi_r = hi.reshape(nvar, g.nens, hp, g.ny * g.nx)
+        SF, TF = PR.direction_fluxes_pallas_sub(
+            resh, lo_r, hi_r, hy[2], hy[3], g.nz, dy.mats, dy.cutoff, 3,
+            consts.C0, consts.gamma, fast_weights=dy.fast_weights,
+            div_scale=1.0 / g.dz, bc=(jnp.int32(1), jnp.int32(1)))
+        s2 = s + 1e-30 * SF.reshape(5, g.nens, g.nz, g.ny, g.nx)
+        tr2 = tr + 1e-30 * jax.lax.slice_in_dim(
+            TF.reshape(3, g.nens, g.nz + 1, g.ny, g.nx), 0, g.nz, axis=2)
+        return s2, tr2
+    timeit("dir_z strips", scan_wrap(dirz_strips), s0, tr0)
+
     # --- microphysics ---
     micro = mods[1]
     def kes_body(st):

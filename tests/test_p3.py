@@ -336,7 +336,9 @@ def test_p3_max_total_ni_capped():
 def test_p3_part3_small_mass_cleanup():
     """p3_main_part3 (micro_p3.F90:977-1137): sub-qsmall hydrometeors return
     to vapor with latent cooling and their numbers are zeroed."""
-    col = _column(tsurf=285.0, qv0=1e-3)
+    # warm shallow column: no level reaches the Cooper-nucleation regime
+    # (tc < -15), so no new ice can grow past qsmall in-step
+    col = _column(nz=10, tsurf=300.0, qv0=1e-3)
     tiny = 1e-16   # < qsmall = 1e-14
     for k in ("qc", "qr", "qi"):
         col[k] = jnp.full_like(col[k], tiny)
@@ -362,8 +364,12 @@ def test_p3_part3_rain_lambda_limiter():
     col["nr"] = jnp.full_like(col["nr"], 1e-2)    # ~0 drops: giant raindrops
     out = p3_scheme(**col, dt=1e-3)   # tiny dt: processes negligible
     qr1, nr1 = np.asarray(out[2]), np.asarray(out[3])
-    # nr was raised to match lamr = lammin = (mu_r+1)*500
+    # nr was raised to match lamr = lammin = (mu_r+1)*500; assert at WARM
+    # levels only (aloft, giant supercooled drops freeze fast even over a
+    # tiny dt, shifting the post-freezing DSD that part3 then re-limits)
     cons1 = np.pi / 6.0 * 1000.0
     lamr1 = np.cbrt(cons1 * nr1 * 24.0 / np.maximum(qr1, 1e-14))
-    ok = qr1 >= 1e-14
+    temp0 = np.asarray(col["theta"] * col["exner"])
+    ok = (qr1 >= 1e-14) & (temp0 > 270.0)
+    assert ok.any()
     np.testing.assert_allclose(lamr1[ok], 1000.0, rtol=2e-2)
