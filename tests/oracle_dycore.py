@@ -26,9 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-ORD = 5
-HS = (ORD - 1) // 2
-HP = HS + 1   # halo width: one ghost cell's reconstruction is also needed
+ORD = 5      # default order; WenoOracle(ord_=...) covers 3/5/7/9
 IDR, IDU, IDV, IDW, IDT = 0, 1, 2, 3, 4
 BC_PERIODIC, BC_OPEN, BC_WALL = 0, 1, 2
 CS = 350.0  # frozen acoustic speed (dynamics...h:402)
@@ -77,57 +75,74 @@ def _convexify(ws):
 
 
 class WenoOracle:
-    """Reference WenoLimiter<5> + coefs_to_gll (WenoLimiter.h:52-93,
-    TransformMatrices coefs_to_gll for the 2-point case = evaluation of the
-    basis at x = -1/2, +1/2)."""
+    """Reference WenoLimiter<ord> + coefs_to_gll (WenoLimiter.h:13-46
+    for ord 3, :52-93 for ord 5, :96-141 for ord 7, :144-193 for ord 9;
+    coefs_to_gll for the 2-point case = evaluation of the basis at
+    x = -1/2, +1/2).
 
-    def __init__(self, cutoff=0.0):
+    Low sub-stencils per the reference templates: ord 3 uses two 2-point
+    stencils (coefs2_shift1/2); ord 5/7/9 use three 3-point stencils
+    centered on the middle cell (ord 7/9 do NOT widen the sub-stencils --
+    WenoLimiter.h:113-116, :161-164).  idl defaults: (1,1,5e2) ord 3,
+    (1,2,1,1e3) ord 5, (1,2,1,1e5) ord 7, (1,2,1,1e8) ord 9."""
+
+    def __init__(self, cutoff=0.0, ord_=ORD):
         self.cutoff = cutoff
-        self.M_L = _sten_to_coefs((-2, -1, 0))   # coefs3_shift1
-        self.M_C = _sten_to_coefs((-1, 0, 1))    # coefs3_shift2
-        self.M_R = _sten_to_coefs((0, 1, 2))     # coefs3_shift3
-        self.M_H = _sten_to_coefs((-2, -1, 0, 1, 2))  # coefs5_shift3
-        self.Q3 = _tv_quadratic(3)
-        self.Q5 = _tv_quadratic(5)
-        # idl defaults (1, 2, 1, 1e3), convexified (WenoLimiter.h:52-66)
-        idl = np.array([1.0, 2.0, 1.0, 1.0e3])
+        self.ord = ord_
+        h = (ord_ - 1) // 2
+        if ord_ == 3:
+            lows = [(-1, 0), (0, 1)]
+            idl = [1.0, 1.0, 5.0e2]
+        elif ord_ == 5:
+            lows = [(-2, -1, 0), (-1, 0, 1), (0, 1, 2)]
+            idl = [1.0, 2.0, 1.0, 1.0e3]
+        elif ord_ in (7, 9):
+            lows = [(-2, -1, 0), (-1, 0, 1), (0, 1, 2)]
+            idl = [1.0, 2.0, 1.0, 1.0e5 if ord_ == 7 else 1.0e8]
+        else:
+            raise ValueError(f"unsupported order {ord_}")
+        self.m = len(lows[0])             # low sub-stencil size
+        # sub-stencil j covers stencil indices (h + off) for off in lows[j]
+        self.low_idx = [tuple(h + off for off in offs) for offs in lows]
+        self.lowM = [_sten_to_coefs(offs) for offs in lows]
+        self.M_H = _sten_to_coefs(tuple(range(-h, h + 1)))
+        self.Qlow = _tv_quadratic(self.m)
+        self.QH = _tv_quadratic(ord_)
+        idl = np.array(idl)
         self.idl = idl / idl.sum()
         # coefs -> values at x = -1/2 (left edge), +1/2 (right edge)
-        self.P = np.array([[(-0.5) ** s for s in range(ORD)],
-                           [(+0.5) ** s for s in range(ORD)]])
+        self.P = np.array([[(-0.5) ** s for s in range(ord_)],
+                           [(+0.5) ** s for s in range(ord_)]])
 
     def limited_coefs(self, sten):
-        """``sten``: (..., 5) cell averages -> (..., 5) limited coefs,
-        reference operation order (WenoLimiter.h:68-93)."""
-        cL = sten[..., 0:3] @ self.M_L.T
-        cC = sten[..., 1:4] @ self.M_C.T
-        cR = sten[..., 2:5] @ self.M_R.T
+        """``sten``: (..., ord) cell averages -> (..., ord) limited coefs,
+        reference operation order (WenoLimiter.h compute_limited_coefs)."""
+        cls = [sten[..., list(idx)] @ M.T
+               for idx, M in zip(self.low_idx, self.lowM)]
         cH = sten[..., :] @ self.M_H.T
-        wL = np.einsum("...i,ij,...j->...", cL, self.Q3, cL)
-        wC = np.einsum("...i,ij,...j->...", cC, self.Q3, cC)
-        wR = np.einsum("...i,ij,...j->...", cR, self.Q3, cR)
-        wH = np.einsum("...i,ij,...j->...", cH, self.Q5, cH)
-        ws = [wL, wC, wR, wH]
-        tot = ws[0] + ws[1] + ws[2] + ws[3]
-        sel = tot > 1e-20
-        ws = [np.where(sel, w / np.where(sel, tot, 1.0), w) for w in ws]
-        ws = [i / (w * w + 1e-20) for i, w in zip(self.idl, ws)]
-        tot = ws[0] + ws[1] + ws[2] + ws[3]
-        sel = tot > 1e-20
-        ws = [np.where(sel, w / np.where(sel, tot, 1.0), w) for w in ws]
-        if self.cutoff > 0:
-            ws = [np.where(w <= self.cutoff, 0.0, w) for w in ws[:3]] + ws[3:]
-            tot = ws[0] + ws[1] + ws[2] + ws[3]
+        ws = [np.einsum("...i,ij,...j->...", c, self.Qlow, c) for c in cls]
+        ws.append(np.einsum("...i,ij,...j->...", cH, self.QH, cH))
+
+        def convexify(ws):
+            tot = sum(ws)
             sel = tot > 1e-20
-            ws = [np.where(sel, w / np.where(sel, tot, 1.0), w) for w in ws]
-        wL, wC, wR, wH = ws
-        out = cH * wH[..., None]
-        out[..., 0:3] += (cL * wL[..., None] + cC * wC[..., None]
-                          + cR * wR[..., None])
+            return [np.where(sel, w / np.where(sel, tot, 1.0), w)
+                    for w in ws]
+
+        ws = convexify(ws)
+        ws = [i / (w * w + 1e-20) for i, w in zip(self.idl, ws)]
+        ws = convexify(ws)
+        if self.cutoff > 0:
+            ws = ([np.where(w <= self.cutoff, 0.0, w) for w in ws[:-1]]
+                  + ws[-1:])
+            ws = convexify(ws)
+        out = cH * ws[-1][..., None]
+        for c, w in zip(cls, ws[:-1]):
+            out[..., :self.m] += c * w[..., None]
         return out
 
     def gll(self, sten):
-        """(..., 5) stencil -> (gll_left, gll_right) per cell
+        """(..., ord) stencil -> (gll_left, gll_right) per cell
         (reconstruct_gll_values, dynamics...h:556-571)."""
         coefs = self.limited_coefs(sten)
         vals = coefs @ self.P.T
@@ -137,21 +152,21 @@ class WenoOracle:
 # ----------------------------------------------------------------------
 # step pieces (reference dynamics...h)
 # ----------------------------------------------------------------------
-def _fill_halos(arr, axis, bc, zero_var=None):
+def _fill_halos(arr, axis, bc, hp, zero_var=None):
     """Reference halo_exchange BC fill on a global array (:749-827):
     periodic wrap, or edge replication with the wall-normal var zeroed."""
     n = arr.shape[axis]
     lo = [slice(None)] * arr.ndim
     hi = [slice(None)] * arr.ndim
     if bc == BC_PERIODIC:
-        lo[axis] = slice(n - HP, n)
-        hi[axis] = slice(0, HP)
+        lo[axis] = slice(n - hp, n)
+        hi[axis] = slice(0, hp)
         lo_sl, hi_sl = arr[tuple(lo)], arr[tuple(hi)]
     else:
         lo[axis] = slice(0, 1)
         hi[axis] = slice(n - 1, n)
         reps = [1] * arr.ndim
-        reps[axis] = HP
+        reps[axis] = hp
         lo_sl = np.tile(arr[tuple(lo)], reps)
         hi_sl = np.tile(arr[tuple(hi)], reps)
         if zero_var is not None and bc == BC_WALL:
@@ -162,10 +177,10 @@ def _fill_halos(arr, axis, bc, zero_var=None):
     return np.concatenate([lo_sl, arr, hi_sl], axis=axis)
 
 
-def _stencils(padded, axis, n):
-    """(..., n+2*HS on axis) -> (..., n, 5) windows."""
+def _stencils(padded, axis, n, ord_=ORD):
+    """(..., n+2*hs on axis) -> (..., n, ord) windows."""
     sl = []
-    for s in range(ORD):
+    for s in range(ord_):
         idx = [slice(None)] * padded.ndim
         idx[axis] = slice(s, s + n)
         sl.append(padded[tuple(idx)])
@@ -194,13 +209,15 @@ def oracle_tendencies(weno, s, tr, hy, grid, consts, dt):
     prim = np.concatenate([s[IDR:IDU], s[IDU:IDT] / full_r,
                            s[IDT:IDT + 1], tr / full_r])
 
+    hp = (weno.ord - 1) // 2 + 1   # one ghost cell's recon is also needed
+
     def limits(axis, n, bc, normal_id, hy_r, hy_t):
         """Reconstruct both edge limits for one direction; returns
         (L, R) with the face axis length n+1 -- state limits re-densitized
         and hydrostatics re-added (:271-388), then edge BCs (:1005-1085)."""
-        padded = _fill_halos(prim, axis, bc,
+        padded = _fill_halos(prim, axis, bc, hp,
                              zero_var=normal_id if bc == BC_WALL else None)
-        sten = _stencils(padded, axis, n + 2)
+        sten = _stencils(padded, axis, n + 2, weno.ord)
         gl, gr = weno.gll(sten)   # per cell: left/right edge values
         # face f: L from cell f-1's right edge, R from cell f's left edge
         idxL = [slice(None)] * gl.ndim
@@ -315,6 +332,13 @@ def oracle_tendencies(weno, s, tr, hy, grid, consts, dt):
         st[IDV] -= fcor * s[IDU]
     if sim2d:
         st[IDV] = 0.0
+    # immersed-boundary relaxation blending (dynamics...h:534-550):
+    # tendencies blend toward -min(1, dt/tau) * state / dt with
+    # tau = 1e3 dt, weighted by the immersed proportion per cell
+    prop = consts.get("immersed_proportion", None)
+    if prop is not None and consts.get("use_immersed_boundaries", False):
+        fac = -min(1.0, dt / (1.0e3 * dt)) / dt
+        st = prop[None] * (fac * s) + (1.0 - prop[None]) * st
     return st, tt
 
 

@@ -39,6 +39,9 @@ def _oracle_inputs(st, dy):
                   fcor=consts_lib.fcor, bc_x=consts_lib.bc_x,
                   bc_y=consts_lib.bc_y, bc_z=consts_lib.bc_z,
                   enable_gravity=consts_lib.enable_gravity,
+                  use_immersed_boundaries=consts_lib.use_immersed,
+                  immersed_proportion=np.asarray(st["immersed_proportion"],
+                                                 np.float64),
                   positive=positive)
     grid = dict(dx=g.dx, dy=g.dy, dz=g.dz)
     fields = _np_fields(st)
@@ -86,26 +89,13 @@ def test_conversions_match_oracle():
                                    err_msg=k)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("shape,steps", [
-    ((100, 1, 40), 5),      # the reference's canonical 2-D supercell grid
-    ((16, 8, 10), 3),       # 3-D: y direction + Coriolis active
-])
-def test_dycore_step_matches_oracle(shape, steps):
-    """Full time steps of the production dycore vs the independent oracle
-    on the supercell case, f64, at the 1e-6 north-star tolerance
-    (observed agreement is ~1e-10; the bound is deliberately the
-    BASELINE.md target so this test pins 'matches the reference' rather
-    than 'matches itself')."""
-    nx, ny, nz = shape
-    st, dy, _ = _setup("supercell", nx=nx, ny=ny, nz=nz,
-                       xlen=100000.0, ylen=100000.0, zlen=20000.0)
+def _run_vs_oracle(st, dy, steps, dt=None,
+                   keys=("density_dry", "uvel", "vvel", "wvel", "temp",
+                         "water_vapor")):
     fields, names, adds, idWV, pos, hy, consts, grid = _oracle_inputs(st, dy)
-    weno = O.WenoOracle()
-
-    dt = dy.compute_time_step(st)
+    weno = O.WenoOracle(ord_=dy.ord)
+    dt = dy.compute_time_step(st) if dt is None else dt
     step = jax.jit(lambda s: dy.time_step(s, dt))
-
     s_o, tr_o = O.oracle_coupler_to_dynamics(fields, names, adds, idWV,
                                              hy, consts)
     for _ in range(steps):
@@ -113,8 +103,7 @@ def test_dycore_step_matches_oracle(shape, steps):
         s_o, tr_o = O.oracle_step(weno, s_o, tr_o, hy, grid, consts, dt)
     out_o = O.oracle_dynamics_to_coupler(s_o, tr_o, names, adds, idWV, hy,
                                          consts)
-
-    for k in ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor"):
+    for k in keys:
         a = np.asarray(st[k], np.float64)
         b = out_o[k]
         scale = np.abs(b).max() + 1e-300
@@ -124,3 +113,52 @@ def test_dycore_step_matches_oracle(shape, steps):
         # tighter than the north star in f64
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-8,
                                    err_msg=f"{k} (tight)")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape,steps,ordv", [
+    ((100, 1, 40), 5, 5),   # the reference's canonical 2-D supercell grid
+    ((16, 8, 10), 3, 5),    # 3-D: y direction + Coriolis active
+    ((64, 1, 24), 3, 3),    # ord 3: the reference's own benchmark -DMW_ORD
+    ((48, 1, 20), 2, 7),    # ord 7
+])
+def test_dycore_step_matches_oracle(shape, steps, ordv):
+    """Full time steps of the production dycore vs the independent oracle
+    on the supercell case, f64, at the 1e-6 north-star tolerance
+    (observed agreement is ~1e-10; the bound is deliberately the
+    BASELINE.md target so this test pins 'matches the reference' rather
+    than 'matches itself').  Parametrized over WENO order: 5 (default),
+    3 (-DMW_ORD=3, the reference's benchmark flag), 7."""
+    nx, ny, nz = shape
+    st, dy, _ = _setup("supercell", nx=nx, ny=ny, nz=nz, ord=ordv,
+                       xlen=100000.0, ylen=100000.0, zlen=20000.0)
+    _run_vs_oracle(st, dy, steps)
+
+
+@pytest.mark.slow
+def test_dycore_building_open_bc_matches_oracle():
+    """Wall-z + OPEN-x BCs + immersed boundaries vs the oracle: the
+    building case (dynamics...h:1549-1652) with flow through open x
+    boundaries, immersed blending active (:534-550).  Anchors the BC and
+    immersed paths that the periodic supercell cases never exercise."""
+    from miniweatherml_tpu.ops.stencil import BC_OPEN
+
+    st, dy, _ = _setup("building", nx=32, ny=1, nz=12, xlen=2000.0,
+                       ylen=500.0, zlen=500.0, enable_gravity=False)
+    st = st.set_options(bc_x=BC_OPEN)
+    assert bool(st.options["use_immersed_boundaries"])
+    _run_vs_oracle(st, dy, steps=3)
+
+
+@pytest.mark.slow
+def test_dycore_city_wall_bc_matches_oracle():
+    """Wall-x BCs + the city immersed-building field vs the oracle
+    (city case dynamics...h:1421-1547; wall BC normal-momentum zeroing
+    :757-767, :1012-1019)."""
+    from miniweatherml_tpu.ops.stencil import BC_WALL
+
+    st, dy, _ = _setup("city", nx=24, ny=8, nz=10, xlen=2000.0,
+                       ylen=800.0, zlen=500.0, enable_gravity=False)
+    st = st.set_options(bc_x=BC_WALL)
+    assert bool(st.options["use_immersed_boundaries"])
+    _run_vs_oracle(st, dy, steps=3)
