@@ -79,6 +79,7 @@ def test_is_active_mask():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_workflow_end_to_end(tmp_path):
     """Harvest -> train -> deploy: the full surrogate loop of SURVEY.md
     section 2.5 on a tiny supercell."""

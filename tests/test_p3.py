@@ -212,6 +212,7 @@ def _p3_supercell_state(nx=24, nz=16):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_p3_module_integration_with_dycore():
     """P3's 9 tracers ride through dycore + micro steps; state stays valid
     (the reference's supercell-with-P3 configuration)."""
@@ -240,6 +241,7 @@ def test_p3_adds_mass_flags():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_p3_module_f32_supercell_no_nan():
     """f32 regression guard: the wet-growth shed fraction must not produce
     0/0 NaN on the all-ice-free initial supercell (1e-300 floors underflow

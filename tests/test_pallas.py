@@ -11,7 +11,8 @@ from tests.test_dycore import _setup
 
 @pytest.mark.parametrize("case,nx,ny,nz", [
     ("thermal", 24, 1, 12),          # 2-D: x periodic, z wall
-    ("supercell", 16, 8, 10),        # 3-D: x/y periodic, z wall
+    pytest.param("supercell", 16, 8, 10,      # 3-D: x/y periodic, z wall
+                 marks=pytest.mark.xslow),
 ])
 @pytest.mark.slow
 def test_pallas_step_matches_xla(case, nx, ny, nz):
@@ -31,6 +32,7 @@ def test_pallas_step_matches_xla(case, nx, ny, nz):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_pallas_opt_algebra_close_to_reference_order():
     """The reduced-operation limiter algebra (opt_algebra=True, the default)
     produces the same weights up to floating-point rounding; after one f64
@@ -129,6 +131,7 @@ def test_pallas_chunked_y_matches_whole_axis(bc):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_pallas_chunked_y_in_dycore_step():
     """End-to-end: a ny large enough to take the chunked branch (forced by
     shrinking the chunk ceiling) matches the XLA path."""

@@ -88,6 +88,7 @@ def test_halo_width_validation():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_shard_count_invariance():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     ref = _run_steps(mesh=None)
@@ -106,6 +107,7 @@ def test_shard_count_invariance():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -29,6 +29,7 @@ _CHECK = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor",
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_spmd_step_matches_single_device():
     state, mods, dycore = _build()
     from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
@@ -63,6 +64,7 @@ def test_spmd_step_matches_single_device():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_spmd_step_multiple_steps_stay_valid():
     state, mods, dycore = _build(nx=32, ny=16, nz=12, nens=1)
     from miniweatherml_tpu.physics.kessler import MicrophysicsKessler
@@ -81,6 +83,7 @@ def test_spmd_step_multiple_steps_stay_valid():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_spmd_step_with_p3():
     """P3 (9 tracers, global sedimentation sub-cycle count via pmax/pmin)
     under the explicit shard_map path matches the single-device chain."""
@@ -154,6 +157,7 @@ def test_horizontal_sponge_spmd_matches_global():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_spmd_step_with_pallas_kernels():
     """The Pallas megakernels run per shard inside shard_map (ppermute
     halos feed the kernels); result matches the single-device XLA chain."""
