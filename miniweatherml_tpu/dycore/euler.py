@@ -456,14 +456,16 @@ class Dycore:
         return flux, tr_flux
 
     def _direction_fluxes(self, grid, consts, hy, prim, axis, n, bc,
-                          normal_id, spmd=None, div_scale=None):
+                          normal_id, spmd=None, div_scale=None,
+                          emit_fo=False):
         """Per-direction pipeline on the shared de-densitized variables
         (computed once per RHS in _tendencies): pad/BC -> WENO ->
         backgrounds/density at faces -> face BCs -> Riemann.
 
         ``div_scale`` (pallas path only): the state output is the per-cell
         divergence contribution instead of face fluxes (see
-        ops/pallas_recon._riemann_block)."""
+        ops/pallas_recon._riemann_block).  ``emit_fo`` (pallas path only):
+        additionally return the per-cell FCT outflow partial."""
         hyc, hyt, hye, hyte = hy
         # The Pallas megakernels run single-device AND inside shard_map
         # (halos then come from ring ppermute exchanges); physical edge BCs
@@ -473,7 +475,8 @@ class Dycore:
         if self.riemann_impl == "pallas":
             return self._direction_fluxes_pallas(
                 grid, consts, hy, prim, axis, n, bc, normal_id, spmd,
-                div_scale=div_scale)
+                div_scale=div_scale, emit_fo=emit_fo)
+        assert not emit_fo
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -495,7 +498,8 @@ class Dycore:
         return self._riemann(SL, SR, TRL, TRR, normal_id, consts.C0, consts.gamma)
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
-                                 normal_id, spmd=None, div_scale=None):
+                                 normal_id, spmd=None, div_scale=None,
+                                 emit_fo=False):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
@@ -548,8 +552,11 @@ class Dycore:
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         args = (n, self.mats, self.cutoff, normal_id, consts.C0, consts.gamma)
         kw = dict(fast_weights=self.fast_weights, opt=self.opt_algebra,
-                  div_scale=div_scale, self_bc=self_bc)
+                  div_scale=div_scale, self_bc=self_bc, emit_fo=emit_fo)
         y_lane_layout = False
+
+        def unpack(out):
+            return out if emit_fo else (*out, None)
 
         kw["bc"] = (bc_lo, bc_hi)
 
@@ -565,8 +572,8 @@ class Dycore:
                 hyt[:, :, None], (nens, nz, ny)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
-                                             *args, **kw)
+            SF, TF, FO = unpack(direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
+                                             *args, **kw))
         elif axis == _AX_Y and Np <= _SUB_WHOLE_NP_CAP:
             # stencil on the sublane axis; x stays on lanes (no transpose).
             # Only viable while the whole stencil axis fits in the VMEM
@@ -578,8 +585,8 @@ class Dycore:
                 hi_r = hi.reshape(nvar, nens * nz, hw, nx)
             hyr_r = hyc.reshape(-1, 1)
             hyt_r = hyt.reshape(-1, 1)
-            SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r,
-                                                 hyr_r, hyt_r, *args, **kw)
+            SF, TF, FO = unpack(direction_fluxes_pallas_sub(resh, lo_r, hi_r,
+                                                 hyr_r, hyt_r, *args, **kw))
         elif axis == _AX_Y and (cn := _chunk_size(n)) is not None:
             # large ny: split the stencil axis into chunks that individually
             # fit in VMEM, still on sublanes -- no transpose.  Chunks are a
@@ -605,9 +612,9 @@ class Dycore:
                 hyc[:, :, None], (nens, nz, C)).reshape(-1, 1)
             hyt_r = jnp.broadcast_to(
                 hyt[:, :, None], (nens, nz, C)).reshape(-1, 1)
-            SF, TF = direction_fluxes_pallas_sub(
+            SF, TF, FO = unpack(direction_fluxes_pallas_sub(
                 resh, lo_r, hi_r, hyr_r, hyt_r, cn, *args[1:], nchunk=C,
-                **kw)
+                **kw))
             if div_scale is None:
                 SF = _stitch_chunk_faces(SF, nens, nz, C, cn, nx)
             TF = _stitch_chunk_faces(TF, nens, nz, C, cn, nx)
@@ -627,8 +634,8 @@ class Dycore:
                 hyt[:, :, None], (nens, nz, nx)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF = direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
-                                             *args, **kw)
+            SF, TF, FO = unpack(direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
+                                             *args, **kw))
             y_lane_layout = True
         else:  # _AX_Z
             resh = prim.reshape(nvar, nens, n, ny * nx)
@@ -636,8 +643,8 @@ class Dycore:
             if self_bc is None:
                 lo_r = lo.reshape(nvar, nens, hw, ny * nx)
                 hi_r = hi.reshape(nvar, nens, hw, ny * nx)
-            SF, TF = direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
-                                                 *args, **kw)
+            SF, TF, FO = unpack(direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
+                                                 *args, **kw))
 
         # Unflatten back to the (nv, nens, nz, ny, nx) layout (m = n+1
         # faces, or n cells for the in-kernel state divergence).
@@ -653,7 +660,58 @@ class Dycore:
             return F.reshape(nv, nens, m, ny, nx)
 
         m_s = n if div_scale is not None else n + 1
+        if emit_fo:
+            # fo is cell-shaped in every layout (chunked rows reshape
+            # directly: chunk-major x within-chunk order is contiguous y)
+            ntr = FO.shape[0]
+            if axis == _AX_Y and not y_lane_layout and FO.ndim == 4 \
+                    and FO.shape[1] != nens * nz:
+                FO = FO.reshape(ntr, nens, nz, ny, nx)
+            else:
+                FO = back(FO, n)
+            return back(SF, m_s), back(TF, n + 1), FO
         return back(SF, m_s), back(TF, n + 1)
+
+    def _fct_div_pallas(self, grid, tr, positive, Fx, Fy, Fz, FOx, FOy, FOz,
+                        dt):
+        """FCT + tracer-flux divergence via fused kernels (single-device
+        Pallas path).  The per-direction outflow partials FO* came from the
+        direction megakernels (cell-shaped, aligned), so the multiplier is
+        one fused elementwise pass; the face scaling + divergence then runs
+        in per-direction kernels that read each array exactly once
+        (ops/pallas_recon.fct_scale_div_pallas{,_sub}).  Same math as
+        _fct + div (dynamics...h:498-516), to rounding."""
+        from ..ops.pallas_recon import (fct_scale_div_pallas,
+                                        fct_scale_div_pallas_sub)
+
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        vol = dx * dy * dz
+        mass_avail = jnp.maximum(tr, 0.0) * vol
+        fo = FOx + FOz if FOy is None else FOx + FOz + FOy
+        mass_out = fo * dt * vol
+        need = mass_out > mass_avail
+        tiny = 1e-300 if tr.dtype == jnp.float64 else 1e-30
+        mult = jnp.where(need, mass_avail / jnp.maximum(mass_out, tiny), 1.0)
+        pos = jnp.asarray(positive, bool)[:, None, None, None, None]
+        mult = jnp.where(pos, mult, 1.0)
+
+        ntr = tr.shape[0]
+        nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
+        # x: lanes layout
+        t = fct_scale_div_pallas(
+            Fx.reshape(ntr, nens * nz * ny, nx + 1),
+            mult.reshape(ntr, nens * nz * ny, nx), None, nx, 1.0 / dx)
+        # z: sublane layout, accumulating
+        t = fct_scale_div_pallas_sub(
+            Fz.reshape(ntr, nens, nz + 1, ny * nx),
+            mult.reshape(ntr, nens, nz, ny * nx),
+            t.reshape(ntr, nens, nz, ny * nx), nz, 1.0 / dz)
+        if Fy is not None:
+            t = fct_scale_div_pallas_sub(
+                Fy.reshape(ntr, nens * nz, ny + 1, nx),
+                mult.reshape(ntr, nens * nz, ny, nx),
+                t.reshape(ntr, nens * nz, ny, nx), ny, 1.0 / dy)
+        return t.reshape(ntr, nens, nz, ny, nx)
 
     def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None):
         """Flux-corrected transport: scale outgoing tracer fluxes so no cell
@@ -715,39 +773,70 @@ class Dycore:
         # Pallas kernels emit the state divergence contribution directly
         # (state fluxes are never FCT-limited, so their faces need not
         # round-trip through HBM); the XLA path emits faces.
+        #
+        # MWML_FCT_PALLAS=1 (experiment, default OFF): the megakernels also
+        # emit the per-cell FCT outflow partial and the scale+divergence
+        # runs in fused kernels.  STANDALONE the XLA fct+div measures
+        # 11.6 ms/RHS vs ~4 for the kernels, but at the FULL-STEP level the
+        # kernel path LOSES (176 -> 195 ms/step at 512x512x64): XLA was
+        # already fusing the divergence into the RK stage update, and the
+        # kernel boundary forces t_tend/mult materializations that cost
+        # more than the re-sliced faces.  Kept as a flag because the
+        # trade-off may flip on other shapes/generations.
         kdiv = self.riemann_impl == "pallas"
+        ntracers = prim.shape[0] - NUM_STATE
+        import os as _os
+        kfct = (kdiv and spmd is None and ntracers > 0
+                and _os.environ.get("MWML_FCT_PALLAS", "0") == "1")
         ds_x = (1.0 / grid.dx) if kdiv else None
         ds_y = (1.0 / grid.dy) if kdiv else None
         ds_z = (1.0 / grid.dz) if kdiv else None
 
-        SFx, TFx = self._direction_fluxes(
+        out_x = self._direction_fluxes(
             grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd,
-            div_scale=ds_x)
-        SFz, TFz = self._direction_fluxes(
+            div_scale=ds_x, emit_fo=kfct)
+        out_z = self._direction_fluxes(
             grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd,
-            div_scale=ds_z)
-        if sim2d:
-            SFy = TFy = None
+            div_scale=ds_z, emit_fo=kfct)
+        if kfct:
+            SFx, TFx, FOx = out_x
+            SFz, TFz, FOz = out_z
         else:
-            SFy, TFy = self._direction_fluxes(
+            SFx, TFx = out_x
+            SFz, TFz = out_z
+        if sim2d:
+            SFy = TFy = FOy = None
+        else:
+            out_y = self._direction_fluxes(
                 grid, consts, hy, prim, _AX_Y, grid.ny, consts.bc_y, IDV,
-                spmd, div_scale=ds_y)
-
-        TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt, spmd)
+                spmd, div_scale=ds_y, emit_fo=kfct)
+            if kfct:
+                SFy, TFy, FOy = out_y
+            else:
+                SFy, TFy = out_y
 
         def div(F, axis, n, dxi):
             return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi
+
+        if kfct:
+            t_tend = self._fct_div_pallas(grid, tr, positive, TFx, TFy, TFz,
+                                          FOx, FOy, FOz, dt)
+        else:
+            TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt,
+                                      spmd)
+            t_tend = (div(TFx, _AX_X, grid.nx, grid.dx)
+                      + div(TFz, _AX_Z, grid.nz, grid.dz))
+            if not sim2d:
+                t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 
         if kdiv:
             s_tend = SFx + SFz
         else:
             s_tend = (div(SFx, _AX_X, grid.nx, grid.dx)
                       + div(SFz, _AX_Z, grid.nz, grid.dz))
-        t_tend = div(TFx, _AX_X, grid.nx, grid.dx) + div(TFz, _AX_Z, grid.nz, grid.dz)
         if not sim2d:
             s_tend = s_tend + (SFy if kdiv
                                else div(SFy, _AX_Y, grid.ny, grid.dy))
-            t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 
         # Gravity + Coriolis sources (dynamics...h:524-527).
         if consts.enable_gravity:

@@ -40,7 +40,7 @@ _CS = 350.0  # frozen acoustic speed (dynamics...h:402)
 
 
 def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
-                      axis=None, fast_weights=False):
+                      axis=None, fast_weights=False, shifts=None):
     """WENO edges on a block along ``axis`` (default: last).
 
     Same math as ops/weno_fused.reconstruct_edges_shifted, expressed on the
@@ -48,8 +48,7 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
     normalizations with the VPU's approximate reciprocal (the weights are
     a smoothness heuristic; edge values shift by O(1e-5) relative).
     """
-    dt = x.dtype
-    axis = x.ndim - 1 if axis is None else axis
+    dt = (x if shifts is None else shifts[0]).dtype
 
     if fast_weights and dt == jnp.float32:
         # the approximate reciprocal is an f32 VPU op; f64 runs fall back
@@ -61,10 +60,13 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
         def recip(v):
             return 1.0 / v
 
-    def sh(i):
-        return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
+    if shifts is None:
+        axis = x.ndim - 1 if axis is None else axis
 
-    shifts = [sh(i) for i in range(ord_)]
+        def sh(i):
+            return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
+
+        shifts = [sh(i) for i in range(ord_)]
 
     tvs = []
     for terms in tv_terms:
@@ -106,14 +108,18 @@ def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
     return edges[0], edges[1]
 
 
-def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
+def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False,
+                          shifts=None):
     """Reduced-operation WENO edges (see weno_fused._opt_terms): factored
     squared-form TVs, single fused weight normalization, and (ord 3/5) the
     high-order candidate folded into the low-order edge blend via the exact
     optimal weights.  Weights agree with the reference algebra to rounding
-    (~1e-7 relative in f32); edge values likewise."""
-    dt = x.dtype
-    axis = x.ndim - 1 if axis is None else axis
+    (~1e-7 relative in f32); edge values likewise.
+
+    ``shifts``: optionally supply the ord_ shifted windows directly
+    (e.g. circular lane rolls of an aligned block for periodic axes)
+    instead of slicing ``x``."""
+    dt = (x if shifts is None else shifts[0]).dtype
     tv_factors, edge_terms, gamma, idl = _opt_terms(ord_)
 
     if fast_weights and dt == jnp.float32:
@@ -125,10 +131,13 @@ def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
         def recip(v):
             return 1.0 / v
 
-    def sh(i):
-        return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
+    if shifts is None:
+        axis = x.ndim - 1 if axis is None else axis
 
-    shifts = [sh(i) for i in range(ord_)]
+        def sh(i):
+            return jax.lax.slice_in_dim(x, i, i + n_out, axis=axis)
+
+        shifts = [sh(i) for i in range(ord_)]
 
     def linform(terms):
         acc = None
@@ -222,14 +231,16 @@ def _weno_edges_block_opt(x, n_out, ord_, axis=None, fast_weights=False):
 
 
 def _weno_edges(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff, axis=None,
-                fast_weights=False, opt=True):
+                fast_weights=False, opt=True, shifts=None):
     """Dispatch: reduced-operation algebra when available (cutoff 0, the
     reference default), otherwise the reference-ordered algebra."""
     if opt and cutoff == 0.0:
         return _weno_edges_block_opt(x, n_out, ord_, axis=axis,
-                                     fast_weights=fast_weights)
+                                     fast_weights=fast_weights,
+                                     shifts=shifts)
     return _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl,
-                             cutoff, axis=axis, fast_weights=fast_weights)
+                             cutoff, axis=axis, fast_weights=fast_weights,
+                             shifts=shifts)
 
 
 
@@ -260,9 +271,10 @@ def _self_halo(xb, hs, self_bc, normal_id, axis):
 
 
 def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
-            *, n, ord_, tv_terms, edge_terms, idl, cutoff, normal_id,
-            ntracers, C0, gamma, fast_weights=False, opt=True,
-            local_edges=False, div_scale=None, self_bc=None):
+            fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
+            normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
+            local_edges=False, div_scale=None, self_bc=None,
+            use_roll=False):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -278,6 +290,36 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
     Sharded/chunked axes use local_edges=False with hp-wide strips (the
     halo cells there belong to a neighbor and must be reconstructed)."""
     hs_ = (ord_ - 1) // 2
+    if use_roll and self_bc == 0 and div_scale is not None:
+        # Periodic whole-axis fast path: every operation stays on the
+        # ALIGNED n-wide block -- the shifted stencil windows are circular
+        # lane rotations of p itself (periodic wrap == roll), the face
+        # pairing is one more roll, and the state divergence closes the
+        # ring with a final roll.  Avoids the (n + 2 hs)-wide concat
+        # buffer whose every window is vreg-misaligned (the lane kernel's
+        # ~57%-of-VPU-peak tax, BASELINE.md roofline).
+        from jax.experimental.pallas import tpu as pltpu
+
+        p = p_ref[...]
+        ax_l = p.ndim - 1
+        # pltpu.roll requires non-negative shifts; (hs - i) mod n is the
+        # same circular rotation
+        shifts = [p if i == hs_ else pltpu.roll(p, (hs_ - i) % n, ax_l)
+                  for i in range(ord_)]
+        gll_l, gll_r = _weno_edges(None, n, ord_, tv_terms, edge_terms,
+                                   idl, cutoff, fast_weights=fast_weights,
+                                   opt=opt, shifts=shifts)
+        # face f (0..n-1): L from cell f-1's right edge (wraps), R from
+        # cell f's left edge; face n duplicates face 0 (same stencil).
+        L = pltpu.roll(gll_r, 1, gll_r.ndim - 1)
+        R = gll_l
+        _riemann_block(L, R,
+                       jax.lax.slice_in_dim(hyr_ref[...], 0, n, axis=-1),
+                       jax.lax.slice_in_dim(hyt_ref[...], 0, n, axis=-1),
+                       sf_ref, tf_ref, normal_id, ntracers, C0, gamma,
+                       div_scale=div_scale, face_axis=-1, fo_ref=fo_ref,
+                       periodic_roll=True)
+        return
     if self_bc is not None:
         x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -1)
     else:
@@ -302,7 +344,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
     L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -1)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma, div_scale=div_scale,
-                   face_axis=-1)
+                   face_axis=-1, fo_ref=fo_ref)
 
 
 def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
@@ -311,7 +353,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             block_rows: int = 16, fast_weights: bool = False,
                             opt: bool = True, bc=(0, 0),
                             div_scale: float | None = None,
-                            self_bc: int | None = None):
+                            self_bc: int | None = None,
+                            emit_fo: bool = False):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -352,16 +395,23 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     grid = (math.ceil(B / Bt),)
     n_s_out = n if div_scale is not None else n + 1
 
+    # Aligned-roll fast path for periodic whole-axis blocks (TPU only:
+    # pltpu.roll has no interpret-mode lowering); MWML_X_ROLL=0 disables.
+    import os
+    use_roll = (jax.devices()[0].platform == "tpu" and self_bc == 0
+                and div_scale is not None
+                and os.environ.get("MWML_X_ROLL", "1") == "1")
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
-        local_edges=local_edges, div_scale=div_scale, self_bc=self_bc)
+        local_edges=local_edges, div_scale=div_scale, self_bc=self_bc,
+        use_roll=use_roll)
     if self_bc is not None:
         base = kernel
 
-        def kernel(bc_r, p_r, hyr_r, hyt_r, sf_r, tf_r):
-            return base(bc_r, p_r, None, None, hyr_r, hyt_r, sf_r, tf_r)
+        def kernel(bc_r, p_r, hyr_r, hyt_r, *out_refs):
+            return base(bc_r, p_r, None, None, hyr_r, hyt_r, *out_refs)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -386,7 +436,22 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                      memory_space=pltpu.VMEM),
     ]
     operands += [hy_r_faces, hy_t_faces]
-    sf, tf = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((max(ntracers, 1), Bt, n + 1), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NUM_STATE, B, n_s_out), prim.dtype),
+        jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), prim.dtype),
+    ]
+    if emit_fo:
+        assert div_scale is not None and ntracers
+        out_specs.append(pl.BlockSpec((ntracers, Bt, n), lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ntracers, B, n), prim.dtype))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -394,26 +459,23 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         # into the kernel's input reads instead of materializing them
         compiler_params=pltpu.CompilerParams(
             allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
-        out_specs=[
-            pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(ntracers, 1), Bt, n + 1), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, B, n_s_out), prim.dtype),
-            jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), prim.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # Pallas has no native CPU lowering; tests run interpreted.
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
+    if emit_fo:
+        sf, tf, fo = out
+        return sf, tf[:ntracers], fo
+    sf, tf = out
     return sf, tf[:ntracers]
 
 
 def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
-                tf_ref, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
-                normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
-                nchunk=1, local_edges=False, div_scale=None, self_bc=None):
+                tf_ref, fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl,
+                cutoff, normal_id, ntracers, C0, gamma, fast_weights=False,
+                opt=True, nchunk=1, local_edges=False, div_scale=None,
+                self_bc=None):
     """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
     stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
     layout for the y and z directions, avoiding any transpose -- plus
@@ -458,7 +520,7 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
     L, R = _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma, div_scale=div_scale,
-                   face_axis=-2)
+                   face_axis=-2, fo_ref=fo_ref)
 
 
 def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
@@ -491,7 +553,8 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
-                   gamma, div_scale=None, face_axis=-1):
+                   gamma, div_scale=None, face_axis=-1, fo_ref=None,
+                   periodic_roll=False):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
     arrays broadcast against the per-var face blocks.
 
@@ -500,7 +563,13 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
     the state fluxes are never FCT-limited (only tracers are,
     dynamics...h:498-516), so their face round-trip through HBM can be
     skipped entirely.  Tracer fluxes always stay faces (FCT couples the
-    three directions outside the kernel)."""
+    three directions outside the kernel).
+
+    ``fo_ref``: optional per-cell tracer OUTFLOW partial for FCT,
+    (max(F[f+1], 0) - min(F[f], 0)) * div_scale -- emitted here because
+    the faces are already in VMEM, so the FCT mult can later be computed
+    from aligned cell-shaped arrays instead of re-slicing the (n+1)-lane
+    face arrays in HBM (dynamics...h:500-508)."""
     rL = L[IDR] + hyr
     rR = R[IDR] + hyr
     ruL = L[normal_id] * rL
@@ -523,6 +592,30 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
     flux = [ru_upw, fU, fV, fW, fT]
     flux[normal_id] = flux[normal_id] + p_upw
     sflux = jnp.stack(flux)
+    if periodic_roll:
+        # faces are n-wide (aligned); face i+1 of cell i is the next face,
+        # wrapping -- one circular roll closes the divergence ring
+        from jax.experimental.pallas import tpu as pltpu
+
+        fa = sflux.ndim - 1
+        nl = sflux.shape[fa]
+        sf_ref[...] = (sflux - pltpu.roll(sflux, nl - 1, fa)) * div_scale
+        if ntracers:
+            trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers,
+                                       axis=0)
+            trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers,
+                                       axis=0)
+            tflux = adv * jnp.where(useL, trL * rL, trR * rR)
+            # the (n+1)-face output duplicates face 0 at face n (periodic
+            # seam; the reference also keeps both copies, euler.py note)
+            tf_ref[...] = jnp.concatenate(
+                [tflux, jax.lax.slice_in_dim(tflux, 0, 1, axis=fa)],
+                axis=fa)
+            if fo_ref is not None:
+                b = pltpu.roll(tflux, nl - 1, fa)
+                fo_ref[...] = (jnp.maximum(b, 0.0)
+                               - jnp.minimum(tflux, 0.0)) * div_scale
+        return
     if div_scale is None:
         sf_ref[...] = sflux
     else:
@@ -534,7 +627,15 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
     if ntracers:
         trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
         trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
-        tf_ref[...] = adv * jnp.where(useL, trL * rL, trR * rR)
+        tflux = adv * jnp.where(useL, trL * rL, trR * rR)
+        tf_ref[...] = tflux
+        if fo_ref is not None:
+            fa = face_axis % tflux.ndim
+            nf = tflux.shape[fa]
+            a = jax.lax.slice_in_dim(tflux, 0, nf - 1, axis=fa)
+            b = jax.lax.slice_in_dim(tflux, 1, nf, axis=fa)
+            fo_ref[...] = (jnp.maximum(b, 0.0)
+                           - jnp.minimum(a, 0.0)) * div_scale
 
 
 def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
@@ -544,7 +645,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 fast_weights: bool = False, opt: bool = True,
                                 bc=(0, 0), nchunk: int = 1,
                                 div_scale: float | None = None,
-                                self_bc: int | None = None):
+                                self_bc: int | None = None,
+                                emit_fo: bool = False):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -607,8 +709,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     if self_bc is not None:
         base = kernel
 
-        def kernel(bc_r, p_r, hyr_r, hyt_r, sf_r, tf_r):
-            return base(bc_r, p_r, None, None, hyr_r, hyt_r, sf_r, tf_r)
+        def kernel(bc_r, p_r, hyr_r, hyt_r, *out_refs):
+            return base(bc_r, p_r, None, None, hyr_r, hyt_r, *out_refs)
 
     bc_arr = jnp.stack([jnp.asarray(bc[0], jnp.int32),
                         jnp.asarray(bc[1], jnp.int32)])
@@ -633,23 +735,156 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                      memory_space=pltpu.VMEM),
     ]
     operands += [hy3, hyt3]
-    sf, tf = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
+                     lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
+        pl.BlockSpec((max(ntracers, 1), Rt, n + 1, Lt),
+                     lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NUM_STATE, Rr, n_s_out, Ll), prim.dtype),
+        jax.ShapeDtypeStruct((max(ntracers, 1), Rr, n + 1, Ll),
+                             prim.dtype),
+    ]
+    if emit_fo:
+        assert div_scale is not None and ntracers
+        out_specs.append(pl.BlockSpec((ntracers, Rt, n, Lt),
+                                      lambda r, l: (0, r, 0, l),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ntracers, Rr, n, Ll),
+                                              prim.dtype))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         compiler_params=pltpu.CompilerParams(
             allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
-        out_specs=[
-            pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
-                         lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(ntracers, 1), Rt, n + 1, Lt),
-                         lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NUM_STATE, Rr, n_s_out, Ll), prim.dtype),
-            jax.ShapeDtypeStruct((max(ntracers, 1), Rr, n + 1, Ll),
-                                 prim.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
+    if emit_fo:
+        sf, tf, fo = out
+        return sf, tf[:ntracers], fo
+    sf, tf = out
     return sf, tf[:ntracers]
+
+
+def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first):
+    """Scaled tracer-flux divergence for one direction: the FCT face
+    scaling (dynamics...h:509-516, each face scaled by the upwind cell's
+    multiplier -- cell f-1 where F > 0, cell f where F < 0, 1 at the
+    domain edge) fused with the flux divergence, accumulating onto the
+    previous directions' tendency.  Reads each array exactly once; no
+    scaled-face array ever reaches HBM (the XLA formulation pays ~2.4x
+    this traffic re-slicing the (n+1)-lane face arrays)."""
+    if first:
+        (out_ref,) = rest
+        tprev_ref = None
+    else:
+        tprev_ref, out_ref = rest
+    F = f_ref[...]
+    m = m_ref[...]
+    nd = F.ndim
+    ax = axis % nd
+    Flo = jax.lax.slice_in_dim(F, 0, n, axis=ax)
+    Fhi = jax.lax.slice_in_dim(F, 1, n + 1, axis=ax)
+    one_shape = list(m.shape)
+    one_shape[ax] = 1
+    one = jnp.ones(one_shape, m.dtype)
+    m_prev = jnp.concatenate(
+        [one, jax.lax.slice_in_dim(m, 0, n - 1, axis=ax)], axis=ax)
+    m_next = jnp.concatenate(
+        [jax.lax.slice_in_dim(m, 1, n, axis=ax), one], axis=ax)
+    fs_lo = Flo * jnp.where(Flo > 0, m_prev, jnp.where(Flo < 0, m, 1.0))
+    fs_hi = Fhi * jnp.where(Fhi > 0, m, jnp.where(Fhi < 0, m_next, 1.0))
+    acc = (fs_lo - fs_hi) * dxi
+    if tprev_ref is not None:
+        acc = tprev_ref[...] + acc
+    out_ref[...] = acc
+
+
+def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
+                         block_rows: int = 256):
+    """Lane variant: F (ntr, B, n+1) faces, mult (ntr, B, n) FCT
+    multipliers, t_prev (ntr, B, n) running tendency or None.
+    Returns (ntr, B, n) = t_prev - d(F_scaled)/dx."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntr, B, nf = F.shape
+    assert nf == n + 1 and mult.shape == (ntr, B, n)
+    first = t_prev is None
+    Bt = min(block_rows, B)
+    grid = (math.ceil(B / Bt),)
+    kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
+                               axis=-1, first=first)
+    in_specs = [
+        pl.BlockSpec((ntr, Bt, n + 1), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [F, mult]
+    # F / t_prev producers are reshapes of kernel outputs (free to fuse);
+    # mult's producer is the whole multiplier computation -- fusing it
+    # would RE-run that chain inside every consumer kernel, so keep it
+    # materialized.
+    fuse = [True, False]
+    if not first:
+        in_specs.append(pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(t_prev)
+        fuse.append(True)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        compiler_params=pltpu.CompilerParams(allow_input_fusion=fuse),
+        out_specs=pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntr, B, n), F.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+
+
+def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
+                             lane_block: int = 256):
+    """Sublane variant: F (ntr, R, n+1, L), mult/t_prev (ntr, R, n, L);
+    the direction axis (-2) stays whole per block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntr, R, nf, Ll = F.shape
+    assert nf == n + 1 and mult.shape == (ntr, R, n, Ll)
+    first = t_prev is None
+    # keep the VMEM working set modest: 4 operands x ntr x (n+1) x Lt f32
+    budget = max(128, (60000 // (n + 1)) // 128 * 128)
+    Lt = min(lane_block, Ll, budget)
+    grid = (R, math.ceil(Ll / Lt))
+    kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
+                               axis=-2, first=first)
+    in_specs = [
+        pl.BlockSpec((ntr, 1, n + 1, Lt), lambda r, l: (0, r, 0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [F, mult]
+    fuse = [True, False]      # see fct_scale_div_pallas: never re-run mult
+    if not first:
+        in_specs.append(pl.BlockSpec((ntr, 1, n, Lt),
+                                     lambda r, l: (0, r, 0, l),
+                                     memory_space=pltpu.VMEM))
+        operands.append(t_prev)
+        fuse.append(True)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        compiler_params=pltpu.CompilerParams(allow_input_fusion=fuse),
+        out_specs=pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntr, R, n, Ll), F.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
