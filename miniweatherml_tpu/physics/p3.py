@@ -383,6 +383,12 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
         rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
         idx = ice_table_indices(qi, ni, qm, rhop)
+        # part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
+        # bounds ni BEFORE any process rate uses it; the table indices use
+        # the pre-limit ni, exactly as in the reference.
+        ni_lim = jnp.minimum(ni, interp_ice(tables, 7, *idx) * ni)
+        ni_lim = jnp.maximum(ni_lim, interp_ice(tables, 8, *idx) * ni_lim)
+        ni = jnp.where(qi >= QSMALL, ni_lim, ni)
         rho_600mb = 60000.0 / (287.042 * 253.15)
         rhofaci = (rho_600mb * inv_rho) ** 0.54
         eci = 0.5
@@ -669,6 +675,26 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                          sources_ni / jnp.maximum(sinks_ni, 1e-30), 1.0)
     ni2nr_melt, ni_sub_n, ni_self = (
         t * ratio_ni for t in (ni2nr_melt, ni_sub_n, ni_self))
+
+    # prevent_liq_supersaturation (micro_p3.F90:2888-2955, the last limiter
+    # in part2): scale the vapor SOURCES (sublimation + rain evap) by frac
+    # so end-of-step qv cannot exceed liquid saturation, linearizing qsl
+    # around the end-of-step temperature with the evaporative-cooling
+    # correction.  Number tendencies (nr_evap, ni_sub) keep the unscaled
+    # rates, as in the reference.
+    qv_sources = sub + ev
+    qv_sinks_plq = dep + qinuc
+    t_end = temp + ((qv_sinks_plq - sub) * Ls / cp - ev * Lv / cp) * dt
+    qsl_end = saturation_vapor_pressure(t_end) / (R_V * t_end * rho_d)
+    A_plq = (Lv * qsl_end * dt / cp / (R_V * t_end * t_end)
+             * (Ls * sub + Lv * ev))
+    frac_plq = ((qsl_end - qv + qv_sinks_plq * dt + A_plq)
+                / jnp.maximum(qv_sources * dt + A_plq, 1e-300
+                              if qv.dtype == jnp.float64 else 1e-35))
+    frac_plq = jnp.clip(frac_plq, 0.0, 1.0)
+    frac_plq = jnp.where(qv_sources < QSMALL, 0.0, frac_plq)
+    sub = sub * frac_plq
+    ev = ev * frac_plq
 
     # -- apply process tendencies (all ratios use pre-update values;
     #    update_prognostic_liquid :3216-3266 + update_prognostic_ice

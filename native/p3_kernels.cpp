@@ -416,6 +416,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       // -- table tier (mirrors physics/p3.py tables branch) --------------
       double rhop = std::clamp(qm[c] / std::max(bm[c], 1e-30), 50.0, 900.0);
       IceIdx idx = ice_table_indices(qi[c], ni[c], qm[c], rhop);
+      // part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
+      // bounds ni before any process rate; indices use the pre-limit ni
+      if (qi[c] >= QSMALL) {
+        double nil = std::min(ni[c], interp_ice(7, idx) * ni[c]);
+        nil = std::max(nil, interp_ice(8, idx) * nil);
+        ni[c] = nil;
+      }
       double rhofaci = std::pow(rho_600mb * inv_rho, 0.54);
       const double eci = 0.5;
       double collect_qc =
@@ -628,6 +635,25 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
         double r = sources_ni / std::max(sinks_ni, 1e-30);
         ni2nr_melt *= r; ni_sub_n *= r; ni_self *= r;
       }
+    }
+
+    // prevent_liq_supersaturation (micro_p3.F90:2888-2955): scale the
+    // vapor sources so end-of-step qv stays at/below liquid saturation;
+    // number tendencies keep the unscaled rates (mirrors the JAX scheme).
+    {
+      double qv_sources = sub + ev;
+      double qv_sinks_plq = dep + qinuc;
+      double t_end = temp + ((qv_sinks_plq - sub) * Ls / CP_D
+                             - ev * Lv / CP_D) * dt;
+      double qsl_end = svp_liquid(t_end) / (R_V * t_end * rho_d[c]);
+      double A_plq = Lv * qsl_end * dt / CP_D / (R_V * t_end * t_end) *
+                     (Ls * sub + Lv * ev);
+      double frac = (qsl_end - qv[c] + qv_sinks_plq * dt + A_plq) /
+                    std::max(qv_sources * dt + A_plq, 1e-300);
+      frac = std::clamp(frac, 0.0, 1.0);
+      if (qv_sources < QSMALL) frac = 0.0;
+      sub *= frac;
+      ev *= frac;
     }
 
     double qc_new = qc[c] + dt * (-au - ac - qc_frz - rim - shed - berg);

@@ -591,3 +591,26 @@ def homogeneous_freezing(t_atm, inv_exner, latent_heat_fusion, qc, nc, qr,
         qr = 0.0
         nr = 0.0
     return qc, nc, qr, nr, qi, ni, qm, bm, th_atm
+
+
+RV = 461.505
+
+
+def prevent_liq_supersaturation(qv, t_atm, lv, ls, dt, qidep, qinuc,
+                                sublim, evap, qsl_of):
+    """(micro_p3.F90:2888-2955.)  Scales the vapor sources (sublimation +
+    rain evap) so end-of-step qv cannot exceed liquid saturation.
+    ``qsl_of(T)`` supplies qv_sat (the repo's Magnus stand-in in tests).
+    Returns (sublim, evap) scaled."""
+    qv_sources = sublim + evap
+    if qv_sources < QSMALL:
+        return 0.0, 0.0
+    qv_sinks = qidep + qinuc
+    t_end = t_atm + ((qv_sinks - sublim) * ls * INV_CP
+                     - evap * lv * INV_CP) * dt
+    qsl = qsl_of(t_end)
+    a = (lv * qsl * dt * INV_CP / (RV * t_end * t_end)
+         * (ls * sublim + lv * evap))
+    frac = (qsl - qv + qv_sinks * dt + a) / (qv_sources * dt + a)
+    frac = min(1.0, max(0.0, frac))
+    return frac * sublim, frac * evap

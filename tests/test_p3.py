@@ -375,3 +375,50 @@ def test_p3_part3_rain_lambda_limiter():
     ok = (qr1 >= 1e-14) & (temp0 > 270.0)
     assert ok.any()
     np.testing.assert_allclose(lamr1[ok], 1000.0, rtol=2e-2)
+
+
+def test_p3_prevent_liq_supersaturation():
+    """prevent_liq_supersaturation (micro_p3.F90:2888-2955): just above
+    freezing, ice saturation sits ABOVE liquid saturation, so unchecked
+    sublimation of a large ice load would relax qv past liquid saturation;
+    the limiter scales the vapor sources so end-of-step qv stays at/below
+    qsl (to the linearization's accuracy)."""
+    from miniweatherml_tpu.physics.p3 import (
+        saturation_vapor_pressure as svp_l)
+    from miniweatherml_tpu.physics.p3_tables import load_p3_tables
+
+    col = _column(nz=8, tsurf=276.5, qi0=3.0e-3)
+    col["ni"] = jnp.full_like(col["ni"], 1.0e6)
+    col["qm"] = col["qi"] * 0.3
+    col["bm"] = col["qm"] / 400.0
+    temp0 = np.asarray(col["theta"] * col["exner"])
+    rho_d = np.asarray(col["rho_d"])
+    qsl0 = np.asarray(svp_l(jnp.asarray(temp0))) / (461.505 * temp0 * rho_d)
+    col["qv"] = jnp.asarray(0.9 * qsl0)           # 90% RH at every level
+    out = p3_scheme(**col, dt=120.0, tables=load_p3_tables())
+    qv1 = np.asarray(out[8])
+    t1 = np.asarray(out[9] * col["exner"])
+    qsl1 = np.asarray(svp_l(jnp.asarray(t1))) / (461.505 * t1 * rho_d)
+    # end-of-step vapor must not exceed liquid saturation (1% slack for
+    # the limiter's linearization + the scheme's other couplings)
+    assert (qv1 <= qsl1 * 1.01).all()
+
+
+def test_p3_part2_ni_lambda_limiter_bounds_aggregation():
+    """part2's table 7/8 lambda limiter (micro_p3.F90:662-678) bounds ni
+    BEFORE any process rate: an absurdly high ni for the ice mass must be
+    pulled down so the mean size stays on the table."""
+    from miniweatherml_tpu.physics.p3_tables import load_p3_tables
+    tbl = load_p3_tables()
+    col = _column(tsurf=265.0, qv0=1.0e-3, qi0=1.0e-4)
+    col["ni"] = jnp.full_like(col["ni"], 1.0e3)
+    out_lo = p3_scheme(**col, dt=1e-2, tables=tbl)
+    # tiny crystals: qi/ni below the table's smallest size -> ni reduced
+    col["ni"] = jnp.full_like(col["ni"], 1.0e12)
+    out_hi = p3_scheme(**col, dt=1e-2, tables=tbl)
+    ni_hi = np.asarray(out_hi[5])
+    rho = np.asarray(col["rho_d"]) * (1 + np.asarray(col["qv"])
+                                      + np.asarray(col["qi"]))
+    # the ni cap (500e3 m^-3) and lambda limiter combine: far below 1e12
+    assert ni_hi.max() < 1.0e7
+    assert np.isfinite(np.asarray(out_hi[4])).all()
