@@ -247,15 +247,52 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         idx[z_axis] = sl
         return a[tuple(idx)]
 
+    # -- p3_main_part1 (:363-481): initial tiny-mass clipping (all mass
+    # expected to evaporate/sublimate within one step returns to vapor
+    # with latent cooling), droplet-number prescription, and the
+    # tiny-warm-ice instant melt; temperature is refreshed after the
+    # clips (:477), so everything downstream uses the post-clip state.
+    # (The reference computes qv_sat from the pre-clip temperature; the
+    # clipped masses are < 1e-8 so the difference is sub-microkelvin.)
+    qv_si0 = saturation_vapor_pressure_ice(temp) / (R_V * temp * rho_d)
+    sup_i0 = qv / jnp.maximum(qv_si0, QSMALL) - 1.0
+    small_c1 = qc < QSMALL
+    qv = qv + jnp.where(small_c1, qc, 0.0)
+    theta = theta - jnp.where(small_c1, qc, 0.0) * Lv / (cp * exner)
+    qc = jnp.where(small_c1, 0.0, qc)
     if do_predict_nc:
         # predicted droplet number: activation input nc_nuceat_tend is zero
         # in the reference wrapper (microphysics_p3.h:291-293), so nc just
         # evolves by the process tendencies below (p3_main_part1:433-434).
-        nc = jnp.maximum(nc, 0.0)
+        nc = jnp.where(small_c1, 0.0, jnp.maximum(nc, 0.0))
     else:
         # prescribed droplet number (do_predict_nc = false,
-        # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436)
-        nc = jnp.full_like(nc, NCCNST) * inv_rho
+        # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436; prescribed
+        # only where cloud exists, zero where the clip fired :424)
+        nc = jnp.where(small_c1, 0.0, NCCNST * inv_rho)
+    small_r1 = qr < QSMALL
+    qv = qv + jnp.where(small_r1, qr, 0.0)
+    theta = theta - jnp.where(small_r1, qr, 0.0) * Lv / (cp * exner)
+    qr = jnp.where(small_r1, 0.0, qr)
+    nr = jnp.where(small_r1, 0.0, nr)
+    # ice clip: tiny qi OR small qi in strongly ice-subsaturated air
+    # sublimates entirely (:445-455)
+    small_i1 = (qi < QSMALL) | ((qi < 1.0e-8) & (sup_i0 < -0.1))
+    qv = qv + jnp.where(small_i1, qi, 0.0)
+    theta = theta - jnp.where(small_i1, qi, 0.0) * Ls / (cp * exner)
+    qi = jnp.where(small_i1, 0.0, qi)
+    ni = jnp.where(small_i1, 0.0, ni)
+    qm = jnp.where(small_i1, 0.0, qm)
+    bm = jnp.where(small_i1, 0.0, bm)
+    # tiny warm ice melts instantly to RAIN with latent cooling (:457-465)
+    melt1 = (qi >= QSMALL) & (qi < 1.0e-8) & (temp >= TMELT)
+    qr = qr + jnp.where(melt1, qi, 0.0)
+    theta = theta - jnp.where(melt1, qi, 0.0) * Lf / (cp * exner)
+    qi = jnp.where(melt1, 0.0, qi)
+    ni = jnp.where(melt1, 0.0, ni)
+    qm = jnp.where(melt1, 0.0, qm)
+    bm = jnp.where(melt1, 0.0, bm)
+    temp = theta * exner       # t_atm refresh (:477)
 
     # part2's pre-process DSD limiting + ni cap, in the reference order
     # (get_cloud_dsd2 :626, get_rain_dsd2 :630, impose_max_total_ni :637):
@@ -429,7 +466,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         qrcol = jnp.where(both_ir,
                           interp_collect(tables, 2, *idx, j0, fj)
                           * n0r * rho * rhofaci * ni, 0.0)
-        nr_col = jnp.where(both_ir,
+        # above freezing, collected rain NUMBER is still lost (shed as
+        # 1 mm drops is neglected) while rain MASS is unchanged
+        # (ice_rain_collection T > 0 branch, micro_p3.F90:2144-2153)
+        both_ir_any = (qi >= QSMALL) & (qr >= QSMALL)
+        nr_col = jnp.where(both_ir_any,
                            interp_collect(tables, 1, *idx, j0, fj)
                            * n0r * rho * rhofaci * ni, 0.0)
 

@@ -294,7 +294,44 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double Ls = LATVAP + LATICE;
     double Lf = LATICE;
 
-    nc[c] = NCCNST * inv_rho;  // prescribed droplet number
+    // p3_main_part1 (:363-481): initial tiny-mass clipping, droplet
+    // prescription, tiny-warm-ice instant melt; temp refreshed after
+    // (mirrors the JAX scheme).
+    {
+      double qv_si0 = svp_ice(temp) / (R_V * temp * rho_d[c]);
+      double sup_i0 = qv[c] / std::max(qv_si0, QSMALL) - 1.0;
+      if (qc[c] < QSMALL) {
+        qv[c] += qc[c];
+        theta[c] -= qc[c] * Lv / (CP_D * exner[c]);
+        qc[c] = 0.0;
+        nc[c] = 0.0;
+      } else {
+        nc[c] = NCCNST * inv_rho;  // prescribed droplet number (:436)
+      }
+      if (qr[c] < QSMALL) {
+        qv[c] += qr[c];
+        theta[c] -= qr[c] * Lv / (CP_D * exner[c]);
+        qr[c] = 0.0;
+        nr[c] = 0.0;
+      }
+      if (qi[c] < QSMALL || (qi[c] < 1.0e-8 && sup_i0 < -0.1)) {
+        qv[c] += qi[c];
+        theta[c] -= qi[c] * Ls / (CP_D * exner[c]);
+        qi[c] = 0.0;
+        ni[c] = 0.0;
+        qm[c] = 0.0;
+        bm[c] = 0.0;
+      }
+      if (qi[c] >= QSMALL && qi[c] < 1.0e-8 && temp >= TMELT) {
+        qr[c] += qi[c];
+        theta[c] -= qi[c] * Lf / (CP_D * exner[c]);
+        qi[c] = 0.0;
+        ni[c] = 0.0;
+        qm[c] = 0.0;
+        bm[c] = 0.0;
+      }
+      temp = theta[c] * exner[c];  // t_atm refresh (:477)
+    }
 
     // part2's pre-process DSD limiting + ni cap, reference order
     // (get_cloud_dsd2 micro_p3.F90:626, get_rain_dsd2 :630,
@@ -452,10 +489,15 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                               std::max(nr[c], NSMALL) /
                               std::max(qr[c], QSMALL));
       double n0r = std::max(nr[c], NSMALL) * lamr * lamr;
-      bool both_ir = (qi[c] >= QSMALL) && (qr[c] >= QSMALL) && (tc_ <= 0.0);
-      if (both_ir) {
-        qrcol = interp_collect(2, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
-        nr_col = interp_collect(1, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
+      // T <= 0: rain mass + number collected; T > 0: number only
+      // (ice_rain_collection, micro_p3.F90:2103-2157)
+      if (qi[c] >= QSMALL && qr[c] >= QSMALL) {
+        if (tc_ <= 0.0) {
+          qrcol =
+              interp_collect(2, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
+        }
+        nr_col =
+            interp_collect(1, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
       }
 
       // thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
