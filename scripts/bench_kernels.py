@@ -94,6 +94,18 @@ def main():
         timeit(f"z sub-kernel lane_block={lb}", scan_wrap(fn), prim_z)
     os.environ.pop("MWML_PALLAS_BUDGET", None)
 
+    # the step's actual z configuration: self-halo (wall BC) + in-kernel
+    # state divergence, no strip inputs
+    fn = lambda x: PR.direction_fluxes_pallas_sub(
+        x, None, None, hye, hyte, NZ, mats, 0.0, 3, 27.5, 1.4,
+        row_block=1, lane_block=128, fast_weights=True,
+        div_scale=0.005, self_bc=1, bc=(1, 1))
+    timeit("z sub-kernel step-config (selfbc+div)", scan_wrap(fn), prim_z)
+    fn = lambda x: PR.direction_fluxes_pallas_sub(
+        x, lo_z, hi_z, hye, hyte, NZ, mats, 0.0, 3, 27.5, 1.4,
+        row_block=1, lane_block=128, fast_weights=True, div_scale=0.005)
+    timeit("z sub-kernel strips+div", scan_wrap(fn), prim_z)
+
     # ---- y-direction via chunked sublane kernel (what the step does) ----
     for cn in (64, 128):
         C = NY // cn

@@ -116,22 +116,31 @@ def _run_vs_oracle(st, dy, steps, dt=None,
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("shape,steps,ordv", [
-    ((100, 1, 40), 5, 5),   # the reference's canonical 2-D supercell grid
-    ((16, 8, 10), 3, 5),    # 3-D: y direction + Coriolis active
-    ((64, 1, 24), 3, 3),    # ord 3: the reference's own benchmark -DMW_ORD
-    ((48, 1, 20), 2, 7),    # ord 7
+@pytest.mark.parametrize("shape,steps,ordv,opts", [
+    ((100, 1, 40), 5, 5, {}),  # the reference's canonical 2-D supercell grid
+    ((16, 8, 10), 3, 5, {}),   # 3-D: y direction active
+    ((64, 1, 24), 3, 3, {}),   # ord 3: the reference's own benchmark -DMW_ORD
+    ((48, 1, 20), 2, 7, {}),   # ord 7
+    ((32, 1, 16), 2, 9, {}),   # ord 9 (largest -DMW_ORD the reference takes)
+    # Coriolis on: fcor = 2*earthrot*sin(latitude) (dynamics...h:213,:525-526)
+    ((16, 8, 10), 3, 5, {"latitude": 0.7}),
 ])
-def test_dycore_step_matches_oracle(shape, steps, ordv):
+def test_dycore_step_matches_oracle(shape, steps, ordv, opts):
     """Full time steps of the production dycore vs the independent oracle
     on the supercell case, f64, at the 1e-6 north-star tolerance
     (observed agreement is ~1e-10; the bound is deliberately the
     BASELINE.md target so this test pins 'matches the reference' rather
-    than 'matches itself').  Parametrized over WENO order: 5 (default),
-    3 (-DMW_ORD=3, the reference's benchmark flag), 7."""
+    than 'matches itself').  Parametrized over WENO order 3/5/7/9 (every
+    -DMW_ORD the reference supports) and a Coriolis-on configuration."""
     nx, ny, nz = shape
     st, dy, _ = _setup("supercell", nx=nx, ny=ny, nz=nz, ord=ordv,
                        xlen=100000.0, ylen=100000.0, zlen=20000.0)
+    if opts:
+        # init clobbers latitude to 0 exactly as the reference does
+        # (dynamics...h:1249,:1335); a driver enables Coriolis by setting
+        # the option after init -- fcor is re-read every step (:213).
+        st = st.set_options(**opts)
+        assert dy._consts(st).fcor != 0.0
     _run_vs_oracle(st, dy, steps)
 
 
