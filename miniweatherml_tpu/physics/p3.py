@@ -688,8 +688,17 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                          sources_qi / jnp.maximum(sinks_qi, 1e-30), 1.0)
     sub, melt = sub * ratio_qi, melt * ratio_qi
 
-    # vapor: deposition + nucleation cannot overdeplete the supersaturation
-    dep, qinuc = _conserve(jnp.maximum(qv - qv_si, 0.0), dt, dep, qinuc)
+    # vapor: deposition + nucleation cannot overdeplete the ice
+    # supersaturation (ice_supersat_conservation, micro_p3.F90:2856-2886):
+    # the excess is credited with this step's sublimation + rain-evap vapor
+    # sources and damped by the psychrometric factor 1 + Ls^2 qsi/(cp Rv T^2)
+    qv_avail = jnp.maximum(
+        (qv + (sub + ev) * dt - qv_si)
+        / (1.0 + Ls * Ls * qv_si / (cp * R_V * temp * temp)), 0.0)
+    dep_l, qinuc_l = _conserve(qv_avail, dt, dep, qinuc)
+    scale_isc = dep + qinuc > QSMALL      # reference: qv_sink > qsmall gate
+    dep = jnp.where(scale_isc, dep_l, dep)
+    qinuc = jnp.where(scale_isc, qinuc_l, qinuc)
 
     # number conservations (nc_/nr_/ni_conservation, :2957-3007)
     ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
@@ -776,6 +785,28 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qm = jnp.clip(qm, 0.0, None)
     bm = jnp.maximum(bm, 0.0)
 
+    # end-of-part2 clipping (micro_p3.F90:893-920): hydrometeors below
+    # qsmall evaporate/sublimate back to vapor with latent cooling before
+    # sedimentation, and ni is re-capped (:921-925)
+    tiny_c2 = qc < QSMALL
+    qv = qv + jnp.where(tiny_c2, qc, 0.0)
+    theta = theta - jnp.where(tiny_c2, qc * Lv / (cp * exner), 0.0)
+    qc = jnp.where(tiny_c2, 0.0, qc)
+    nc = jnp.where(tiny_c2, 0.0, nc)
+    tiny_r2 = qr < QSMALL
+    qv = qv + jnp.where(tiny_r2, qr, 0.0)
+    theta = theta - jnp.where(tiny_r2, qr * Lv / (cp * exner), 0.0)
+    qr = jnp.where(tiny_r2, 0.0, qr)
+    nr = jnp.where(tiny_r2, 0.0, nr)
+    tiny_i2 = qi < QSMALL
+    qv = qv + jnp.where(tiny_i2, qi, 0.0)
+    theta = theta - jnp.where(tiny_i2, qi * Ls / (cp * exner), 0.0)
+    qi = jnp.where(tiny_i2, 0.0, qi)
+    ni = jnp.where(tiny_i2, 0.0, ni)
+    qm = jnp.where(tiny_i2, 0.0, qm)
+    bm = jnp.where(tiny_i2, 0.0, bm)
+    ni = cap_ni(ni)
+
     # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
     def cloud_fallspeed(qc_):
         """Stokes-law mass-weighted cloud droplet fall speed with the
@@ -783,7 +814,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         v, _ = cloud_vt(qc_)
         return v
 
-    def ice_fallspeed(qi_, ni_, qm_, bm_):
+    def _ice_fallspeed_col(qi_, ni_, qm_, bm_, col):
+        """Table-tier ice fall speed: col 2 = mass-weighted V_qit, col 1 =
+        number-weighted V_nit (ice_sedimentation, micro_p3.F90:4025-4037:
+        qi/qm/bm fall at V_qit, ni at V_nit)."""
         if tables is None:
             return jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
                             0.3, 3.0)
@@ -791,8 +825,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         rhop_ = jnp.clip(qm_ / jnp.maximum(bm_, 1e-30), 50.0, 900.0)
         idx_ = ice_table_indices(qi_, ni_, qm_, rhop_)
         rho_600mb = 60000.0 / (287.042 * 253.15)
-        v = (rho_600mb * inv_rho) ** 0.54 * interp_ice(tables, 2, *idx_)
+        v = (rho_600mb * inv_rho) ** 0.54 * interp_ice(tables, col, *idx_)
         return jnp.where(qi_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+
+    def ice_fallspeed(qi_, ni_, qm_, bm_):
+        return _ice_fallspeed_col(qi_, ni_, qm_, bm_, 2)
+
+    def ice_fallspeed_n(qi_, ni_, qm_, bm_):
+        return _ice_fallspeed_col(qi_, ni_, qm_, bm_, 1)
 
     vr = rain_fallspeed(qr, nr)
     vi = ice_fallspeed(qi, ni, qm, bm)
@@ -825,6 +865,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vr_ = rain_fallspeed(qr, nr)
         vnr_ = rain_fallspeed_n(qr, nr)
         vi_ = ice_fallspeed(qi, ni, qm, bm)
+        vni_ = ice_fallspeed_n(qi, ni, qm, bm)
         vc_ = cloud_fallspeed(qc)
         qc, pl = fall(qc, vc_, pl)
         if do_predict_nc:
@@ -834,7 +875,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # micro_p3.F90:3785-3791: V_qr for qr, V_nr for nr)
         nr, _ = fall(nr, vnr_, jnp.zeros_like(pl))
         qi, pi_ = fall(qi, vi_, pi_)
-        ni, _ = fall(ni, vi_, jnp.zeros_like(pl))
+        # ni falls at the number-weighted V_nit (ice_sedimentation,
+        # micro_p3.F90:4025-4037: qi/qm/bm at V_qit, ni at V_nit)
+        ni, _ = fall(ni, vni_, jnp.zeros_like(pl))
         qm, _ = fall(qm, vi_, jnp.zeros_like(pl))
         bm, _ = fall(bm, vi_, jnp.zeros_like(pl))
         return it + 1.0, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_

@@ -652,7 +652,15 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       sub *= r; melt *= r;
     }
 
-    conserve2(std::max(qv[c] - qv_si, 0.0), dep, qinuc);
+    // ice_supersat_conservation (micro_p3.F90:2856-2886): excess credited
+    // with sublimation + rain-evap sources, psychrometrically damped
+    if (dep + qinuc > QSMALL) {
+      double qv_avail =
+          std::max((qv[c] + (sub + ev) * dt - qv_si) /
+                       (1.0 + Ls * Ls * qv_si / (CP_D * R_V * temp * temp)),
+                   0.0);
+      conserve2(qv_avail, dep, qinuc);
+    }
 
     double ni2nr_melt = melt * ni[c] / std::max(qi[c], QSMALL);
     double ni_sub_n = sub * ni[c] / std::max(qi[c], QSMALL);
@@ -726,6 +734,32 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     qm[c] = std::max(qm_new, 0.0);
     bm[c] = std::max(bm_new, 0.0);
 
+    // end-of-part2 clipping (micro_p3.F90:893-920): tiny hydrometeors
+    // return to vapor with latent cooling; ni re-capped (:921-925)
+    if (qc[c] < QSMALL) {
+      qv[c] += qc[c];
+      theta[c] -= qc[c] * Lv / (CP_D * exner[c]);
+      qc[c] = 0.0;
+      nc[c] = 0.0;
+    }
+    if (qr[c] < QSMALL) {
+      qv[c] += qr[c];
+      theta[c] -= qr[c] * Lv / (CP_D * exner[c]);
+      qr[c] = 0.0;
+      nr[c] = 0.0;
+    }
+    if (qi[c] < QSMALL) {
+      qv[c] += qi[c];
+      theta[c] -= qi[c] * Ls / (CP_D * exner[c]);
+      qi[c] = 0.0;
+      ni[c] = 0.0;
+      qm[c] = 0.0;
+      bm[c] = 0.0;
+    }
+    if (ni[c] >= 1e-20) {
+      ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
+    }
+
     if (dz[c] < dz_min) dz_min = dz[c];
   }
 
@@ -773,6 +807,19 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double v = std::pow(rho_600mb / rho, 0.54) * interp_ice(2, idx);
     return qi_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
   };
+  // number-weighted V_nit (table col 1): ni sediments slower than qi
+  // (ice_sedimentation, micro_p3.F90:4025-4037)
+  auto ice_fallspeed_n = [&](double qi_, double ni_, double qm_, double bm_,
+                             double rho) {
+    if (!tab) {
+      return std::clamp(1.2 * std::pow(std::max(rho * qi_, 0.0), 0.0625), 0.3,
+                        3.0);
+    }
+    double rhop = std::clamp(qm_ / std::max(bm_, 1e-30), 50.0, 900.0);
+    IceIdx idx = ice_table_indices(qi_, ni_, qm_, rhop);
+    double v = std::pow(rho_600mb / rho, 0.54) * interp_ice(1, idx);
+    return qi_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+  };
 
   // Global CFL sub-cycle count (matches the JAX path's global max, computed
   // with pre-process rho and post-process hydrometeors).
@@ -802,7 +849,8 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
   double dts = dt / nsub;
 
   // Pass 2: sedimentation, per column, upstream differencing.
-  std::vector<double> vr_k(nz), vnr_k(nz), vi_k(nz), vc_k(nz), flux(nz);
+  std::vector<double> vr_k(nz), vnr_k(nz), vi_k(nz), vni_k(nz), vc_k(nz),
+      flux(nz);
   for (std::int64_t col = 0; col < ncol; ++col) {
     double* Qc = qc + col * nz;
     double* Nc = nc + col * nz;
@@ -824,6 +872,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
         vr_k[k] = rain_fallspeed(Qr[k], Nr[k], Rho[k], rho0);
         vnr_k[k] = rain_fallspeed_n(Qr[k], Nr[k], Rho[k], rho0);
         vi_k[k] = ice_fallspeed(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
+        vni_k[k] = ice_fallspeed_n(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
         // Stokes cloud fall speed with the gamma DSD (matches the JAX
         // cloud_fallspeed; p3_main cloud sedimentation,
         // micro_p3.F90:3670-3690)
@@ -858,7 +907,8 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       // micro_p3.F90:3785-3791: V_qr for qr, V_nr for nr)
       fall(Nr, vnr_k.data(), nullptr);
       fall(Qi, vi_k.data(), &pi_srf);
-      fall(Ni, vi_k.data(), nullptr);
+      // ni falls at the number-weighted V_nit (micro_p3.F90:4025-4037)
+      fall(Ni, vni_k.data(), nullptr);
       fall(Qm, vi_k.data(), nullptr);
       fall(Bm, vi_k.data(), nullptr);
     }

@@ -596,6 +596,25 @@ def homogeneous_freezing(t_atm, inv_exner, latent_heat_fusion, qc, nc, qr,
 RV = 461.505
 
 
+def ice_supersat_conservation(qidep, qinuc, qv, qv_sat_i, latent_heat_sublim,
+                              t_atm, dt, sublim, evap):
+    """(micro_p3.F90:2856-2886, cld_frac_i = 1.)  Limits deposition +
+    nucleation to the psychrometrically-corrected ice-supersaturation
+    excess, credited with this step's sublimation + rain-evap sources.
+    Returns (qidep, qinuc) scaled."""
+    qv_sink = qidep + qinuc
+    if qv_sink > QSMALL:
+        qv_avail = ((qv + (sublim + evap) * dt - qv_sat_i)
+                    / (1.0 + latent_heat_sublim ** 2 * qv_sat_i
+                       / (CP * RV * t_atm ** 2)) / dt)
+        qv_avail = max(qv_avail, 0.0)
+        if qv_sink > qv_avail:
+            fract = qv_avail / qv_sink
+            qidep *= fract
+            qinuc *= fract
+    return qidep, qinuc
+
+
 def prevent_liq_supersaturation(qv, t_atm, lv, ls, dt, qidep, qinuc,
                                 sublim, evap, qsl_of):
     """(micro_p3.F90:2888-2955.)  Scales the vapor sources (sublimation +

@@ -333,6 +333,32 @@ def test_rain_evaporation_matches_oracle(tbl):
     assert -dnr == pytest.approx(nr_ev + nr_self, rel=1e-6)
 
 
+def test_ice_supersat_conservation_matches_oracle(tbl):
+    """ice_supersat_conservation (micro_p3.F90:2856-2886): cold ice-
+    supersaturated cell with enough ice surface that deposition hits the
+    1/dt cap, so the unlimited tendency is exactly (qv-qsi)/dt and the
+    limiter must scale it down to the psychrometrically-corrected
+    qv_avail.  Supersaturation kept below 5% so Cooper nucleation stays
+    off; no liquid, no rain -> dqi/dt is the limited deposition alone."""
+    temp, pres = 250.0, 5.0e4
+    rho_d0 = pres / (287.042 * temp)
+    qsi0 = float(P.saturation_vapor_pressure_ice(temp)) / (461.505 * temp
+                                                           * rho_d0)
+    qv = qsi0 * 1.04
+    qi0, ni0, qm0, bm0 = 1.0e-3, 1.0e6, 2.0e-4, 5.0e-7
+    dt_l = 60.0
+    col, rho_d, exner = _uniform_column(temp, pres, qv, qi=qi0, ni=ni0,
+                                        qm=qm0, bm=bm0)
+    th = _thermo(temp, pres, float(rho_d), qv, qcond=qi0)
+    out = p3_scheme(**col, dt=dt_l, tables=tbl)
+    dep_unl = (qv - th["qsi"]) / dt_l
+    dep_lim, _ = O.ice_supersat_conservation(
+        dep_unl, 0.0, qv, th["qsi"], th["ls"], temp, dt_l, 0.0, 0.0)
+    assert dep_lim < dep_unl * 0.999   # the limiter must actually engage
+    dqi = (_mid(out[4]) - qi0) / dt_l
+    assert dqi == pytest.approx(dep_lim, rel=1e-6)
+
+
 def test_homogeneous_freezing_matches_oracle():
     """homogeneous_freezing (micro_p3.F90:4145-4200) cell arithmetic: run
     the scheme on a -45 C liquid cell and compare the full glaciated state
