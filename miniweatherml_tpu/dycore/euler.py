@@ -81,6 +81,11 @@ _AX_X, _AX_Y, _AX_Z = -1, -2, -3
 # path).  Module constant so tests can force the chunked branch.
 _SUB_WHOLE_NP_CAP = 192
 
+# Lane-block width for the z-direction sublane kernel (the short 64-cell
+# stencil axis leaves VMEM headroom for wider lane tiles; A/B via env).
+import os as _os_mod
+_Z_LANE_BLOCK = int(_os_mod.environ.get("MWML_Z_LANE_BLOCK", "128"))
+
 # Fixed max wave speed and CFL (reference dynamics...h:70-77) and the frozen
 # acoustic speed used by the Riemann solver (dynamics...h:402).
 _MAXWAVE = 350.0 + 80.0
@@ -643,8 +648,9 @@ class Dycore:
             if self_bc is None:
                 lo_r = lo.reshape(nvar, nens, hw, ny * nx)
                 hi_r = hi.reshape(nvar, nens, hw, ny * nx)
-            SF, TF, FO = unpack(direction_fluxes_pallas_sub(resh, lo_r, hi_r, hye, hyte,
-                                                 *args, **kw))
+            SF, TF, FO = unpack(direction_fluxes_pallas_sub(
+                resh, lo_r, hi_r, hye, hyte, *args,
+                lane_block=_Z_LANE_BLOCK, **kw))
 
         # Unflatten back to the (nv, nens, nz, ny, nx) layout (m = n+1
         # faces, or n cells for the in-kernel state divergence).
