@@ -86,6 +86,14 @@ _SUB_WHOLE_NP_CAP = 192
 import os as _os_mod
 _Z_LANE_BLOCK = int(_os_mod.environ.get("MWML_Z_LANE_BLOCK", "128"))
 
+# Aligned x tracer-flux faces (n-wide + separate periodic-seam copy)
+# through FCT/divergence, avoiding (nx+1)-lane padded tiles in the glue.
+# MEASURED NEGATIVE (default off): bitwise-identical but 160.8 vs
+# 156.6 ms/step at 512^2x64 ord-5 -- the roll/where seam reconstruction
+# in the FCT glue costs more than the (nx+1) padded-tile tax it removes
+# (scripts/bench_aligned_ab.py).  MWML_ALIGNED_TFX=1 re-enables for A/B.
+_ALIGNED_TFX = _os_mod.environ.get("MWML_ALIGNED_TFX", "0") == "1"
+
 # Fixed max wave speed and CFL (reference dynamics...h:70-77) and the frozen
 # acoustic speed used by the Riemann solver (dynamics...h:402).
 _MAXWAVE = 350.0 + 80.0
@@ -577,8 +585,9 @@ class Dycore:
                 hyt[:, :, None], (nens, nz, ny)).reshape(-1)
             hyr_f = jnp.broadcast_to(hyr_rows[:, None], (hyr_rows.size, n + 1))
             hyt_f = jnp.broadcast_to(hyt_rows[:, None], (hyr_rows.size, n + 1))
-            SF, TF, FO = unpack(direction_fluxes_pallas(flat, lo_f, hi_f, hyr_f, hyt_f,
-                                             *args, **kw))
+            SF, TF, FO = unpack(direction_fluxes_pallas(
+                flat, lo_f, hi_f, hyr_f, hyt_f, *args,
+                aligned_tf=_ALIGNED_TFX and nvar > NUM_STATE, **kw))
         elif axis == _AX_Y and Np <= _SUB_WHOLE_NP_CAP:
             # stencil on the sublane axis; x stays on lanes (no transpose).
             # Only viable while the whole stencil axis fits in the VMEM
@@ -675,8 +684,14 @@ class Dycore:
                 FO = FO.reshape(ntr, nens, nz, ny, nx)
             else:
                 FO = back(FO, n)
-            return back(SF, m_s), back(TF, n + 1), FO
-        return back(SF, m_s), back(TF, n + 1)
+        # face count of the tracer output: lane layouts keep faces on the
+        # last axis (n or n+1 -- the aligned x form is n-wide), sublane
+        # layouts on axis -2
+        m_t = (TF.shape[-1] if axis == _AX_X or y_lane_layout
+               else TF.shape[-2])
+        if emit_fo:
+            return back(SF, m_s), back(TF, m_t), FO
+        return back(SF, m_s), back(TF, m_t)
 
     def _fct_div_pallas(self, grid, tr, positive, Fx, Fy, Fz, FOx, FOy, FOz,
                         dt):
@@ -719,16 +734,28 @@ class Dycore:
                 t.reshape(ntr, nens * nz, ny, nx), ny, 1.0 / dy)
         return t.reshape(ntr, nens, nz, ny, nx)
 
-    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None):
+    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None,
+             x_aligned=False):
         """Flux-corrected transport: scale outgoing tracer fluxes so no cell
         can be driven negative (dynamics...h:498-516), rewritten functionally:
         compute a per-cell multiplier, apply it to each face from the
-        upwind (outflow) side."""
+        upwind (outflow) side.
+
+        ``x_aligned``: Fx holds nx ALIGNED left faces of a periodic
+        whole-axis x (face i of cell i; the seam face nx pre-scale equals
+        face 0).  Scaling then preserves the reference's duplicated-seam
+        semantics exactly -- each seam copy is scaled only from its
+        outflow cell's side -- by returning (left_faces, seam) with the
+        seam copy scaled separately."""
         dx, dy, dz = grid.dx, grid.dy, grid.dz
         vol = dx * dy * dz
         mass_avail = jnp.maximum(tr, 0.0) * vol
-        fo_x = (jnp.maximum(_slice_axis(Fx, _AX_X, 1, grid.nx + 1), 0.0)
-                - jnp.minimum(_slice_axis(Fx, _AX_X, 0, grid.nx), 0.0)) / dx
+        if x_aligned:
+            fo_x = (jnp.maximum(jnp.roll(Fx, -1, axis=_AX_X), 0.0)
+                    - jnp.minimum(Fx, 0.0)) / dx
+        else:
+            fo_x = (jnp.maximum(_slice_axis(Fx, _AX_X, 1, grid.nx + 1), 0.0)
+                    - jnp.minimum(_slice_axis(Fx, _AX_X, 0, grid.nx), 0.0)) / dx
         fo_z = (jnp.maximum(_slice_axis(Fz, _AX_Z, 1, grid.nz + 1), 0.0)
                 - jnp.minimum(_slice_axis(Fz, _AX_Z, 0, grid.nz), 0.0)) / dz
         if Fy is not None:
@@ -756,7 +783,24 @@ class Dycore:
             mult_right = jnp.concatenate([mult, right], axis=axis)  # face f <- cell f
             return F * jnp.where(F > 0, mult_left, jnp.where(F < 0, mult_right, 1.0))
 
-        Fx = scale(Fx, _AX_X, grid.nx)
+        if x_aligned:
+            # Reference outflow-side-only scaling on the aligned array:
+            # face 0's copy is never left-scaled (its left cell is the
+            # neighbor copy's business), the seam copy (face nx) is scaled
+            # only by cell nx-1's multiplier when flux is outward.
+            mult_prev = jnp.roll(mult, 1, axis=_AX_X)
+            at0 = jnp.arange(grid.nx) == 0
+            mult_left = jnp.where(at0, 1.0, mult_prev)
+            LF = Fx * jnp.where(Fx > 0, mult_left,
+                                jnp.where(Fx < 0, mult, 1.0))
+            seam_v = _slice_axis(Fx, _AX_X, 0, 1)
+            seam = seam_v * jnp.where(seam_v > 0,
+                                      _slice_axis(mult, _AX_X,
+                                                  grid.nx - 1, grid.nx),
+                                      1.0)
+            Fx = (LF, seam)
+        else:
+            Fx = scale(Fx, _AX_X, grid.nx)
         Fz = scale(Fz, _AX_Z, grid.nz)
         if Fy is not None:
             Fy = scale(Fy, _AX_Y, grid.ny)
@@ -828,10 +872,20 @@ class Dycore:
             t_tend = self._fct_div_pallas(grid, tr, positive, TFx, TFy, TFz,
                                           FOx, FOy, FOz, dt)
         else:
+            x_aligned = ntracers > 0 and TFx.shape[-1] == grid.nx
             TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt,
-                                      spmd)
-            t_tend = (div(TFx, _AX_X, grid.nx, grid.dx)
-                      + div(TFz, _AX_Z, grid.nz, grid.dz))
+                                      spmd, x_aligned=x_aligned)
+            if x_aligned:
+                # cell i's right face is LF[i+1] (periodic roll), except
+                # cell nx-1 whose right face is the separately-scaled seam
+                LF, seam = TFx
+                right = jnp.roll(LF, -1, axis=_AX_X)
+                at_last = jnp.arange(grid.nx) == grid.nx - 1
+                right = jnp.where(at_last, seam, right)
+                t_tend = -(right - LF) / grid.dx
+            else:
+                t_tend = div(TFx, _AX_X, grid.nx, grid.dx)
+            t_tend = t_tend + div(TFz, _AX_Z, grid.nz, grid.dz)
             if not sim2d:
                 t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 

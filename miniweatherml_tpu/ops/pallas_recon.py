@@ -274,7 +274,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
             fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
             normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
             local_edges=False, div_scale=None, self_bc=None,
-            use_roll=False):
+            use_roll=False, aligned_tf=False):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -318,7 +318,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
                        jax.lax.slice_in_dim(hyt_ref[...], 0, n, axis=-1),
                        sf_ref, tf_ref, normal_id, ntracers, C0, gamma,
                        div_scale=div_scale, face_axis=-1, fo_ref=fo_ref,
-                       periodic_roll=True)
+                       periodic_roll=True, aligned_tf=aligned_tf)
         return
     if self_bc is not None:
         x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -1)
@@ -354,7 +354,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             opt: bool = True, bc=(0, 0),
                             div_scale: float | None = None,
                             self_bc: int | None = None,
-                            emit_fo: bool = False):
+                            emit_fo: bool = False,
+                            aligned_tf: bool = False):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -401,12 +402,17 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     use_roll = (jax.devices()[0].platform == "tpu" and self_bc == 0
                 and div_scale is not None
                 and os.environ.get("MWML_X_ROLL", "1") == "1")
+    # n-wide aligned tracer-flux output (see _riemann_block): only valid
+    # on the periodic roll path.  Callers detect which form came back by
+    # the returned last-dim (n vs n+1).
+    aligned_tf = aligned_tf and use_roll and not emit_fo
+    n_t_out = n if aligned_tf else n + 1
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
         local_edges=local_edges, div_scale=div_scale, self_bc=self_bc,
-        use_roll=use_roll)
+        use_roll=use_roll, aligned_tf=aligned_tf)
     if self_bc is not None:
         base = kernel
 
@@ -439,12 +445,12 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     out_specs = [
         pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((max(ntracers, 1), Bt, n + 1), lambda b: (0, b, 0),
+        pl.BlockSpec((max(ntracers, 1), Bt, n_t_out), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((NUM_STATE, B, n_s_out), prim.dtype),
-        jax.ShapeDtypeStruct((max(ntracers, 1), B, n + 1), prim.dtype),
+        jax.ShapeDtypeStruct((max(ntracers, 1), B, n_t_out), prim.dtype),
     ]
     if emit_fo:
         assert div_scale is not None and ntracers
@@ -554,7 +560,7 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
                    gamma, div_scale=None, face_axis=-1, fo_ref=None,
-                   periodic_roll=False):
+                   periodic_roll=False, aligned_tf=False):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
     arrays broadcast against the per-var face blocks.
 
@@ -606,11 +612,20 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
             trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers,
                                        axis=0)
             tflux = adv * jnp.where(useL, trL * rL, trR * rR)
-            # the (n+1)-face output duplicates face 0 at face n (periodic
-            # seam; the reference also keeps both copies, euler.py note)
-            tf_ref[...] = jnp.concatenate(
-                [tflux, jax.lax.slice_in_dim(tflux, 0, 1, axis=fa)],
-                axis=fa)
+            if aligned_tf:
+                # n-wide ALIGNED left-face fluxes (face i of cell i); the
+                # consumer reconstructs cell n-1's right face (the
+                # periodic seam, = face 0's pre-scale value) itself, so
+                # every downstream FCT/divergence op runs on vreg-aligned
+                # n-lane tiles instead of (n+1)-padded ones.
+                tf_ref[...] = tflux
+            else:
+                # the (n+1)-face output duplicates face 0 at face n
+                # (periodic seam; the reference also keeps both copies,
+                # euler.py note)
+                tf_ref[...] = jnp.concatenate(
+                    [tflux, jax.lax.slice_in_dim(tflux, 0, 1, axis=fa)],
+                    axis=fa)
             if fo_ref is not None:
                 b = pltpu.roll(tflux, nl - 1, fa)
                 fo_ref[...] = (jnp.maximum(b, 0.0)
