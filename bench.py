@@ -26,6 +26,12 @@ import time
 
 import jax
 
+# MWML_BENCH_CPU=1 pins the host CPU backend (for tests/smoke runs; the
+# axon TPU plugin ignores the JAX_PLATFORMS env var, so an explicit config
+# update before backend init is the only way to opt out of the chip).
+if os.environ.get("MWML_BENCH_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 from miniweatherml_tpu.config import config_from_dict
 from miniweatherml_tpu.experiments.supercell_example import build
 
@@ -109,13 +115,25 @@ def main() -> None:
     dtype = os.environ.get("MWML_BENCH_DTYPE", "float32")
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    # MWML_BENCH_NENS: ensemble members advancing in lockstep in the same
+    # kernels (leading nens axis; reference coupler.h:210 trailing nens).
+    nens = int(os.environ.get("MWML_BENCH_NENS", 1))
     config = config_from_dict(dict(
-        sim_time=1.0e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
+        sim_time=1.0e9, nens=nens, nx_glob=nx, ny_glob=ny, nz=nz,
         xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
         init_data="supercell", out_prefix="bench", dt_phys=0.0, out_freq=-1.0,
         dtype=dtype,
     ))
-    state, mods, dycore = build(config)
+    # MWML_BENCH_MICRO=p3 swaps Kessler for the P3 ice scheme (9 tracers;
+    # reference microphysics_p3.h -- which stages state through the HOST
+    # and calls serial Fortran per rank, where this chain stays fused
+    # on-device).
+    micro_kind = os.environ.get("MWML_BENCH_MICRO", "kessler")
+    if micro_kind == "p3":
+        from miniweatherml_tpu.experiments.supercell_p3 import build as build_p3
+        state, mods, dycore = build_p3(config)
+    else:
+        state, mods, dycore = build(config)
     # MWML_BENCH_ORD=3 matches the reference's own benchmark builds
     # (-DMW_ORD=3 in build/machines/aws/aws_a100_gpu.env); default is the
     # reference's default order 5.  MWML_BENCH_PALLAS=1 uses the VMEM
@@ -175,6 +193,7 @@ def main() -> None:
         "metric": "supercell cell-updates/sec/chip "
                   f"({nx}x{ny}x{nz}, {steps}x{inner} steps, "
                   f"{jax.devices()[0].platform}"
+                  + (f", {micro_kind}" if micro_kind != "kessler" else "")
                   + (f", {dtype}" if dtype != "float32" else "")
                   + (", fast" if fast else "") + ")",
         "value": round(mcellups, 3),

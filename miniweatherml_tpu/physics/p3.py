@@ -414,23 +414,28 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     ni_self = jnp.zeros_like(ni)
 
     if tables is not None:
-        from .p3_tables import (ice_table_indices, interp_collect,
-                                interp_ice, rain_collection_index)
+        from .p3_tables import (ice_table_indices, interp_collect_multi,
+                                interp_ice_multi, rain_collection_index)
         # bulk rime density rhop = qm/bm clipped to the table's 50-900 range
         # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
         rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
         idx = ice_table_indices(qi, ni, qm, rhop)
+        # every part2 process rate shares this index set, so all seven ice
+        # columns come from ONE batched lookup (on TPU: one matmul instead
+        # of seven slow gathers; p3_tables.interp_ice_multi)
+        (tab7, tab8, tab4, tab2, tab3, tab5, tab10) = interp_ice_multi(
+            tables, (7, 8, 4, 2, 3, 5, 10), *idx)
         # part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
         # bounds ni BEFORE any process rate uses it; the table indices use
         # the pre-limit ni, exactly as in the reference.
-        ni_lim = jnp.minimum(ni, interp_ice(tables, 7, *idx) * ni)
-        ni_lim = jnp.maximum(ni_lim, interp_ice(tables, 8, *idx) * ni_lim)
+        ni_lim = jnp.minimum(ni, tab7 * ni)
+        ni_lim = jnp.maximum(ni_lim, tab8 * ni_lim)
         ni = jnp.where(qi >= QSMALL, ni_lim, ni)
         rho_600mb = 60000.0 / (287.042 * 253.15)
         rhofaci = (rho_600mb * inv_rho) ** 0.54
         eci = 0.5
         # riming: qccol = rhofaci * table(4) * qc * eci * rho * ni  [P3]
-        collect_qc = rhofaci * interp_ice(tables, 4, *idx) * qc * eci * rho * ni
+        collect_qc = rhofaci * tab4 * qc * eci * rho * ni
         both_ic = (qi >= QSMALL) & (qc >= QSMALL)
         rim = jnp.where(both_ic & (tc < 0.0), collect_qc, 0.0)
         # above freezing, collected cloud water is shed as 1 mm rain drops
@@ -438,7 +443,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         shed = jnp.where(both_ic & (tc > 0.0), collect_qc, 0.0)
         # 1 mm shed drops: dropmass = 5.2e-7 kg (micro_p3_utils.F90:57)
         inv_dropmass = 1.0 / 5.2e-7
-        vi_table = rhofaci * interp_ice(tables, 2, *idx)
+        vi_table = rhofaci * tab2
         # rime density of cloud riming (calc_rime_density,
         # micro_p3.F90:2413-2490): Cober-List Ri fit of impact velocity x
         # droplet size x supercooling; replaces the fixed 400 kg/m3
@@ -463,16 +468,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
         n0r = jnp.maximum(nr, NSMALL) * lamr * lamr
         both_ir = (qi >= QSMALL) & (qr >= QSMALL) & (tc <= 0.0)
-        qrcol = jnp.where(both_ir,
-                          interp_collect(tables, 2, *idx, j0, fj)
-                          * n0r * rho * rhofaci * ni, 0.0)
+        coll2, coll1 = interp_collect_multi(tables, (2, 1), *idx, j0, fj)
+        qrcol = jnp.where(both_ir, coll2 * n0r * rho * rhofaci * ni, 0.0)
         # above freezing, collected rain NUMBER is still lost (shed as
         # 1 mm drops is neglected) while rain MASS is unchanged
         # (ice_rain_collection T > 0 branch, micro_p3.F90:2144-2153)
         both_ir_any = (qi >= QSMALL) & (qr >= QSMALL)
         nr_col = jnp.where(both_ir_any,
-                           interp_collect(tables, 1, *idx, j0, fj)
-                           * n0r * rho * rhofaci * ni, 0.0)
+                           coll1 * n0r * rho * rhofaci * ni, 0.0)
 
         # thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
         mu_visc = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
@@ -489,11 +492,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # ice number self-collection (aggregation)  [P3]
         ni_self = jnp.where(
             has_ice_t,
-            interp_ice(tables, 3, *idx) * rho * eii * eii_fact * rhofaci
-            * ni * ni, 0.0)
+            tab3 * rho * eii * eii_fact * rhofaci * ni * ni, 0.0)
         # ventilation factor shared by melting and dep/sub  [P3]
-        vent = (interp_ice(tables, 5, *idx)
-                + interp_ice(tables, 10, *idx) * jnp.cbrt(sc_n)
+        vent = (tab5 + tab10 * jnp.cbrt(sc_n)
                 * jnp.sqrt(rhofaci * rho / mu_visc))
         # melting (ice_melting, micro_p3.F90:2211-2256)  [P3]
         qsat0 = saturation_vapor_pressure(jnp.full_like(temp, TMELT)) / (
@@ -527,11 +528,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # (calc_liq_relaxation_timescale, micro_p3.F90:2358-2410 +
         # evaporate_rain; p3_init_b tables ported in p3_tables.py)
         from .p3_tables import (F1R, MU_R, generate_rain_tables,
-                                interp_rain, rain_size_index, F2R)
+                                interp_rain_multi, rain_size_index, F2R)
         vn_row, vm_row, revap_row = generate_rain_tables()
         dm_r2 = (MU_R + 1.0) / lamr
         i0r, fir = rain_size_index(dm_r2)
-        revap_v = interp_rain(revap_row, i0r, fir)
+        (revap_v,) = interp_rain_multi((revap_row,), i0r, fir)
         # cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
         # micro_p3.F90:1880)
         cdistr = jnp.maximum(nr, NSMALL)
@@ -604,24 +605,25 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         rho_1000mb = 100000.0 / (287.042 * 273.15)
         rhofacr = (rho_1000mb * inv_rho) ** 0.54
 
-        def rain_fallspeed(qr_, nr_):
+        def rain_fallspeeds(qr_, nr_):
+            """(V_qr, V_nr): mass- and number-weighted rain fall speeds
+            from the generated vm/vn tables in ONE batched lookup
+            (compute_rain_fall_velocity, micro_p3.F90:3872-3908; vn table
+            from p3_init_b :351 -- nr sediments slower than qr)."""
             lam = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
                            * jnp.maximum(nr_, NSMALL)
                            / jnp.maximum(qr_, QSMALL))
             i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
-            v = rhofacr * interp_rain(vm_row, i0, fi_)
-            return jnp.where(qr_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+            vm, vn = interp_rain_multi((vm_row, vn_row), i0, fi_)
+            gate = qr_ >= QSMALL
+            return (jnp.where(gate, jnp.clip(rhofacr * vm, 0.0, 10.0), 0.0),
+                    jnp.where(gate, jnp.clip(rhofacr * vn, 0.0, 10.0), 0.0))
+
+        def rain_fallspeed(qr_, nr_):
+            return rain_fallspeeds(qr_, nr_)[0]
 
         def rain_fallspeed_n(qr_, nr_):
-            """Number-weighted rain fall speed V_nr from the vn table --
-            nr sediments slower than qr (compute_rain_fall_velocity,
-            micro_p3.F90:3872-3908; vn table from p3_init_b :351)."""
-            lam = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
-                           * jnp.maximum(nr_, NSMALL)
-                           / jnp.maximum(qr_, QSMALL))
-            i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
-            v = rhofacr * interp_rain(vn_row, i0, fi_)
-            return jnp.where(qr_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+            return rain_fallspeeds(qr_, nr_)[1]
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -645,6 +647,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # table-less fallback: no vn table, so the number-weighted speed
         # degrades to the mass-weighted one
         rain_fallspeed_n = rain_fallspeed
+
+        def rain_fallspeeds(qr_, nr_):
+            v = rain_fallspeed(qr_, nr_)
+            return v, v
         # melting above freezing: thermal relaxation  [approx]
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
         # no ventilation/relaxation machinery without tables -> no Bergeron
@@ -814,25 +820,26 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         v, _ = cloud_vt(qc_)
         return v
 
-    def _ice_fallspeed_col(qi_, ni_, qm_, bm_, col):
-        """Table-tier ice fall speed: col 2 = mass-weighted V_qit, col 1 =
-        number-weighted V_nit (ice_sedimentation, micro_p3.F90:4025-4037:
-        qi/qm/bm fall at V_qit, ni at V_nit)."""
+    def ice_fallspeeds(qi_, ni_, qm_, bm_):
+        """(V_qit, V_nit): table-tier mass- and number-weighted ice fall
+        speeds from cols 2/1 in ONE batched lookup (ice_sedimentation,
+        micro_p3.F90:4025-4037: qi/qm/bm fall at V_qit, ni at V_nit)."""
         if tables is None:
-            return jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
-                            0.3, 3.0)
-        from .p3_tables import ice_table_indices, interp_ice
+            v = jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
+                         0.3, 3.0)
+            return v, v
+        from .p3_tables import ice_table_indices, interp_ice_multi
         rhop_ = jnp.clip(qm_ / jnp.maximum(bm_, 1e-30), 50.0, 900.0)
         idx_ = ice_table_indices(qi_, ni_, qm_, rhop_)
         rho_600mb = 60000.0 / (287.042 * 253.15)
-        v = (rho_600mb * inv_rho) ** 0.54 * interp_ice(tables, col, *idx_)
-        return jnp.where(qi_ >= QSMALL, jnp.clip(v, 0.0, 10.0), 0.0)
+        rfac = (rho_600mb * inv_rho) ** 0.54
+        v_q, v_n = interp_ice_multi(tables, (2, 1), *idx_)
+        gate = qi_ >= QSMALL
+        return (jnp.where(gate, jnp.clip(rfac * v_q, 0.0, 10.0), 0.0),
+                jnp.where(gate, jnp.clip(rfac * v_n, 0.0, 10.0), 0.0))
 
     def ice_fallspeed(qi_, ni_, qm_, bm_):
-        return _ice_fallspeed_col(qi_, ni_, qm_, bm_, 2)
-
-    def ice_fallspeed_n(qi_, ni_, qm_, bm_):
-        return _ice_fallspeed_col(qi_, ni_, qm_, bm_, 1)
+        return ice_fallspeeds(qi_, ni_, qm_, bm_)[0]
 
     vr = rain_fallspeed(qr, nr)
     vi = ice_fallspeed(qi, ni, qm, bm)
@@ -862,10 +869,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     def sub_body(carry):
         it, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
-        vr_ = rain_fallspeed(qr, nr)
-        vnr_ = rain_fallspeed_n(qr, nr)
-        vi_ = ice_fallspeed(qi, ni, qm, bm)
-        vni_ = ice_fallspeed_n(qi, ni, qm, bm)
+        vr_, vnr_ = rain_fallspeeds(qr, nr)
+        vi_, vni_ = ice_fallspeeds(qi, ni, qm, bm)
         vc_ = cloud_fallspeed(qc)
         qc, pl = fall(qc, vc_, pl)
         if do_predict_nc:
@@ -977,13 +982,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     bm = jnp.where(tiny_m, 0.0, bm)
     ni = cap_ni(ni)
     if tables is not None:
-        from .p3_tables import ice_table_indices, interp_ice
+        from .p3_tables import ice_table_indices, interp_ice_multi
         rhop3 = jnp.clip(qm / jnp.maximum(bm, 1e-30), RHO_RIMEMIN,
                          RHO_RIMEMAX)
         idx3 = ice_table_indices(qi, ni, qm, rhop3)
         # normalized lambda-limiter factors (tables 7/8, :1085-1097)
-        ni = jnp.minimum(ni, interp_ice(tables, 7, *idx3) * ni)
-        ni = jnp.maximum(ni, interp_ice(tables, 8, *idx3) * ni)
+        t7_3, t8_3 = interp_ice_multi(tables, (7, 8), *idx3)
+        ni = jnp.minimum(ni, t7_3 * ni)
+        ni = jnp.maximum(ni, t8_3 * ni)
     qi = jnp.where(small_i, 0.0, qi)
     ni = jnp.where(small_i, 0.0, ni)
     qm = jnp.where(small_i, 0.0, qm)

@@ -1,0 +1,119 @@
+"""Attribute the P3 chain's on-TPU step time to its pieces: full
+time_step, saturation bisection, and each family of table lookups
+(trilinear ice, quad-linear ice-rain collection, 1-D rain rows).
+
+The table lookups are full-grid gathers -- the suspected TPU slow path
+(XLA lowers generic gathers to slow scalar-ish loops on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from miniweatherml_tpu.config import config_from_dict
+from miniweatherml_tpu.experiments.supercell_p3 import build
+from miniweatherml_tpu.physics.p3 import compute_adjusted_state
+from miniweatherml_tpu.physics.p3_tables import (
+    default_table_path, generate_rain_tables, ice_table_indices,
+    interp_collect, interp_ice, interp_rain, load_p3_tables,
+    rain_collection_index, rain_size_index)
+
+
+def timeit(name, f, *args, reps=3):
+    out = f(*args)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.max(a)) if hasattr(a, "dtype") else a, out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.tree_util.tree_map(
+            lambda a: float(jnp.max(a)) if hasattr(a, "dtype") else a, out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:34s} {best * 1e3:9.2f} ms", flush=True)
+    return best
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    nx = int(os.environ.get("MWML_P3_NX", 256 if on_tpu else 48))
+    ny = int(os.environ.get("MWML_P3_NY", 256 if on_tpu else 48))
+    nz = int(os.environ.get("MWML_P3_NZ", 64 if on_tpu else 24))
+    cfg = config_from_dict(dict(
+        sim_time=1e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
+        xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
+        init_data="supercell", out_prefix="p3prof", dt_phys=0.0,
+        out_freq=-1.0))
+    state, mods, dycore = build(cfg)
+    dt = float(dycore.compute_time_step(state))
+    micro = [m for m in mods]
+    print(f"grid {nx}x{ny}x{nz} = {nx*ny*nz/1e6:.1f}M cells, dt={dt:.3f}")
+
+    # one dycore step first so the micro sees a realistic state
+    state = jax.jit(lambda s: mods[0](s, dt))(state)
+
+    timeit("full P3 time_step", jax.jit(lambda s: micro[1](s, dt)), state)
+
+    rho_d = state["density_dry"]
+    rho_v = state["water_vapor"]
+    rho_c = state["cloud_water"]
+    temp = state["temp"]
+    rho = rho_d + rho_v + rho_c
+    timeit("saturation bisection (60 iters)",
+           jax.jit(lambda *a: compute_adjusted_state(*a)),
+           rho, rho_d, rho_v, rho_c, temp)
+
+    tables = load_p3_tables(default_table_path())
+    n = nx * ny * nz
+    key = jax.random.PRNGKey(0)
+    qi = jax.random.uniform(key, (n,), minval=1e-6, maxval=1e-3)
+    ni = jnp.full((n,), 1e4)
+    qm = qi * 0.3
+    rhop = jnp.full((n,), 400.0)
+    qr = jax.random.uniform(key, (n,), minval=1e-6, maxval=1e-3)
+    nr = jnp.full((n,), 1e4)
+
+    from miniweatherml_tpu.physics.p3_tables import (
+        interp_collect_multi, interp_ice_multi, interp_rain_multi)
+    vn_row, vm_row, revap_row = generate_rain_tables()
+    for impl in ("gather", "matmul"):
+        os.environ["MWML_P3_TABLES"] = impl
+
+        @jax.jit
+        def ice12(qi, ni, qm, rhop):
+            idx = ice_table_indices(qi, ni, qm, rhop)
+            return sum(interp_ice_multi(tables, tuple(range(1, 13)), *idx))
+
+        timeit(f"12x trilinear ice lookups [{impl}]", ice12, qi, ni, qm,
+               rhop)
+
+        @jax.jit
+        def coll2(qi, ni, qm, rhop, qr, nr):
+            idx = ice_table_indices(qi, ni, qm, rhop)
+            j0, fj = rain_collection_index(qr, nr)
+            return sum(interp_collect_multi(tables, (1, 2), *idx, j0, fj))
+
+        timeit(f"2x quad-linear collect lookups [{impl}]", coll2, qi, ni,
+               qm, rhop, qr, nr)
+
+        @jax.jit
+        def rain3(qr, nr):
+            dm = jnp.cbrt(6.0 * qr / (jnp.pi * 997.0
+                                      * jnp.maximum(nr, 1.0)))
+            i0, fi = rain_size_index(dm)
+            return sum(interp_rain_multi((vn_row, vm_row, revap_row),
+                                         i0, fi))
+
+        timeit(f"3x 1-D rain-row lookups [{impl}]", rain3, qr, nr)
+    os.environ.pop("MWML_P3_TABLES", None)
+
+
+if __name__ == "__main__":
+    main()
