@@ -228,3 +228,38 @@ def test_spmd_pallas_open_and_wall_bc_on_sharded_axis():
         scale = np.abs(a).max() + 1e-30
         np.testing.assert_allclose(np.asarray(out[name]) / scale, a / scale,
                                    rtol=0, atol=1e-11, err_msg=name)
+
+
+@pytest.mark.slow
+@pytest.mark.xslow
+def test_spmd_p3_matmul_lookups_shard_local(monkeypatch):
+    """The TPU matmul table-lookup path (MWML_P3_TABLES=matmul) is purely
+    shard-local: under shard_map its lax.map cell chunking operates on the
+    local block, so the 8-shard step matches the single-device matmul step
+    (and the gather path) to interpolation rounding."""
+    from miniweatherml_tpu.core.coupler import Grid, make_coupler_state
+    from miniweatherml_tpu.dycore.euler import Dycore
+    from miniweatherml_tpu.physics.p3 import MicrophysicsP3
+
+    monkeypatch.setenv("MWML_P3_TABLES", "matmul")
+    g = Grid(nx=32, ny=16, nz=12, nens=1,
+             xlen=64000.0, ylen=32000.0, zlen=16000.0)
+    st = make_coupler_state(g, dtype="float64",
+                            options={"init_data": "supercell",
+                                     "out_freq": -1.0})
+    micro = MicrophysicsP3()
+    dy = Dycore()
+    st = micro.init(st)
+    st = dy.init(st)
+    dt = dy.compute_time_step(st)
+
+    ref = jax.jit(lambda s: micro.time_step(dy.time_step(s, dt), dt))(st)
+
+    mesh = make_mesh(devices=jax.devices()[:8], ens=1)  # y=2, x=4
+    sharded = shard_state(st, mesh)
+    step = make_spmd_step(st, mesh, dy, micro=micro, sponge_time_scale=None)
+    out = jax.jit(lambda s: step(s, dt))(sharded)
+    for name in ("temp", "wvel", "water_vapor", "ice", "rain", "precl"):
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]),
+            rtol=1e-8, atol=1e-11, err_msg=name)
