@@ -415,16 +415,24 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     if tables is not None:
         from .p3_tables import (ice_table_indices, interp_collect_multi,
-                                interp_ice_multi, rain_collection_index)
+                                interp_ice_multi, lookup_dtype,
+                                rain_collection_index)
         # bulk rime density rhop = qm/bm clipped to the table's 50-900 range
         # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
         rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
         idx = ice_table_indices(qi, ni, qm, rhop)
         # every part2 process rate shares this index set, so all seven ice
         # columns come from ONE batched lookup (on TPU: one matmul instead
-        # of seven slow gathers; p3_tables.interp_ice_multi)
-        (tab7, tab8, tab4, tab2, tab3, tab5, tab10) = interp_ice_multi(
-            tables, (7, 8, 4, 2, 3, 5, 10), *idx)
+        # of seven slow gathers; p3_tables.interp_ice_multi), and the
+        # whole lookup is skipped when no cell holds ice -- the analog of
+        # the reference's log_hydrometeorsPresent section skips
+        # (p3_main, micro_p3.F90: hydrometeor-presence guards).  Zero
+        # returns are safe: every consumer is where-gated on qi>=QSMALL.
+        any_ice = jnp.any(qi >= QSMALL)
+        (tab7, tab8, tab4, tab2, tab3, tab5, tab10) = jax.lax.cond(
+            any_ice,
+            lambda: interp_ice_multi(tables, (7, 8, 4, 2, 3, 5, 10), *idx),
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 7)
         # part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
         # bounds ni BEFORE any process rate uses it; the table indices use
         # the pre-limit ni, exactly as in the reference.
@@ -468,7 +476,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
         n0r = jnp.maximum(nr, NSMALL) * lamr * lamr
         both_ir = (qi >= QSMALL) & (qr >= QSMALL) & (tc <= 0.0)
-        coll2, coll1 = interp_collect_multi(tables, (2, 1), *idx, j0, fj)
+        coll2, coll1 = jax.lax.cond(
+            jnp.any((qi >= QSMALL) & (qr >= QSMALL)),
+            lambda: interp_collect_multi(tables, (2, 1), *idx, j0, fj),
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2)
         qrcol = jnp.where(both_ir, coll2 * n0r * rho * rhofaci * ni, 0.0)
         # above freezing, collected rain NUMBER is still lost (shed as
         # 1 mm drops is neglected) while rain MASS is unchanged
@@ -532,7 +543,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vn_row, vm_row, revap_row = generate_rain_tables()
         dm_r2 = (MU_R + 1.0) / lamr
         i0r, fir = rain_size_index(dm_r2)
-        (revap_v,) = interp_rain_multi((revap_row,), i0r, fir)
+        (revap_v,) = jax.lax.cond(
+            jnp.any(qr >= QSMALL),
+            lambda: interp_rain_multi((revap_row,), i0r, fir),
+            lambda: (jnp.zeros(qr.shape, lookup_dtype(qr)),))
         # cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
         # micro_p3.F90:1880)
         cdistr = jnp.maximum(nr, NSMALL)
@@ -614,7 +628,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                            * jnp.maximum(nr_, NSMALL)
                            / jnp.maximum(qr_, QSMALL))
             i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
-            vm, vn = interp_rain_multi((vm_row, vn_row), i0, fi_)
+            vm, vn = jax.lax.cond(
+                jnp.any(qr_ >= QSMALL),
+                lambda: interp_rain_multi((vm_row, vn_row), i0, fi_),
+                lambda: (jnp.zeros(qr_.shape, lookup_dtype(qr_)),) * 2)
             gate = qr_ >= QSMALL
             return (jnp.where(gate, jnp.clip(rhofacr * vm, 0.0, 10.0), 0.0),
                     jnp.where(gate, jnp.clip(rhofacr * vn, 0.0, 10.0), 0.0))
@@ -828,12 +845,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             v = jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
                          0.3, 3.0)
             return v, v
-        from .p3_tables import ice_table_indices, interp_ice_multi
+        from .p3_tables import (ice_table_indices, interp_ice_multi,
+                                lookup_dtype)
         rhop_ = jnp.clip(qm_ / jnp.maximum(bm_, 1e-30), 50.0, 900.0)
         idx_ = ice_table_indices(qi_, ni_, qm_, rhop_)
         rho_600mb = 60000.0 / (287.042 * 253.15)
         rfac = (rho_600mb * inv_rho) ** 0.54
-        v_q, v_n = interp_ice_multi(tables, (2, 1), *idx_)
+        v_q, v_n = jax.lax.cond(
+            jnp.any(qi_ >= QSMALL),
+            lambda: interp_ice_multi(tables, (2, 1), *idx_),
+            lambda: (jnp.zeros(qi_.shape, lookup_dtype(qi_)),) * 2)
         gate = qi_ >= QSMALL
         return (jnp.where(gate, jnp.clip(rfac * v_q, 0.0, 10.0), 0.0),
                 jnp.where(gate, jnp.clip(rfac * v_n, 0.0, 10.0), 0.0))
@@ -982,12 +1003,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     bm = jnp.where(tiny_m, 0.0, bm)
     ni = cap_ni(ni)
     if tables is not None:
-        from .p3_tables import ice_table_indices, interp_ice_multi
+        from .p3_tables import (ice_table_indices, interp_ice_multi,
+                                lookup_dtype)
         rhop3 = jnp.clip(qm / jnp.maximum(bm, 1e-30), RHO_RIMEMIN,
                          RHO_RIMEMAX)
         idx3 = ice_table_indices(qi, ni, qm, rhop3)
         # normalized lambda-limiter factors (tables 7/8, :1085-1097)
-        t7_3, t8_3 = interp_ice_multi(tables, (7, 8), *idx3)
+        t7_3, t8_3 = jax.lax.cond(
+            jnp.any(qi >= QSMALL),
+            lambda: interp_ice_multi(tables, (7, 8), *idx3),
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2)
         ni = jnp.minimum(ni, t7_3 * ni)
         ni = jnp.maximum(ni, t8_3 * ni)
     qi = jnp.where(small_i, 0.0, qi)
