@@ -187,11 +187,12 @@ def main() -> None:
     sync(state)
     elapsed = time.perf_counter() - t0
 
-    cells = nx * ny * nz
+    cells = nx * ny * nz * nens
     mcellups = cells * steps * inner / elapsed / 1e6
     _finish({
         "metric": "supercell cell-updates/sec/chip "
-                  f"({nx}x{ny}x{nz}, {steps}x{inner} steps, "
+                  f"({nx}x{ny}x{nz}{f'x{nens}ens' if nens > 1 else ''}, "
+                  f"{steps}x{inner} steps, "
                   f"{jax.devices()[0].platform}"
                   + (f", {micro_kind}" if micro_kind != "kessler" else "")
                   + (f", {dtype}" if dtype != "float32" else "")

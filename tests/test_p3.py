@@ -422,3 +422,20 @@ def test_p3_part2_ni_lambda_limiter_bounds_aggregation():
     # the ni cap (500e3 m^-3) and lambda limiter combine: far below 1e12
     assert ni_hi.max() < 1.0e7
     assert np.isfinite(np.asarray(out_hi[4])).all()
+
+
+def test_adjust_state_f32_default_is_fixed_point():
+    """The f32 default (35 halvings) reaches the bisection's floating-point
+    fixed point: running the reference-grade 60 halvings changes nothing,
+    so the dtype-adaptive default is exact, not an approximation."""
+    rng = np.random.default_rng(5)
+    n = 4096
+    rho_d = jnp.asarray(1.0 + 0.2 * rng.random(n), jnp.float32)
+    rho_v = jnp.asarray(0.02 * rng.random(n), jnp.float32)
+    rho_c = jnp.asarray(0.005 * rng.random(n), jnp.float32)
+    temp = jnp.asarray(230.0 + 70.0 * rng.random(n), jnp.float32)
+    rho = rho_d + rho_v + rho_c
+    a35 = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp, iters=35)
+    a60 = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp, iters=60)
+    for x35, x60 in zip(a35, a60):
+        np.testing.assert_array_equal(np.asarray(x35), np.asarray(x60))
