@@ -19,6 +19,7 @@ recovery window; MWML_BENCH_PROBE_S for the device-probe horizon.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -161,7 +162,9 @@ def main() -> None:
         dycore = dy
     dt = dycore.compute_time_step(state)
 
-    @jax.jit
+    # donate the carry: the input state's buffers are reused for the
+    # output, saving one full state copy of HBM at the largest grids
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(s):
         def body(s, _):
             for m in mods:
