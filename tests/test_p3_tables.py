@@ -162,3 +162,27 @@ def test_matmul_lookups_match_gather(tables, monkeypatch):
     cm = interp_collect_multi(tables, (2,), *idx_b, j0b, fjb)
     np.testing.assert_allclose(np.asarray(cm[0]), np.asarray(cg[0]),
                                rtol=2e-5, atol=0)
+
+
+def test_pallas_lookup_kernel_matches_gather(tables, monkeypatch):
+    """The VMEM-resident Pallas lookup kernel (MWML_P3_TABLES=pallas;
+    interpret mode on CPU) reproduces the gather trilinear interpolation
+    to f32 rounding, including the block-padding tail."""
+    from miniweatherml_tpu.physics.p3_tables import interp_ice_multi
+
+    rng = np.random.default_rng(7)
+    n = 2500  # not a multiple of the 1024-cell block: exercises padding
+    i0 = jnp.asarray(rng.integers(0, ISIZE - 1, n), jnp.int32)
+    ii0 = jnp.asarray(rng.integers(0, RIMSIZE - 1, n), jnp.int32)
+    jj0 = jnp.asarray(rng.integers(0, DENSIZE - 1, n), jnp.int32)
+    fi, fii, fjj = (jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+                    for _ in range(3))
+    idx = (i0, fi, ii0, fii, jj0, fjj)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_ice_multi(tables, (1, 2, 7, 8), *idx)
+    monkeypatch.setenv("MWML_P3_TABLES", "pallas")
+    out = interp_ice_multi(tables, (1, 2, 7, 8), *idx)
+    for g, p in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=3e-5, atol=0)
