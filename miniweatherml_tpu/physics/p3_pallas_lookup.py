@@ -1,28 +1,39 @@
-"""Pallas TPU kernel for the P3 trilinear ice-table lookups.
+"""Pallas TPU kernels for the P3 lookup-table interpolations.
 
-The XLA matmul formulation (p3_tables.interp_ice_multi) materializes the
-(cells, 50) one-hot weight matrix and the (cells, 20K) corner-product
+The XLA matmul formulation (p3_tables.interp_*_multi) materializes the
+(cells, 50) one-hot weight matrix and the (cells, K*P) corner-product
 array in HBM; at 16.8M cells that is ~10 GB of traffic per batched
 lookup.  Here the whole interpolation runs inside one kernel with the
-table resident in VMEM: per block of cells, build the weight rows in
-VMEM, contract on the MXU, and reduce the (densize=5 x rimsize=4) corner
-plane with strided lane slices -- HBM traffic collapses to the index
-inputs and the K output columns.
+table resident in VMEM, so HBM traffic collapses to the index inputs
+and the K output columns (~16x less).
 
-Layout: cells ride the SUBLANE axis (blocks of ``_BC`` cells x 1 lane);
-the one-hot axis (isize=50) and the 20K product columns ride lanes.  The
-(jj, ii) corner weights reduce with static lane slices of the product
-(A is laid out k-major: column k occupies lanes [k*20, (k+1)*20)), so no
-in-kernel reshape of the lane axis is ever needed.
+Formulation (chosen for Mosaic-friendliness -- every op is a full-width
+vector op or an MXU matmul; no lane slicing, no in-kernel reshapes):
 
-Used automatically on TPU via MWML_P3_TABLES=auto when
-MWML_P3_LOOKUP_PALLAS=1 (default on TPU); interpret mode on CPU is used
-by the equivalence test only.
+  1. one-hot pair rows over the table's large axis (isize=50):
+     ``wk[c, i] = (1-f)[i==i0] + f[i==i0+1]``            (iota + where)
+  2. ``a = wk @ T``  with T laid out (isize, K*P), column k occupying
+     lanes [k*P, (k+1)*P), plane p = corner index within       (MXU)
+  3. corner weights computed *directly at width K*P* from pure iota
+     arithmetic (p = q mod P decomposed into its jj/ii[/rr] digits), so
+     the (c, P) weight tile never needs tiling/reshaping        (VPU)
+  4. segment reduction back to the K columns as a second matmul with a
+     static 0/1 selector ``S[q, k] = [q // P == k]``           (MXU)
+
+The reference interpolates these tables per cell per process in scalar
+Fortran (micro_p3.F90 access_lookup_table :1508-1556); the XLA gather
+lowering was measured near-scalar on TPU too (BASELINE.md round 3), so
+the matmul form IS the TPU-native design -- this kernel removes its
+last HBM round-trip.
+
+Opt-in via MWML_P3_TABLES=pallas (f32 only; interpret mode on CPU is
+used by the equivalence tests).  MWML_P3_PALLAS_BC sets cells/block.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,80 +41,172 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .p3_tables import DENSIZE, ISIZE, RIMSIZE
+from .p3_tables import DENSIZE, ISIZE, RCOLLSIZE, RIMSIZE
 
-_BC = 1024  # cells per block (sublane axis)
+RAINSIZE = 300  # rain-table rows (p3_init_b, micro_p3.F90:236-334)
 
 
-def _kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref, t_ref,
-            out_ref, *, K):
-    """One block: (BC, 1) index/frac columns + (isize, 20K) table."""
-    f = fi_ref[...]                                   # (BC, 1)
-    i0 = i0_ref[...]
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (_BC, ISIZE), 1)
-    wk = (jnp.where(iota_i == i0, 1.0 - f, 0.0)
-          + jnp.where(iota_i == i0 + 1, f, 0.0))      # (BC, 50)
-    a = jnp.dot(wk, t_ref[...],
-                preferred_element_type=jnp.float32)   # (BC, 20K)
+def _bc() -> int:
+    return int(os.environ.get("MWML_P3_PALLAS_BC", 1024))
 
-    fjj = fjj_ref[...]
-    jj0 = jj0_ref[...]
-    fii = fii_ref[...]
-    ii0 = ii0_ref[...]
-    # corner plane weights over the 20 (jj, ii) combos, k-major layout:
-    # lane p within a column block = jj * RIMSIZE + ii
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (_BC, DENSIZE * RIMSIZE),
-                                      1)
-    pj = iota_p // RIMSIZE
-    pi = iota_p - pj * RIMSIZE
-    wj = (jnp.where(pj == jj0, 1.0 - fjj, 0.0)
-          + jnp.where(pj == jj0 + 1, fjj, 0.0))
-    wi = (jnp.where(pi == ii0, 1.0 - fii, 0.0)
-          + jnp.where(pi == ii0 + 1, fii, 0.0))
-    w12 = wj * wi                                     # (BC, 20)
+
+def _pair_rows(i0, f, iota):
+    """(BC, size) rows holding 1-f at i0 and f at i0+1 (broadcast over
+    the lane axis; matches p3_tables._lerp_rows)."""
+    return (jnp.where(iota == i0, 1.0 - f, 0.0)
+            + jnp.where(iota == i0 + 1, f, 0.0))
+
+
+def _ice_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
+                t_ref, s_ref, out_ref, *, BC, K):
     P = DENSIZE * RIMSIZE
-    for k in range(K):
-        seg = jax.lax.slice_in_dim(a, k * P, (k + 1) * P, axis=1)
-        out_ref[:, k:k + 1] = jnp.sum(seg * w12, axis=1, keepdims=True)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (BC, ISIZE), 1)
+    wk = _pair_rows(i0_ref[...], fi_ref[...], iota_i)          # (BC, 50)
+    a = jnp.dot(wk, t_ref[...],
+                preferred_element_type=jnp.float32)            # (BC, K*P)
+
+    # corner weights at full width K*P: lane q -> p = q % P, p = jj*RIM+ii
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (BC, K * P), 1)
+    p = iota_q - (iota_q // P) * P
+    pj = p // RIMSIZE
+    pi = p - pj * RIMSIZE
+    w = (_pair_rows(jj0_ref[...], fjj_ref[...], pj)
+         * _pair_rows(ii0_ref[...], fii_ref[...], pi))
+    out_ref[...] = jnp.dot(a * w, s_ref[...],
+                           preferred_element_type=jnp.float32)  # (BC, K)
 
 
-def interp_ice_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj,
-                      interpret: bool = False):
-    """Trilinear ice-table interpolation for 1-based ``cols`` in one
-    VMEM-resident kernel; same contract as interp_ice_multi."""
-    K = len(cols)
-    # (densize, rimsize, isize, K) -> (isize, K, densize*rimsize): column
-    # k occupies lanes [k*20, (k+1)*20), plane-major (jj*RIMSIZE + ii)
-    tsel = np.moveaxis(tables.ice[..., [c - 1 for c in cols]], 2, 0)
-    tsel = tsel.reshape(ISIZE, DENSIZE * RIMSIZE, K).transpose(0, 2, 1)
-    T = jnp.asarray(np.ascontiguousarray(tsel).reshape(ISIZE, -1),
-                    jnp.float32)
+def _coll_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
+                 j0_ref, fj_ref, t_ref, s_ref, out_ref, *, BC, K):
+    P = DENSIZE * RIMSIZE * RCOLLSIZE
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (BC, ISIZE), 1)
+    wk = _pair_rows(i0_ref[...], fi_ref[...], iota_i)
+    a = jnp.dot(wk, t_ref[...], preferred_element_type=jnp.float32)
 
-    shape = i0.shape
+    # lane q -> p = q % P with p = (jj*RIMSIZE + ii)*RCOLLSIZE + rr
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (BC, K * P), 1)
+    p = iota_q - (iota_q // P) * P
+    pr = p - (p // RCOLLSIZE) * RCOLLSIZE
+    pji = p // RCOLLSIZE
+    pj = pji // RIMSIZE
+    pi = pji - pj * RIMSIZE
+    w = (_pair_rows(jj0_ref[...], fjj_ref[...], pj)
+         * _pair_rows(ii0_ref[...], fii_ref[...], pi)
+         * _pair_rows(j0_ref[...], fj_ref[...], pr))
+    r = jnp.dot(a * w, s_ref[...], preferred_element_type=jnp.float32)
+    # values are stored log10 (p3_init_a); exponentiate in-kernel
+    out_ref[...] = jnp.exp(r * np.float32(np.log(10.0)))
+
+
+def _rain_kernel(i0_ref, fi_ref, t_ref, out_ref, *, BC):
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (BC, RAINSIZE), 1)
+    wk = _pair_rows(i0_ref[...], fi_ref[...], iota_i)
+    out_ref[...] = jnp.dot(wk, t_ref[...],
+                           preferred_element_type=jnp.float32)
+
+
+def _flatten_pad(arrays, BC):
+    """Flatten index/frac arrays to padded (n_padded, 1) f32/i32 columns."""
+    shape = arrays[0][0].shape
     n = int(np.prod(shape)) if shape else 1
-    pad = (-n) % _BC
+    pad = (-n) % BC
     flat = []
-    for a, dt in ((i0, jnp.int32), (fi, jnp.float32), (ii0, jnp.int32),
-                  (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32)):
+    for a, dt in arrays:
         a = a.reshape(n).astype(dt)
         if pad:
             a = jnp.pad(a, (0, pad))
         flat.append(a.reshape(-1, 1))
-    nblocks = flat[0].shape[0] // _BC
+    return shape, n, flat
 
-    grid = (nblocks,)
-    in_specs = [pl.BlockSpec((_BC, 1), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM)] * 6
-    in_specs.append(pl.BlockSpec((ISIZE, T.shape[1]), lambda b: (0, 0),
-                                 memory_space=pltpu.VMEM))
-    out = pl.pallas_call(
-        functools.partial(_kernel, K=K),
-        grid=grid,
+
+def _segment_selector(K, P):
+    s = np.zeros((K * P, K), np.float32)
+    for k in range(K):
+        s[k * P:(k + 1) * P, k] = 1.0
+    return jnp.asarray(s)
+
+
+def _call(kernel, flat, consts, nblocks, BC, K, widths, interpret):
+    """Shared pallas_call plumbing: per-block (BC, 1) operand columns +
+    whole-array constant operands (table, selector)."""
+    in_specs = [pl.BlockSpec((BC, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)] * len(flat)
+    for c in consts:
+        in_specs.append(pl.BlockSpec(c.shape, lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((_BC, K), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((BC, K), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks * _BC, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks * BC, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(*flat, T)
+    )(*flat, *consts)
+
+
+def interp_ice_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj,
+                      interpret: bool = False):
+    """Trilinear ice-table interpolation in one VMEM-resident kernel;
+    same contract as p3_tables.interp_ice_multi."""
+    BC = _bc()
+    K = len(cols)
+    P = DENSIZE * RIMSIZE
+    # (densize, rimsize, isize, K) -> (isize, K, densize*rimsize): column
+    # k occupies lanes [k*P, (k+1)*P), plane-major (jj*RIMSIZE + ii)
+    tsel = np.moveaxis(tables.ice[..., [c - 1 for c in cols]], 2, 0)
+    tsel = tsel.reshape(ISIZE, P, K).transpose(0, 2, 1)
+    T = jnp.asarray(np.ascontiguousarray(tsel).reshape(ISIZE, -1),
+                    jnp.float32)
+
+    shape, n, flat = _flatten_pad(
+        [(i0, jnp.int32), (fi, jnp.float32), (ii0, jnp.int32),
+         (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32)], BC)
+    out = _call(functools.partial(_ice_kernel, BC=BC, K=K),
+                flat, [T, _segment_selector(K, P)],
+                flat[0].shape[0] // BC, BC, K, None, interpret)
+    out = out[:n].reshape(*shape, K)
+    return tuple(out[..., k] for k in range(K))
+
+
+def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
+                          interpret: bool = False):
+    """Quadrilinear ice-rain collection interpolation in one kernel;
+    same contract as p3_tables.interp_collect_multi (exponentiated)."""
+    BC = _bc()
+    K = len(cols)
+    P = DENSIZE * RIMSIZE * RCOLLSIZE
+    # (densize, rimsize, isize, rcollsize, K) -> (isize, K, P) with
+    # plane p = (jj*RIMSIZE + ii)*RCOLLSIZE + rr
+    tsel = np.moveaxis(tables.collect[..., [c - 1 for c in cols]], 2, 0)
+    tsel = tsel.reshape(ISIZE, P, K).transpose(0, 2, 1)
+    T = jnp.asarray(np.ascontiguousarray(tsel).reshape(ISIZE, -1),
+                    jnp.float32)
+
+    shape, n, flat = _flatten_pad(
+        [(i0, jnp.int32), (fi, jnp.float32), (ii0, jnp.int32),
+         (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32),
+         (j0, jnp.int32), (fj, jnp.float32)], BC)
+    out = _call(functools.partial(_coll_kernel, BC=BC, K=K),
+                flat, [T, _segment_selector(K, P)],
+                flat[0].shape[0] // BC, BC, K, None, interpret)
+    out = out[:n].reshape(*shape, K)
+    return tuple(out[..., k] for k in range(K))
+
+
+def interp_rain_pallas(rows, i0, fi, interpret: bool = False):
+    """1-D rain-table linear interpolation for several (RAINSIZE,) rows
+    sharing one index set; returns a tuple in ``rows`` order."""
+    BC = _bc()
+    K = len(rows)
+    T = jnp.asarray(np.stack([np.asarray(r, np.float32) for r in rows],
+                             axis=1), jnp.float32)        # (300, K)
+
+    i0 = jnp.clip(i0, 0, RAINSIZE - 2)  # matches interp_rain_multi
+    shape, n, flat = _flatten_pad([(i0, jnp.int32), (fi, jnp.float32)], BC)
+    out = _call(functools.partial(_rain_kernel, BC=BC),
+                flat, [T], flat[0].shape[0] // BC, BC, K, None, interpret)
     out = out[:n].reshape(*shape, K)
     return tuple(out[..., k] for k in range(K))

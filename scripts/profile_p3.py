@@ -83,7 +83,11 @@ def main():
     from miniweatherml_tpu.physics.p3_tables import (
         interp_collect_multi, interp_ice_multi, interp_rain_multi)
     vn_row, vm_row, revap_row = generate_rain_tables()
-    for impl in ("gather", "matmul"):
+    # MWML_P3_IMPLS picks the implementations to time (comma-separated);
+    # on TPU prefer "matmul,pallas" -- the gather path is ~100x slower and
+    # long gather steps can trip the TPU watchdog.
+    impls = os.environ.get("MWML_P3_IMPLS", "gather,matmul").split(",")
+    for impl in impls:
         os.environ["MWML_P3_TABLES"] = impl
 
         @jax.jit

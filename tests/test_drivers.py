@@ -46,7 +46,7 @@ def test_supercell_p3_driver_end_to_end(capsys):
     assert "maxw" in capsys.readouterr().out
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_community_benchmark_driver(capsys):
     """run_benchmark times the loop and reports positive throughput in the
     reference's simulation_loop framing."""

@@ -404,6 +404,7 @@ def test_p3_prevent_liq_supersaturation():
     assert (qv1 <= qsl1 * 1.01).all()
 
 
+@pytest.mark.xslow
 def test_p3_part2_ni_lambda_limiter_bounds_aggregation():
     """part2's table 7/8 lambda limiter (micro_p3.F90:662-678) bounds ni
     BEFORE any process rate: an absurdly high ni for the ice mass must be

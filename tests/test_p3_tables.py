@@ -186,3 +186,48 @@ def test_pallas_lookup_kernel_matches_gather(tables, monkeypatch):
     for g, p in zip(ref, out):
         np.testing.assert_allclose(np.asarray(p), np.asarray(g),
                                    rtol=3e-5, atol=0)
+
+
+def test_pallas_collect_kernel_matches_gather(tables, monkeypatch):
+    """The quad-linear ice-rain collection Pallas kernel reproduces the
+    gather interpolation (incl. the log10 exponentiation) at f32."""
+    from miniweatherml_tpu.physics.p3_tables import interp_collect_multi
+
+    rng = np.random.default_rng(11)
+    n = 1300  # exercises block padding
+    i0 = jnp.asarray(rng.integers(0, ISIZE - 1, n), jnp.int32)
+    ii0 = jnp.asarray(rng.integers(0, RIMSIZE - 1, n), jnp.int32)
+    jj0 = jnp.asarray(rng.integers(0, DENSIZE - 1, n), jnp.int32)
+    j0 = jnp.asarray(rng.integers(0, RCOLLSIZE - 1, n), jnp.int32)
+    fi, fii, fjj, fj = (jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+                        for _ in range(4))
+    args = (i0, fi, ii0, fii, jj0, fjj, j0, fj)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_collect_multi(tables, (2, 1), *args)
+    monkeypatch.setenv("MWML_P3_TABLES", "pallas")
+    out = interp_collect_multi(tables, (2, 1), *args)
+    for g, p in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=2e-4, atol=0)
+
+
+def test_pallas_rain_kernel_matches_gather(tables, monkeypatch):
+    """The 1-D rain-row Pallas kernel matches the gather lerp, including
+    the i0 clip at the table's top edge."""
+    from miniweatherml_tpu.physics.p3_tables import (generate_rain_tables,
+                                                     interp_rain_multi)
+
+    vn_row, vm_row, revap_row = generate_rain_tables()
+    rng = np.random.default_rng(13)
+    n = 2100
+    i0 = jnp.asarray(rng.integers(0, 301, n), jnp.int32)  # incl. clip range
+    fi = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_rain_multi((vm_row, vn_row, revap_row), i0, fi)
+    monkeypatch.setenv("MWML_P3_TABLES", "pallas")
+    out = interp_rain_multi((vm_row, vn_row, revap_row), i0, fi)
+    for g, p in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=3e-5, atol=0)

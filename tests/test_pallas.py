@@ -63,7 +63,7 @@ def test_pallas_multi_step_stays_valid():
     assert st.validate() == {}
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_pallas_fast_weights_close_to_exact():
     """fast_weights (approx reciprocal in weight normalization) stays within
     loose tolerance of the exact path (bit-identical on real TPU; interpret

@@ -187,7 +187,7 @@ def test_spmd_step_with_pallas_kernels():
             rtol=1e-4, atol=1e-4 * scale, err_msg=name)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_spmd_pallas_open_and_wall_bc_on_sharded_axis():
     """In-kernel boundary conditions under shard_map: with bc_x=BC_OPEN on
     an x-sharded mesh, only the boundary shards apply the edge fixup (SMEM
