@@ -164,6 +164,27 @@ def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
     return rv, rc, t_new
 
 
+def _bulk_rho_rime(qi_, qm_, bm_):
+    """Vectorized calc_bulkRhoRime (micro_p3.F90:1897-1943): returns
+    (qm, bm, rho_rime) with the bulk rime density bounded to [50, 900]
+    (bm adjusted), qm capped at qi, and tiny rime zeroed.  rho_rime is 0
+    where bm < 1e-15, exactly as the reference returns it to the
+    lookup-table index finder."""
+    has = bm_ >= 1.0e-15
+    rr = jnp.where(has,
+                   jnp.clip(qm_ / jnp.maximum(bm_, 1e-30),
+                            RHO_RIMEMIN, RHO_RIMEMAX), 0.0)
+    bm2 = jnp.where(has, qm_ / jnp.maximum(rr, RHO_RIMEMIN), 0.0)
+    qm2 = jnp.where(has, qm_, 0.0)
+    over = (qm2 > qi_) & (rr > 0.0)
+    qm2 = jnp.where(over, qi_, qm2)
+    bm2 = jnp.where(over, qm2 / jnp.maximum(rr, RHO_RIMEMIN), bm2)
+    tiny = qm2 < QSMALL
+    qm2 = jnp.where(tiny, 0.0, qm2)
+    bm2 = jnp.where(tiny, 0.0, bm2)
+    return qm2, bm2, rr
+
+
 def _conserve(avail, dt, *sinks):
     """Rescale sink tendencies so their dt-integral cannot exceed ``avail``
     (the reference's *_conservation subroutines, micro_p3.F90:2966-3060)."""
@@ -301,12 +322,39 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     bm = jnp.where(melt1, 0.0, bm)
     temp = theta * exner       # t_atm refresh (:477)
 
-    # part2's pre-process DSD limiting + ni cap, in the reference order
-    # (get_cloud_dsd2 :626, get_rain_dsd2 :630, impose_max_total_ni :637):
-    # applied before any table lookup / process rate sees the DSDs.
-    nc = cloud_dsd_nc(qc, nc)
-    nr = rain_dsd_nr(qr, nr)
-    ni = cap_ni(ni)
+    # part2's level skip (:588-595): dry, hydrometeor-free, cold and
+    # ice-subsaturated levels never reach the prognostic update.  All
+    # process rates are zero there by their own gates; the mask matters
+    # only for the prescribed-nc reset in the update section.
+    skip_lvl = ((qc < QSMALL) & (qr < QSMALL) & (qi < QSMALL)
+                & (temp < TMELT) & (sup_i0 < -0.05))
+
+    # -- in-cloud mixing ratios (calculate_incloud_mixingratios,
+    #    micro_p3_utils.F90:238-292; cld_frac = 1 in the wrapper so
+    #    in-cloud = cell values gated on qsmall, WITH the reference's
+    #    in-cloud magnitude caps: 5.1 g/kg cloud/ice/rime-volume,
+    #    10 g/kg rain).  Process rates and sedimentation speeds see these
+    #    capped values; the prognostic updates apply to the cell values.
+    _INCLD_LIM, _PRECIP_LIM = 5.1e-3, 1.0e-2
+    qc_in = jnp.where(qc >= QSMALL, jnp.minimum(qc, _INCLD_LIM), 0.0)
+    qr_in = jnp.where(qr >= QSMALL, jnp.minimum(qr, _PRECIP_LIM), 0.0)
+    qi_in = jnp.where(qi >= QSMALL, jnp.minimum(qi, _INCLD_LIM), 0.0)
+    has_qm = (qm >= QSMALL) & (qi >= QSMALL)
+    qm_in = jnp.where(has_qm, qm, 0.0)
+    bm_in = jnp.where(has_qm,
+                      jnp.minimum(jnp.maximum(bm, 0.0), _INCLD_LIM), 0.0)
+
+    # part2's pre-process DSD limiting, in the reference order
+    # (get_cloud_dsd2 :626, get_rain_dsd2 :630): the nc/nr adjustments
+    # persist to the cell values (nc(k) = nc_incld, :630/:634).
+    nc = cloud_dsd_nc(qc_in, nc)
+    nr = rain_dsd_nr(qr_in, nr)
+    nc_in = jnp.where(qc >= QSMALL, jnp.maximum(nc, 0.0), 0.0)
+    nr_in = jnp.where(qr >= QSMALL, jnp.maximum(nr, 0.0), 0.0)
+    # impose_max_total_ni (:637) operates on the IN-CLOUD ni only -- the
+    # prognostic ni is capped later, at end-of-part2 (:921-925) and in
+    # part3 (:1073).
+    ni_in = cap_ni(jnp.where(qi >= QSMALL, jnp.maximum(ni, 0.0), 0.0))
 
     # cloud gamma-DSD shape/slope and Stokes mass-weighted droplet fall
     # speed, shared by sedimentation and rime density
@@ -314,47 +362,59 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     from jax.scipy.special import gammaln
     _mu_visc0 = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
     _acn = 9.80616 * RHO_H2O / (18.0 * _mu_visc0)
-    _s = 0.0005714 * (nc * 1.0e-6 * rho) + 0.2714
-    _mu_cd = jnp.clip(1.0 / (_s * _s) - 1.0, 2.0, 15.0)
+    def cloud_mu(nc_):
+        s_ = 0.0005714 * (nc_ * 1.0e-6 * rho) + 0.2714
+        return jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
+
+    def cloud_dsd_lamc_mu(qc_, nc_, mu_):
+        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * jnp.maximum(nc_, NSMALL)
+                        * (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
+                        / jnp.maximum(qc_, QSMALL))
+        return jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
+
+    def cloud_vt(qc_, nc_):
+        """Mass-weighted Stokes droplet fall speed from the gamma DSD of
+        the CURRENT (qc, nc) (cloud_sedimentation, micro_p3.F90:3685-3688,
+        bcn = 2).  Returns (V_qc, lamc, mu_c)."""
+        mu_ = cloud_mu(nc_)
+        lamc = cloud_dsd_lamc_mu(qc_, nc_, mu_)
+        v = _acn * jnp.exp(gammaln(mu_ + 6.0)
+                           - gammaln(mu_ + 4.0)) / (lamc * lamc)
+        return jnp.where(qc_ >= QSMALL, v, 0.0), lamc, mu_
+
+    # part2-time cloud DSD shape (from the post-DSD-limit nc): used by the
+    # freezing rates and calc_rime_density, exactly as the Fortran's
+    # part2 get_cloud_dsd2 outputs feed those subroutines
+    _mu_cd = cloud_mu(nc)
 
     def cloud_dsd_lamc(qc_):
-        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * nc
-                        * (_mu_cd + 3.0) * (_mu_cd + 2.0) * (_mu_cd + 1.0)
-                        / jnp.maximum(qc_, QSMALL))
-        return jnp.clip(lamc, (_mu_cd + 1.0) * 2.5e4,
-                        (_mu_cd + 1.0) * 1.0e6)
+        return cloud_dsd_lamc_mu(qc_, nc, _mu_cd)
 
-    def cloud_vt(qc_):
-        lamc = cloud_dsd_lamc(qc_)
-        v = _acn * jnp.exp(gammaln(_mu_cd + 6.0)
-                           - gammaln(_mu_cd + 4.0)) / (lamc * lamc)
-        return jnp.where(qc_ >= QSMALL, v, 0.0), lamc
-
-    # -- warm process rates (in-cloud = cell values; cld_frac == 1,
-    #    microphysics_p3.h:303-309) -------------------------------------
-    qc_gt = qc >= 1.0e-8
+    # -- warm process rates (on the in-cloud values above) --------------
+    qc_gt = qc_in >= 1.0e-8
     au = jnp.where(
         qc_gt,
-        1350.0 * jnp.maximum(qc, QSMALL) ** 2.47
-        * jnp.maximum(nc * 1.0e-6 * rho, NSMALL) ** (-1.79),
+        1350.0 * jnp.maximum(qc_in, QSMALL) ** 2.47
+        * jnp.maximum(nc_in * 1.0e-6 * rho, NSMALL) ** (-1.79),
         0.0)                                     # [P3] KK2000 autoconversion
     both = (qc >= QSMALL) & (qr >= QSMALL)
-    ac = jnp.where(both, 67.0 * jnp.maximum(qc * qr, 1e-300) ** 1.15, 0.0)
+    ac = jnp.where(both, 67.0 * jnp.maximum(qc_in * qr_in, 1e-300) ** 1.15,
+                   0.0)
     # rain self-collection with breakup factor  [P3]
-    dm_r = jnp.cbrt(jnp.maximum(qr, QSMALL)
-                    / (jnp.pi * RHO_H2O * jnp.maximum(nr, NSMALL)))
+    dm_r = jnp.cbrt(jnp.maximum(qr_in, QSMALL)
+                    / (jnp.pi * RHO_H2O * jnp.maximum(nr_in, NSMALL)))
     brk = jnp.where(dm_r < 280.0e-6, 1.0,
                     2.0 - jnp.exp(2300.0 * (dm_r - 280.0e-6)))
-    nr_self = jnp.where(qr >= QSMALL, brk * 5.78 * nr * qr * rho, 0.0)
+    nr_self = jnp.where(qr >= QSMALL, brk * 5.78 * nr_in * qr_in * rho, 0.0)
 
     # rain evaporation toward liquid saturation  [approx: relaxation over
     # tau_r ~ (2 pi N0r / (rho qsat_deficit diffusivity)) -> use 50 s scaled
     # by amount of rain surface area ~ (rho qr)^0.525 like Kessler's vent.]
     qsl = saturation_vapor_pressure(temp) / (R_V * temp * rho_d)
     subsat = jnp.maximum(qsl - qv, 0.0) / jnp.maximum(qsl, QSMALL)
-    tau_evap = 150.0 / jnp.maximum((rho * qr) ** 0.35, 1e-4)
+    tau_evap = 150.0 / jnp.maximum((rho * qr_in) ** 0.35, 1e-4)
     ev = jnp.where((qr >= QSMALL) & (qc < QSMALL),
-                   subsat * qr / tau_evap, 0.0)
+                   subsat * qr_in / tau_evap, 0.0)
 
     # -- ice process rates ---------------------------------------------
     tc = temp - TMELT
@@ -387,8 +447,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # clamp at 40 K supercooling for f32 safety (exp(26) ~ 2e11 is fine)
     dum1_frz = jnp.exp(aimm * jnp.minimum(-tc, 40.0))
     frz_gate_c = (qc >= QSMALL) & (tc <= -4.0)   # T_rainfrz = tmelt - 4
-    lamc_frz = cloud_dsd_lamc(qc)
-    cdist1_c = jnp.maximum(nc, NSMALL) * jnp.exp(-gammaln(_mu_cd + 1.0))
+    lamc_frz = cloud_dsd_lamc(qc_in)
+    cdist1_c = jnp.maximum(nc_in, NSMALL) * jnp.exp(-gammaln(_mu_cd + 1.0))
     qc_frz = jnp.where(
         frz_gate_c,
         cons6 * cdist1_c * jnp.exp(gammaln(7.0 + _mu_cd)) * dum1_frz
@@ -401,20 +461,21 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # rain DSD at mu_r = 1: cdistr = nr / Gamma(2) = nr, Gamma(8) = 5040,
     # Gamma(5) = 24 (get_rain_dsd2 :1880)
     lamr_frz = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
-                        * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
+                        * jnp.maximum(nr_in, NSMALL)
+                        / jnp.maximum(qr_in, QSMALL))
     qr_frz = jnp.where(
         frz_gate_r,
-        cons6 * jnp.maximum(nr, NSMALL) * 5040.0 * dum1_frz
+        cons6 * jnp.maximum(nr_in, NSMALL) * 5040.0 * dum1_frz
         / lamr_frz ** 6, 0.0)
     nr_frz = jnp.where(
         frz_gate_r,
-        cons5 * jnp.maximum(nr, NSMALL) * 24.0 * dum1_frz
+        cons5 * jnp.maximum(nr_in, NSMALL) * 24.0 * dum1_frz
         / lamr_frz ** 3, 0.0)
 
     # deposition/sublimation: relax vapor toward ice saturation below
     # freezing [approx tier; the tables branch below replaces these with
     # the ventilation-based relaxation timescale, micro_p3.F90:2322-2355]
-    tau_dep = 300.0 / jnp.maximum((rho * qi) ** 0.25, 1e-3)
+    tau_dep = 300.0 / jnp.maximum((rho * qi_in) ** 0.25, 1e-3)
     has_ice = (qi >= QSMALL) & (tc < 0.0)
     dep = jnp.where(has_ice & (sup_i > 0.0), (qv - qv_si) / tau_dep, 0.0)
     sub = jnp.where(has_ice & (sup_i < 0.0), (qv_si - qv) / tau_dep, 0.0)
@@ -424,10 +485,15 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         from .p3_tables import (ice_table_indices, interp_collect_multi,
                                 interp_ice_multi, lookup_dtype,
                                 rain_collection_index)
-        # bulk rime density rhop = qm/bm clipped to the table's 50-900 range
-        # (calc_bulkRhoRime, micro_p3.F90:1897-1943)
-        rhop = jnp.clip(qm / jnp.maximum(bm, 1e-30), 50.0, 900.0)
-        idx = ice_table_indices(qi, ni, qm, rhop)
+        # calc_bulkRhoRime (micro_p3.F90:1897-1943): bound the bulk rime
+        # density to [50, 900] by adjusting bm, cap qm at qi, zero tiny
+        # rime -- and PERSIST the re-bounds to the prognostic qm/bm
+        # (part2 writes qm(k) = qm_incld back, :633-635).
+        qm_reb, bm_reb, rho_rime_raw = _bulk_rho_rime(qi_in, qm_in, bm_in)
+        qm = jnp.where(qi >= QSMALL, qm_reb, qm)
+        bm = jnp.where(qi >= QSMALL, bm_reb, bm)
+        idx = ice_table_indices(qi_in, jnp.maximum(ni_in, NSMALL), qm_reb,
+                                rho_rime_raw)
         # every part2 process rate shares this index set, so all seven ice
         # columns come from ONE batched lookup (on TPU: one matmul instead
         # of seven slow gathers; p3_tables.interp_ice_multi), and the
@@ -436,33 +502,42 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # (p3_main, micro_p3.F90: hydrometeor-presence guards).  Zero
         # returns are safe: every consumer is where-gated on qi>=QSMALL.
         any_ice = jnp.any(qi >= QSMALL)
-        (tab7, tab8, tab4, tab2, tab3, tab5, tab10) = jax.lax.cond(
-            any_ice,
-            lambda: interp_ice_multi(tables, (7, 8, 4, 2, 3, 5, 10), *idx),
-            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 7)
+        (tab7, tab8, tab4, tab2, tab3, tab5, tab10) = (
+            t.astype(qi.dtype) for t in jax.lax.cond(
+                any_ice,
+                lambda: interp_ice_multi(tables, (7, 8, 4, 2, 3, 5, 10),
+                                         *idx),
+                lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 7))
         # part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
-        # bounds ni BEFORE any process rate uses it; the table indices use
-        # the pre-limit ni, exactly as in the reference.
-        ni_lim = jnp.minimum(ni, tab7 * ni)
-        ni_lim = jnp.maximum(ni_lim, tab8 * ni_lim)
-        ni = jnp.where(qi >= QSMALL, ni_lim, ni)
+        # bounds the IN-CLOUD ni that the process rates see; the table
+        # indices use the pre-limit ni and the PROGNOSTIC ni stays
+        # unlimited until sedimentation/part3 re-apply the limiter, as in
+        # the reference (part2 limits ni_incld only).
+        ni_t = jnp.maximum(ni_in, NSMALL)
+        ni_t = jnp.minimum(ni_t, tab7 * ni_t)
+        ni_t = jnp.maximum(ni_t, tab8 * ni_t)
+        ni_rate = jnp.where(qi >= QSMALL, ni_t, ni_in)
         rho_600mb = 60000.0 / (287.042 * 253.15)
         rhofaci = (rho_600mb * inv_rho) ** 0.54
         eci = 0.5
         # riming: qccol = rhofaci * table(4) * qc * eci * rho * ni  [P3]
-        collect_qc = rhofaci * tab4 * qc * eci * rho * ni
+        collect_qc = rhofaci * tab4 * qc_in * eci * rho * ni_rate
         both_ic = (qi >= QSMALL) & (qc >= QSMALL)
         rim = jnp.where(both_ic & (tc < 0.0), collect_qc, 0.0)
         # above freezing, collected cloud water is shed as 1 mm rain drops
         # (ice_cldliq_collection T>0 branch, micro_p3.F90:2063-2071)
         shed = jnp.where(both_ic & (tc > 0.0), collect_qc, 0.0)
-        # 1 mm shed drops: dropmass = 5.2e-7 kg (micro_p3_utils.F90:57)
+        # 1 mm shed drops: dropmass = 5.2e-7 kg (micro_p3_utils.F90:57).
+        # ncshdc counts ONLY this warm-collection shedding
+        # (ice_cldliq_collection :2071); wet-growth shedding contributes
+        # rain number separately via nr_ice_shed (:2301-2304).
         inv_dropmass = 1.0 / 5.2e-7
+        ncshdc = shed * inv_dropmass
         vi_table = rhofaci * tab2
         # rime density of cloud riming (calc_rime_density,
         # micro_p3.F90:2413-2490): Cober-List Ri fit of impact velocity x
         # droplet size x supercooling; replaces the fixed 400 kg/m3
-        vt_qc, lamc_r = cloud_vt(qc)
+        vt_qc, lamc_r, _ = cloud_vt(qc_in, nc_in)
         d_c = (_mu_cd + 4.0) / lamc_r
         i_tc = 1.0 / jnp.minimum(-0.001, tc)
         ri = jnp.clip(-0.5e6 * d_c * jnp.abs(vi_table - vt_qc) * i_tc,
@@ -470,7 +545,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         rho_rime = jnp.where(
             ri <= 8.0, (0.051 + 0.114 * ri - 0.0055 * ri * ri) * 1000.0,
             611.0 + 72.25 * (ri - 8.0))
-        rho_rime = jnp.where((rim > 0.0) & (qc >= QSMALL), rho_rime, 400.0)
+        # gate: qccol >= qsmall & T < 0 & qc_incld >= qsmall (:2454-2481)
+        rho_rime = jnp.where((rim >= QSMALL) & (qc >= QSMALL), rho_rime,
+                             400.0)
 
         # ice-rain collection (below freezing), table-driven
         # [P3; rain DSD with the reference's constant mu_r = 1:
@@ -478,22 +555,24 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # n0r = nr lamr^(mu+1)/Gamma(mu+1) (get_rain_dsd2,
         # micro_p3.F90:1839-1893)]
         # (ice_rain_collection, micro_p3.F90:2103-2157; eri = 1)
-        j0, fj = rain_collection_index(qr, nr)
+        j0, fj = rain_collection_index(qr_in, jnp.maximum(nr_in, NSMALL))
         lamr = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * 24.0
-                        * jnp.maximum(nr, NSMALL) / jnp.maximum(qr, QSMALL))
-        n0r = jnp.maximum(nr, NSMALL) * lamr * lamr
+                        * jnp.maximum(nr_in, NSMALL)
+                        / jnp.maximum(qr_in, QSMALL))
+        n0r = jnp.maximum(nr_in, NSMALL) * lamr * lamr
         both_ir = (qi >= QSMALL) & (qr >= QSMALL) & (tc <= 0.0)
-        coll2, coll1 = jax.lax.cond(
+        coll2, coll1 = (t.astype(qi.dtype) for t in jax.lax.cond(
             jnp.any((qi >= QSMALL) & (qr >= QSMALL)),
             lambda: interp_collect_multi(tables, (2, 1), *idx, j0, fj),
-            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2)
-        qrcol = jnp.where(both_ir, coll2 * n0r * rho * rhofaci * ni, 0.0)
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2))
+        qrcol = jnp.where(both_ir, coll2 * n0r * rho * rhofaci * ni_rate,
+                          0.0)
         # above freezing, collected rain NUMBER is still lost (shed as
         # 1 mm drops is neglected) while rain MASS is unchanged
         # (ice_rain_collection T > 0 branch, micro_p3.F90:2144-2153)
         both_ir_any = (qi >= QSMALL) & (qr >= QSMALL)
         nr_col = jnp.where(both_ir_any,
-                           coll1 * n0r * rho * rhofaci * ni, 0.0)
+                           coll1 * n0r * rho * rhofaci * ni_rate, 0.0)
 
         # thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
         mu_visc = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
@@ -504,13 +583,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # temperature; ice_self_collection:2159-2207 for rime fraction)
         eii = jnp.clip(0.001 + (temp - 253.15) * (0.3 - 0.001) / 20.0,
                        0.001, 0.3)
-        fr = qm / jnp.maximum(qi, QSMALL)
+        fr = qm_reb / jnp.maximum(qi_in, QSMALL)
         eii_fact = jnp.clip(1.0 - (fr - 0.6) / 0.3, 0.0, 1.0)
         has_ice_t = qi >= QSMALL
         # ice number self-collection (aggregation)  [P3]
         ni_self = jnp.where(
             has_ice_t,
-            tab3 * rho * eii * eii_fact * rhofaci * ni * ni, 0.0)
+            tab3 * rho * eii * eii_fact * rhofaci * ni_rate * ni_rate, 0.0)
         # ventilation factor shared by melting and dep/sub  [P3]
         vent = (tab5 + tab10 * jnp.cbrt(sc_n)
                 * jnp.sqrt(rhofaci * rho / mu_visc))
@@ -521,12 +600,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             has_ice_t & (tc > 0.0),
             jnp.maximum(vent * (tc * kap - rho * Lv * dv_diff
                                 * (qsat0 - qv))
-                        * 2.0 * jnp.pi / Lf * ni, 0.0), 0.0)
+                        * 2.0 * jnp.pi / Lf * ni_rate, 0.0), 0.0)
         # deposition/sublimation by relaxation (calc_ice_relaxation_timescale
         # :2322-2355 + ice_deposition_sublimation :3269-3330)  [P3]
-        # NOTE: epsi is computed wherever ice exists (sublimation also runs
-        # above freezing, micro_p3.F90:3305-3310).
-        epsi = jnp.where(has_ice_t, vent * 2.0 * jnp.pi * rho * dv_diff * ni,
+        # epsi is gated at T < 0 exactly as :2346: above freezing qi_tend
+        # is zero, so warm ice melts but does NOT sublimate.
+        epsi = jnp.where(has_ice_t & (tc < 0.0),
+                         vent * 2.0 * jnp.pi * rho * dv_diff * ni_rate,
                          0.0)
         dqsidt = (Lv + LATICE) * qv_si / (R_V * temp * temp)
         abi = 1.0 + dqsidt * (Lv + LATICE) / CP_D
@@ -550,13 +630,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vn_row, vm_row, revap_row = generate_rain_tables()
         dm_r2 = (MU_R + 1.0) / lamr
         i0r, fir = rain_size_index(dm_r2)
-        (revap_v,) = jax.lax.cond(
+        (revap_v,) = (t.astype(qr.dtype) for t in jax.lax.cond(
             jnp.any(qr >= QSMALL),
             lambda: interp_rain_multi((revap_row,), i0r, fir),
-            lambda: (jnp.zeros(qr.shape, lookup_dtype(qr)),))
+            lambda: (jnp.zeros(qr.shape, lookup_dtype(qr)),)))
         # cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
         # micro_p3.F90:1880)
-        cdistr = jnp.maximum(nr, NSMALL)
+        cdistr = jnp.maximum(nr_in, NSMALL)
         gamma_mu2 = 2.0  # Gamma(mu_r + 2) = Gamma(3)
         epsr = 2.0 * jnp.pi * cdistr * rho * dv_diff * (
             F1R * gamma_mu2 / lamr
@@ -565,15 +645,17 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # when collection outpaces the latent-heat balance limit qwgrth,
         # the excess is shed as 1 mm rain drops and collection is scaled
         # back (cpw = cp of liquid water = CP_L, micro_p3_utils:142)
-        cold_mix = (qi >= QSMALL) & (qc + qr >= 1.0e-6) & (tc < 0.0)
+        cold_mix = (qi >= QSMALL) & (qc_in + qr_in >= 1.0e-6) & (tc < 0.0)
         qwgrth = jnp.where(
             cold_mix,
             jnp.maximum(vent * 2.0 * jnp.pi
                         * (rho * Lv * dv_diff * (qsat0 - qv) - tc * kap)
-                        / (Lf + CP_L * tc) * ni, 0.0),
+                        / (Lf + CP_L * tc) * ni_rate, 0.0),
             jnp.inf)
         excess = jnp.maximum(rim + qrcol - qwgrth, 0.0)
         excess = jnp.where(excess >= 1.0e-10, excess, 0.0)
+        # log_wetgrowth (:2313): densify the rime in the prognostic update
+        log_wg = cold_mix & (excess >= 1.0e-10)
         # f32-safe floor (1e-300 would underflow to 0 -> 0/0 NaN)
         tot_col = jnp.maximum(rim + qrcol, 1e-30)
         wg_frac = jnp.where(rim + qrcol >= 1.0e-10, excess / tot_col, 0.0)
@@ -612,14 +694,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         equilib = -A_c / abl * tau_eff / tau_r
         ev_big = instant * w_ts + equilib * (1.0 - w_ts)
         # negligible qr in subsaturated air evaporates entirely (:3478-3480)
-        ev = jnp.where((qr < 1.0e-12) & (qv / jnp.maximum(qsl, QSMALL)
-                                         < 0.999),
-                       qr / dt, ev_big)
+        ev = jnp.where((qr_in < 1.0e-12) & (qv / jnp.maximum(qsl, QSMALL)
+                                            < 0.999),
+                       qr_in / dt, ev_big)
         ev = jnp.minimum(ev, -ssat_r / dt / abl)   # cap at saturation deficit
-        ev = jnp.minimum(jnp.maximum(ev, 0.0), qr / dt)
+        ev = jnp.minimum(jnp.maximum(ev, 0.0), qr_in / dt)
         # active only in the rainy area outside cloud (cld_frac_r=1;
         # cld_frac -> 0 when condensate is negligible, :3434-3443)
-        ev = jnp.where((qc + qi < 1.0e-6) & (ssat_r < 0.0)
+        ev = jnp.where((qc_in + qi_in < 1.0e-6) & (ssat_r < 0.0)
                        & (qr >= QSMALL), ev, 0.0)
 
         # rain mass-weighted fall speed from the generated table  [P3]
@@ -635,13 +717,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                            * jnp.maximum(nr_, NSMALL)
                            / jnp.maximum(qr_, QSMALL))
             i0, fi_ = rain_size_index((MU_R + 1.0) / lam)
-            vm, vn = jax.lax.cond(
+            vm, vn = (t.astype(qr_.dtype) for t in jax.lax.cond(
                 jnp.any(qr_ >= QSMALL),
                 lambda: interp_rain_multi((vm_row, vn_row), i0, fi_),
-                lambda: (jnp.zeros(qr_.shape, lookup_dtype(qr_)),) * 2)
+                lambda: (jnp.zeros(qr_.shape, lookup_dtype(qr_)),) * 2))
+            # no upper clip: the reference's compute_rain_fall_velocity
+            # returns the table speed times rhofacr unclipped (:3872-3908);
+            # the sub-cycle count adapts to the true maximum.
             gate = qr_ >= QSMALL
-            return (jnp.where(gate, jnp.clip(rhofacr * vm, 0.0, 10.0), 0.0),
-                    jnp.where(gate, jnp.clip(rhofacr * vn, 0.0, 10.0), 0.0))
+            return (jnp.where(gate, rhofacr * vm, 0.0),
+                    jnp.where(gate, rhofacr * vn, 0.0))
 
         def rain_fallspeed(qr_, nr_):
             return rain_fallspeeds(qr_, nr_)[0]
@@ -660,8 +745,12 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         nr_col = jnp.zeros_like(nr)
         shed = jnp.zeros_like(qc)
         inv_dropmass = 0.0
+        ncshdc = jnp.zeros_like(nr)
         rho_rime = 400.0
         nr_shed_wg = jnp.zeros_like(nr)
+        ni_rate = ni_in
+        qm_reb, bm_reb = qm_in, bm_in
+        log_wg = jnp.zeros(qc.shape, bool)
 
         def rain_fallspeed(qr_, nr_):
             return jnp.clip(
@@ -683,11 +772,20 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
     #    self-collection is identically zero at iparam=3,
     #    micro_p3.F90:2646-2648) ----------------------------------------
-    inv_qc = 1.0 / jnp.maximum(qc, QSMALL)
-    nc2nr_auto = au * nc * inv_qc       # (:2780-2782)
-    nc_accret = ac * nc * inv_qc        # (:2694-2696)
-    nc_collect = (rim + shed) * nc * inv_qc  # (:2087-2095, both T branches)
+    inv_qc = 1.0 / jnp.maximum(qc_in, QSMALL)
+    nc2nr_auto = au * nc_in * inv_qc    # (:2780-2782)
+    nc_accret = ac * nc_in * inv_qc     # (:2694-2696)
+    nc_collect = (rim + shed) * nc_in * inv_qc  # (:2087-2095, both branches)
     ncautr = au * CONS3                 # new 25-um raindrops (:2778)
+
+    # number rates tied to mass rates are computed INSIDE the process
+    # subroutines, i.e. BEFORE the mass-conservation rescalings below
+    # (ice_melting :2251, ice_deposition_sublimation :3307,
+    # evaporate_rain :3532) -- rescaling melt/sub/ev afterwards does not
+    # retroactively rescale these.
+    ni2nr_melt = melt * ni_rate / jnp.maximum(qi_in, QSMALL)
+    ni_sub_n = sub * ni_rate / jnp.maximum(qi_in, QSMALL)
+    nr_evap = ev * nr_in / jnp.maximum(qr_in, QSMALL)
 
     # -- conservation rescaling (the reference's *_conservation
     #    subroutines, micro_p3.F90:3029-3106 + 2957-3007) ---------------
@@ -731,9 +829,6 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qinuc = jnp.where(scale_isc, qinuc_l, qinuc)
 
     # number conservations (nc_/nr_/ni_conservation, :2957-3007)
-    ni2nr_melt = melt * ni / jnp.maximum(qi, QSMALL)
-    ni_sub_n = sub * ni / jnp.maximum(qi, QSMALL)
-    nr_evap = ev * nr / jnp.maximum(qr, QSMALL)
 
     sinks_nc = (nc_collect + nc_frz + nc_accret + nc2nr_auto) * dt
     ratio_nc = jnp.where(sinks_nc > nc,
@@ -742,7 +837,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         t * ratio_nc for t in (nc_collect, nc_frz, nc_accret, nc2nr_auto))
 
     sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt
-    sources_nr = nr + (ni2nr_melt + nr_shed_wg + shed * inv_dropmass
+    sources_nr = nr + (ni2nr_melt + nr_shed_wg + ncshdc
                        + nc2nr_auto) * dt
     ratio_nr = jnp.where(sinks_nr > sources_nr,
                          sources_nr / jnp.maximum(sinks_nr, 1e-30), 1.0)
@@ -785,7 +880,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         - sub - melt + rim)
     qv_new = qv + dt * (ev + sub - dep - qinuc)
     nr_new = nr + dt * (ncautr - nr_self - nr_frz - nr_col + ni2nr_melt
-                        + shed * inv_dropmass + nr_shed_wg - nr_evap)
+                        + ncshdc + nr_shed_wg - nr_evap)
     ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
                         - ni_sub_n)
     # rime mass/volume: all freezing paths rime (dum term,
@@ -796,9 +891,23 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                         - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
     bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0
                         - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
+    # negative rime zeroes BOTH qm and bm (update_prognostic_ice
+    # :3188-3191), and wet growth densifies the whole particle: qm = qi,
+    # bm = qm / rho_rimeMax (:3196-3200)
+    neg_qm = qm_new < 0.0
+    qm_new = jnp.where(neg_qm, 0.0, qm_new)
+    bm_new = jnp.where(neg_qm, 0.0, bm_new)
+    qm_new = jnp.where(log_wg, qi_new, qm_new)
+    bm_new = jnp.where(log_wg, qi_new / 900.0, bm_new)
     if do_predict_nc:
         nc = nc + dt * (-nc_accret - nc2nr_auto - nc_collect - nc_frz)
         nc = jnp.maximum(nc, 0.0)
+    else:
+        # prescribed droplet number is re-imposed at the end of part2 on
+        # every level that reaches the prognostic update
+        # (update_prognostic_liquid :3241); levels skipped at :595 keep
+        # their part1 value.
+        nc = jnp.where(skip_lvl, nc, NCCNST * inv_rho)
     qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
     nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
     # latent heating (theta via frozen exner)
@@ -812,8 +921,6 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qv = jnp.maximum(qv, 0.0)
     nr = jnp.maximum(nr, 0.0)
     ni = jnp.maximum(ni, 0.0)
-    qm = jnp.clip(qm, 0.0, None)
-    bm = jnp.maximum(bm, 0.0)
 
     # end-of-part2 clipping (micro_p3.F90:893-920): hydrometeors below
     # qsmall evaporate/sublimate back to vapor with latent cooling before
@@ -838,40 +945,70 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     ni = cap_ni(ni)
 
     # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
-    def cloud_fallspeed(qc_):
-        """Stokes-law mass-weighted cloud droplet fall speed with the
-        gamma DSD (p3_main cloud sedimentation, micro_p3.F90:3670-3690)."""
-        v, _ = cloud_vt(qc_)
-        return v
+    def cloud_sed_speeds(qc_, nc_):
+        """Per-substep cloud sedimentation prep (cloud_sedimentation,
+        micro_p3.F90:3670-3722): in-cloud gating/cap, get_cloud_dsd2's nc
+        adjustment (PERSISTED, :3700), Stokes mass-weighted fall speed.
+        Returns (V_qc, nc)."""
+        gate = qc_ >= QSMALL
+        qc_c = jnp.where(gate, jnp.minimum(qc_, 5.1e-3), 0.0)
+        nc_l = cloud_dsd_nc(qc_c, jnp.where(gate, jnp.maximum(nc_, 0.0),
+                                            0.0))
+        v, _, _ = cloud_vt(qc_c, nc_l)
+        return v, jnp.where(gate, nc_l, nc_)
 
     def ice_fallspeeds(qi_, ni_, qm_, bm_):
-        """(V_qit, V_nit): table-tier mass- and number-weighted ice fall
-        speeds from cols 2/1 in ONE batched lookup (ice_sedimentation,
-        micro_p3.F90:4025-4037: qi/qm/bm fall at V_qit, ni at V_nit)."""
+        """Per-substep ice sedimentation prep (ice_sedimentation,
+        micro_p3.F90:4007-4037): in-cloud gating/caps, calc_bulkRhoRime
+        re-bounds, table lookup of the mass/number fall speeds (cols 2/1)
+        and the ni lambda limiters (cols 7/8) -- the re-bounds and the
+        limited ni PERSIST to the prognostic state, as in the reference
+        (:4021-4023, :4034).  Returns (V_qit, V_nit, ni, qm, bm)."""
+        gate = qi_ >= QSMALL
         if tables is None:
             v = jnp.clip(1.2 * jnp.maximum(rho * qi_, 0.0) ** 0.0625,
                          0.3, 3.0)
-            return v, v
+            return v, v, ni_, qm_, bm_
         from .p3_tables import (ice_table_indices, interp_ice_multi,
                                 lookup_dtype)
-        rhop_ = jnp.clip(qm_ / jnp.maximum(bm_, 1e-30), 50.0, 900.0)
-        idx_ = ice_table_indices(qi_, ni_, qm_, rhop_)
+        qi_c = jnp.where(gate, jnp.minimum(qi_, 5.1e-3), 0.0)
+        ni_c = jnp.maximum(jnp.where(gate, jnp.maximum(ni_, 0.0), 0.0),
+                           NSMALL)
+        has_m = gate & (qm_ >= QSMALL)
+        qm_c = jnp.where(has_m, qm_, 0.0)
+        bm_c = jnp.where(has_m,
+                         jnp.minimum(jnp.maximum(bm_, 0.0), 5.1e-3), 0.0)
+        qm_c, bm_c, rr_ = _bulk_rho_rime(qi_c, qm_c, bm_c)
+        idx_ = ice_table_indices(qi_c, ni_c, qm_c, rr_)
         rho_600mb = 60000.0 / (287.042 * 253.15)
         rfac = (rho_600mb * inv_rho) ** 0.54
-        v_q, v_n = jax.lax.cond(
-            jnp.any(qi_ >= QSMALL),
-            lambda: interp_ice_multi(tables, (2, 1), *idx_),
-            lambda: (jnp.zeros(qi_.shape, lookup_dtype(qi_)),) * 2)
-        gate = qi_ >= QSMALL
-        return (jnp.where(gate, jnp.clip(rfac * v_q, 0.0, 10.0), 0.0),
-                jnp.where(gate, jnp.clip(rfac * v_n, 0.0, 10.0), 0.0))
+        v_q, v_n, t7_, t8_ = (t.astype(qi_.dtype) for t in jax.lax.cond(
+            jnp.any(gate),
+            lambda: interp_ice_multi(tables, (2, 1, 7, 8), *idx_),
+            lambda: (jnp.zeros(qi_.shape, lookup_dtype(qi_)),) * 4))
+        ni_l = jnp.minimum(ni_c, t7_ * ni_c)
+        ni_l = jnp.maximum(ni_l, t8_ * ni_l)
+        return (jnp.where(gate, rfac * v_q, 0.0),
+                jnp.where(gate, rfac * v_n, 0.0),
+                jnp.where(gate, ni_l, ni_),
+                jnp.where(gate, qm_c, qm_),
+                jnp.where(gate, bm_c, bm_))
 
-    def ice_fallspeed(qi_, ni_, qm_, bm_):
-        return ice_fallspeeds(qi_, ni_, qm_, bm_)[0]
+    def rain_sed_speeds(qr_, nr_):
+        """Per-substep rain sedimentation prep (rain_sedimentation +
+        compute_rain_fall_velocity, micro_p3.F90:3825-3843): in-cloud
+        gating/cap, get_rain_dsd2's nr adjustment (PERSISTED, :3843),
+        then the vm/vn table speeds.  Returns (V_qr, V_nr, nr)."""
+        gate = qr_ >= QSMALL
+        qr_c = jnp.where(gate, jnp.minimum(qr_, 1.0e-2), 0.0)
+        nr_c = jnp.where(gate, jnp.maximum(nr_, 0.0), 0.0)
+        nr_l = rain_dsd_nr(qr_c, nr_c)
+        v_q, v_n = rain_fallspeeds(qr_c, nr_l)
+        return v_q, v_n, jnp.where(gate, nr_l, nr_)
 
-    vr = rain_fallspeed(qr, nr)
-    vi = ice_fallspeed(qi, ni, qm, bm)
-    vc = cloud_fallspeed(qc)
+    vr = rain_sed_speeds(qr, nr)[0]
+    vi = ice_fallspeeds(qi, ni, qm, bm)[0]
+    vc = cloud_sed_speeds(qc, nc)[0]
     vmax = jnp.maximum(jnp.maximum(jnp.max(vr), jnp.max(vi)), jnp.max(vc))
     dz_min = jnp.min(dz)
     # inside shard_map the sub-cycle count must be the global extremum so
@@ -897,9 +1034,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     def sub_body(carry):
         it, qc, nc_, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
-        vr_, vnr_ = rain_fallspeeds(qr, nr)
-        vi_, vni_ = ice_fallspeeds(qi, ni, qm, bm)
-        vc_ = cloud_fallspeed(qc)
+        # per-substep DSD/limiter writebacks persist exactly as in the
+        # reference sedimentation loops (get_cloud_dsd2 :3700,
+        # get_rain_dsd2 :3843, ni lambda limiters + calc_bulkRhoRime
+        # :4021-4034)
+        vr_, vnr_, nr = rain_sed_speeds(qr, nr)
+        vi_, vni_, ni, qm, bm = ice_fallspeeds(qi, ni, qm, bm)
+        vc_, nc_ = cloud_sed_speeds(qc, nc_)
         qc, pl = fall(qc, vc_, pl)
         if do_predict_nc:
             nc_, _ = fall(nc_, vc_, jnp.zeros_like(pl))
@@ -928,7 +1069,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # below T_homogfrz = tmelt - 40 ALL remaining liquid freezes instantly
     # into rimed ice packed at rho_rimeMax, with latent heating.  This is
     # the main glaciation path of a supercell's anvil (< -40 C aloft).
-    t_cur = theta * exner
+    # NOTE: the reference gates on the t_atm array frozen at the END OF
+    # PART1 (p3_main passes t_atm(i,:), never refreshed by part2's
+    # latent heating) -- `temp` here is exactly that.
+    t_cur = temp
     frz_c = (qc >= QSMALL) & (t_cur < T_HOMOGFRZ)
     q_nuc = jnp.where(frz_c, qc, 0.0)
     qm = qm + q_nuc

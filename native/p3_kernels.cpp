@@ -186,6 +186,61 @@ void rain_size_index(double dm, int* i0, double* fi) {
   *fi = rdum - idum;
 }
 
+// calc_bulkRhoRime (micro_p3.F90:1897-1943): bound the bulk rime density
+// to [50, 900] by adjusting bm, cap qm at qi, zero tiny rime.  rho_rime
+// is 0 where bm < 1e-15, as the reference passes it to the index finder.
+void bulk_rho_rime(double qi_, double* qm_, double* bm_, double* rho_rime) {
+  if (*bm_ >= 1.0e-15) {
+    *rho_rime = *qm_ / *bm_;
+    if (*rho_rime < RHO_RIMEMIN) {
+      *rho_rime = RHO_RIMEMIN;
+      *bm_ = *qm_ / *rho_rime;
+    } else if (*rho_rime > RHO_RIMEMAX) {
+      *rho_rime = RHO_RIMEMAX;
+      *bm_ = *qm_ / *rho_rime;
+    }
+  } else {
+    *qm_ = 0.0;
+    *bm_ = 0.0;
+    *rho_rime = 0.0;
+  }
+  if (*qm_ > qi_ && *rho_rime > 0.0) {
+    *qm_ = qi_;
+    *bm_ = *qm_ / *rho_rime;
+  }
+  if (*qm_ < QSMALL) {
+    *qm_ = 0.0;
+    *bm_ = 0.0;
+  }
+}
+
+// get_rain_dsd2's nr adjustment (micro_p3.F90:1841-1893, mu_r = 1)
+double rain_dsd_nr(double qr_, double nr_) {
+  if (qr_ < QSMALL) return nr_;
+  double nr1 = std::max(nr_, NSMALL);
+  const double cons1 = PI / 6.0 * RHO_H2O;
+  double lamr = std::cbrt(cons1 * nr1 * 24.0 / std::max(qr_, QSMALL));
+  double lamr_cl = std::clamp(lamr, 2.0 * 500.0, 2.0 * 1.0e5);
+  return (lamr != lamr_cl)
+             ? lamr_cl * lamr_cl * lamr_cl * qr_ / (24.0 * cons1)
+             : nr1;
+}
+
+// get_cloud_dsd2's nc adjustment (micro_p3.F90:1774-1837)
+double cloud_dsd_nc(double qc_, double nc_, double rho) {
+  if (qc_ < QSMALL) return nc_;
+  double nc1 = std::max(nc_, NSMALL);
+  double s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714;
+  double mu_ = std::clamp(1.0 / (s_ * s_) - 1.0, 2.0, 15.0);
+  double mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0);
+  const double cons1 = PI / 6.0 * RHO_H2O;
+  double lamc = std::cbrt(cons1 * nc1 * mval_ / std::max(qc_, QSMALL));
+  double lamc_cl = std::clamp(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6);
+  return (lamc != lamc_cl)
+             ? lamc_cl * lamc_cl * lamc_cl * qc_ / (cons1 * mval_)
+             : nc1;
+}
+
 double interp_rain(const std::vector<double>& t, int i0, double fi) {
   i0 = std::clamp(i0, 0, (int)t.size() - 2);
   return t[i0] + fi * (t[i0 + 1] - t[i0]);
@@ -297,9 +352,11 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     // p3_main_part1 (:363-481): initial tiny-mass clipping, droplet
     // prescription, tiny-warm-ice instant melt; temp refreshed after
     // (mirrors the JAX scheme).
+    double sup_i0_p1;
     {
       double qv_si0 = svp_ice(temp) / (R_V * temp * rho_d[c]);
       double sup_i0 = qv[c] / std::max(qv_si0, QSMALL) - 1.0;
+      sup_i0_p1 = sup_i0;
       if (qc[c] < QSMALL) {
         qv[c] += qc[c];
         theta[c] -= qc[c] * Lv / (CP_D * exner[c]);
@@ -331,12 +388,34 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
         bm[c] = 0.0;
       }
       temp = theta[c] * exner[c];  // t_atm refresh (:477)
+      temp_pre[c] = temp;  // end-of-part1 t_atm: sedimentation DSDs and
+                           // homogeneous freezing use THIS (the reference
+                           // never refreshes t_atm after part1)
     }
 
-    // part2's pre-process DSD limiting + ni cap, reference order
-    // (get_cloud_dsd2 micro_p3.F90:626, get_rain_dsd2 :630,
-    // impose_max_total_ni :637): applied before any table lookup /
-    // process rate sees the DSDs (mirrors the JAX scheme).
+    // part2's level skip (:588-595): dry, hydrometeor-free, cold and
+    // ice-subsaturated levels never reach the prognostic update (matters
+    // only for the prescribed-nc reset there; the supersaturation is the
+    // part1 pre-clip value, exactly as the reference's frozen
+    // qv_supersat_i array)
+    const bool skip_lvl = qc[c] < QSMALL && qr[c] < QSMALL &&
+                          qi[c] < QSMALL && temp < TMELT &&
+                          sup_i0_p1 < -0.05;
+
+    // in-cloud mixing ratios (calculate_incloud_mixingratios,
+    // micro_p3_utils.F90:238-292; cld_frac = 1): cell values gated on
+    // qsmall with the reference's in-cloud magnitude caps
+    const double qc_in = qc[c] >= QSMALL ? std::min(qc[c], 5.1e-3) : 0.0;
+    const double qr_in = qr[c] >= QSMALL ? std::min(qr[c], 1.0e-2) : 0.0;
+    const double qi_in = qi[c] >= QSMALL ? std::min(qi[c], 5.1e-3) : 0.0;
+    const bool has_qm = qm[c] >= QSMALL && qi[c] >= QSMALL;
+    const double qm_in = has_qm ? qm[c] : 0.0;
+    const double bm_in =
+        has_qm ? std::clamp(bm[c], 0.0, 5.1e-3) : 0.0;
+
+    // part2's pre-process DSD limiting, reference order (get_cloud_dsd2
+    // micro_p3.F90:626, get_rain_dsd2 :630); adjustments persist to the
+    // cell nc/nr
     {
       const double cons1 = PI / 6.0 * RHO_H2O;
       if (qc[c] >= QSMALL) {
@@ -345,35 +424,40 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
         double mu_ = std::clamp(1.0 / (s_ * s_) - 1.0, 2.0, 15.0);
         double mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0);
         double lamc =
-            std::cbrt(cons1 * nc1 * mval_ / std::max(qc[c], QSMALL));
+            std::cbrt(cons1 * nc1 * mval_ / std::max(qc_in, QSMALL));
         double lamc_cl =
             std::clamp(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6);
         nc[c] = (lamc != lamc_cl)
-                    ? lamc_cl * lamc_cl * lamc_cl * qc[c] / (cons1 * mval_)
+                    ? lamc_cl * lamc_cl * lamc_cl * qc_in / (cons1 * mval_)
                     : nc1;
       }
       if (qr[c] >= QSMALL) {
         double nr1 = std::max(nr[c], NSMALL);
         double lamr =
-            std::cbrt(cons1 * nr1 * 24.0 / std::max(qr[c], QSMALL));
+            std::cbrt(cons1 * nr1 * 24.0 / std::max(qr_in, QSMALL));
         double lamr_cl = std::clamp(lamr, 2.0 * 500.0, 2.0 * 1.0e5);
         nr[c] = (lamr != lamr_cl)
-                    ? lamr_cl * lamr_cl * lamr_cl * qr[c] / (24.0 * cons1)
+                    ? lamr_cl * lamr_cl * lamr_cl * qr_in / (24.0 * cons1)
                     : nr1;
       }
-      if (ni[c] >= 1e-20) {
-        ni[c] *= std::min(MAX_TOTAL_NI * inv_rho / ni[c], 1.0);
-      }
+    }
+    const double nc_in = qc[c] >= QSMALL ? std::max(nc[c], 0.0) : 0.0;
+    const double nr_in = qr[c] >= QSMALL ? std::max(nr[c], 0.0) : 0.0;
+    // impose_max_total_ni (:637) on the IN-CLOUD ni only; the prognostic
+    // ni is capped at end-of-part2 (:921-925) and in part3 (:1073)
+    double ni_in = qi[c] >= QSMALL ? std::max(ni[c], 0.0) : 0.0;
+    if (ni_in >= 1e-20) {
+      ni_in *= std::min(MAX_TOTAL_NI * inv_rho / ni_in, 1.0);
     }
 
     // cloud gamma-DSD (get_cloud_dsd2, micro_p3.F90:1774-1835)
     double mu_visc0 = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
     double acn = 9.80616 * RHO_H2O / (18.0 * mu_visc0);
-    double sfac = 0.0005714 * (nc[c] * 1.0e-6 * rho) + 0.2714;
+    double sfac = 0.0005714 * (nc_in * 1.0e-6 * rho) + 0.2714;
     double mu_cd = std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
     auto cloud_lamc = [&](double qc_) {
-      double lamc = std::cbrt(PI / 6.0 * RHO_H2O * nc[c] * (mu_cd + 3.0) *
-                              (mu_cd + 2.0) * (mu_cd + 1.0) /
+      double lamc = std::cbrt(PI / 6.0 * RHO_H2O * std::max(nc_in, NSMALL) *
+                              (mu_cd + 3.0) * (mu_cd + 2.0) * (mu_cd + 1.0) /
                               std::max(qc_, QSMALL));
       return std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
     };
@@ -386,18 +470,18 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     };
 
     double au = 0.0;
-    if (qc[c] >= 1.0e-8) {
-      au = 1350.0 * std::pow(std::max(qc[c], QSMALL), 2.47) *
-           std::pow(std::max(nc[c] * 1.0e-6 * rho, NSMALL), -1.79);
+    if (qc_in >= 1.0e-8) {
+      au = 1350.0 * std::pow(std::max(qc_in, QSMALL), 2.47) *
+           std::pow(std::max(nc_in * 1.0e-6 * rho, NSMALL), -1.79);
     }
     double ac = 0.0;
     if (qc[c] >= QSMALL && qr[c] >= QSMALL) {
-      ac = 67.0 * std::pow(std::max(qc[c] * qr[c], 1e-300), 1.15);
+      ac = 67.0 * std::pow(std::max(qc_in * qr_in, 1e-300), 1.15);
     }
-    double dm_r = std::cbrt(std::max(qr[c], QSMALL) /
-                            (PI * RHO_H2O * std::max(nr[c], NSMALL)));
+    double dm_r = std::cbrt(std::max(qr_in, QSMALL) /
+                            (PI * RHO_H2O * std::max(nr_in, NSMALL)));
     double brk = dm_r < 280.0e-6 ? 1.0 : 2.0 - std::exp(2300.0 * (dm_r - 280.0e-6));
-    double nr_self = qr[c] >= QSMALL ? brk * 5.78 * nr[c] * qr[c] * rho : 0.0;
+    double nr_self = qr[c] >= QSMALL ? brk * 5.78 * nr_in * qr_in * rho : 0.0;
 
     double qsl = svp_liquid(temp) / (R_V * temp * rho_d[c]);
 
@@ -425,9 +509,9 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double dum1_frz = std::exp(aimm * std::min(-tc_, 40.0));
     double qc_frz = 0.0, nc_frz = 0.0, qr_frz = 0.0, nr_frz = 0.0;
     if (qc[c] >= QSMALL && tc_ <= -4.0) {   // T_rainfrz = tmelt - 4
-      double lamc_frz = cloud_lamc(qc[c]);
+      double lamc_frz = cloud_lamc(qc_in);
       double cdist1_c =
-          std::max(nc[c], NSMALL) * std::exp(-std::lgamma(mu_cd + 1.0));
+          std::max(nc_in, NSMALL) * std::exp(-std::lgamma(mu_cd + 1.0));
       qc_frz = cons6 * cdist1_c * std::exp(std::lgamma(7.0 + mu_cd)) *
                dum1_frz / std::pow(lamc_frz, 6.0);
       nc_frz = cons5 * cdist1_c * std::exp(std::lgamma(4.0 + mu_cd)) *
@@ -436,42 +520,58 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     if (qr[c] >= QSMALL && tc_ <= -4.0) {
       // mu_r = 1: cdistr = nr, Gamma(8) = 5040, Gamma(5) = 24
       double lamr_frz = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
-                                  std::max(nr[c], NSMALL) /
-                                  std::max(qr[c], QSMALL));
-      qr_frz = cons6 * std::max(nr[c], NSMALL) * 5040.0 * dum1_frz /
+                                  std::max(nr_in, NSMALL) /
+                                  std::max(qr_in, QSMALL));
+      qr_frz = cons6 * std::max(nr_in, NSMALL) * 5040.0 * dum1_frz /
                std::pow(lamr_frz, 6.0);
-      nr_frz = cons5 * std::max(nr[c], NSMALL) * 24.0 * dum1_frz /
+      nr_frz = cons5 * std::max(nr_in, NSMALL) * 24.0 * dum1_frz /
                std::pow(lamr_frz, 3.0);
     }
 
     double dep, sub, berg = 0.0, rim, shed = 0.0, melt;
     double qrcol = 0.0, nr_col = 0.0, ni_self = 0.0, nr_shed_wg = 0.0;
+    double ncshdc = 0.0;
     double rho_rime = 400.0;
     double ev;
+    double ni_rate = ni_in;
+    bool log_wg = false;
 
     if (tab) {
       // -- table tier (mirrors physics/p3.py tables branch) --------------
-      double rhop = std::clamp(qm[c] / std::max(bm[c], 1e-30), 50.0, 900.0);
-      IceIdx idx = ice_table_indices(qi[c], ni[c], qm[c], rhop);
-      // part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
-      // bounds ni before any process rate; indices use the pre-limit ni
+      // calc_bulkRhoRime (:1897-1943): re-bounds PERSIST to the
+      // prognostic qm/bm (part2 writes qm(k) = qm_incld back)
+      double qm_reb = qm_in, bm_reb = bm_in, rho_rime_raw;
+      bulk_rho_rime(qi_in, &qm_reb, &bm_reb, &rho_rime_raw);
       if (qi[c] >= QSMALL) {
-        double nil = std::min(ni[c], interp_ice(7, idx) * ni[c]);
+        qm[c] = qm_reb;
+        bm[c] = bm_reb;
+      }
+      IceIdx idx = ice_table_indices(qi_in, std::max(ni_in, NSMALL), qm_reb,
+                                     rho_rime_raw);
+      // part2's ni lambda limiter (tables 7/8, micro_p3.F90:662-678):
+      // bounds the IN-CLOUD ni the rates see; the prognostic ni stays
+      // unlimited until sedimentation/part3 (part2 limits ni_incld only)
+      if (qi[c] >= QSMALL) {
+        double nil = std::max(ni_in, NSMALL);
+        nil = std::min(nil, interp_ice(7, idx) * nil);
         nil = std::max(nil, interp_ice(8, idx) * nil);
-        ni[c] = nil;
+        ni_rate = nil;
       }
       double rhofaci = std::pow(rho_600mb * inv_rho, 0.54);
       const double eci = 0.5;
       double collect_qc =
-          rhofaci * interp_ice(4, idx) * qc[c] * eci * rho * ni[c];
+          rhofaci * interp_ice(4, idx) * qc_in * eci * rho * ni_rate;
       bool both_ic = (qi[c] >= QSMALL) && (qc[c] >= QSMALL);
       rim = (both_ic && tc_ < 0.0) ? collect_qc : 0.0;
       shed = (both_ic && tc_ > 0.0) ? collect_qc : 0.0;
+      // ncshdc counts ONLY warm-collection shedding (:2071); wet-growth
+      // shedding contributes rain number via nr_ice_shed separately
+      ncshdc = shed * inv_dropmass;
       double vi_table = rhofaci * interp_ice(2, idx);
 
       // rime density (calc_rime_density, micro_p3.F90:2413-2490)
-      double vt_qc = cloud_vt(qc[c]);
-      double d_c = (mu_cd + 4.0) / cloud_lamc(qc[c]);
+      double vt_qc = cloud_vt(qc_in);
+      double d_c = (mu_cd + 4.0) / cloud_lamc(qc_in);
       double i_tc = 1.0 / std::min(-0.001, tc_);
       double ri =
           std::clamp(-0.5e6 * d_c * std::fabs(vi_table - vt_qc) * i_tc, 1.0,
@@ -479,25 +579,25 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       rho_rime = ri <= 8.0
                      ? (0.051 + 0.114 * ri - 0.0055 * ri * ri) * 1000.0
                      : 611.0 + 72.25 * (ri - 8.0);
-      if (!(rim > 0.0 && qc[c] >= QSMALL)) rho_rime = 400.0;
+      if (!(rim >= QSMALL && qc[c] >= QSMALL)) rho_rime = 400.0;
 
       // ice-rain collection (ice_rain_collection, micro_p3.F90:2103-2157)
       int j0;
       double fj;
-      rain_collection_index(qr[c], nr[c], &j0, &fj);
+      rain_collection_index(qr_in, std::max(nr_in, NSMALL), &j0, &fj);
       double lamr = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
-                              std::max(nr[c], NSMALL) /
-                              std::max(qr[c], QSMALL));
-      double n0r = std::max(nr[c], NSMALL) * lamr * lamr;
+                              std::max(nr_in, NSMALL) /
+                              std::max(qr_in, QSMALL));
+      double n0r = std::max(nr_in, NSMALL) * lamr * lamr;
       // T <= 0: rain mass + number collected; T > 0: number only
       // (ice_rain_collection, micro_p3.F90:2103-2157)
       if (qi[c] >= QSMALL && qr[c] >= QSMALL) {
         if (tc_ <= 0.0) {
           qrcol =
-              interp_collect(2, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
+              interp_collect(2, idx, j0, fj) * n0r * rho * rhofaci * ni_rate;
         }
         nr_col =
-            interp_collect(1, idx, j0, fj) * n0r * rho * rhofaci * ni[c];
+            interp_collect(1, idx, j0, fj) * n0r * rho * rhofaci * ni_rate;
       }
 
       // thermodynamic/ventilation parameters (micro_p3.F90:3564-3572)
@@ -508,12 +608,12 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       double eii =
           std::clamp(0.001 + (temp - 253.15) * (0.3 - 0.001) / 20.0, 0.001,
                      0.3);
-      double fr = qm[c] / std::max(qi[c], QSMALL);
+      double fr = qm_reb / std::max(qi_in, QSMALL);
       double eii_fact = std::clamp(1.0 - (fr - 0.6) / 0.3, 0.0, 1.0);
       bool has_ice_t = qi[c] >= QSMALL;
       if (has_ice_t) {
         ni_self = interp_ice(3, idx) * rho * eii * eii_fact * rhofaci *
-                  ni[c] * ni[c];
+                  ni_rate * ni_rate;
       }
       double vent =
           interp_ice(5, idx) +
@@ -524,11 +624,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                  ? std::max(vent *
                                 (tc_ * kap -
                                  rho * Lv * dv_diff * (qsat0 - qv[c])) *
-                                2.0 * PI / Lf * ni[c],
+                                2.0 * PI / Lf * ni_rate,
                             0.0)
                  : 0.0;
-      double epsi =
-          has_ice_t ? vent * 2.0 * PI * rho * dv_diff * ni[c] : 0.0;
+      // epsi gated at T < 0 (:2346): warm ice melts but does NOT sublimate
+      double epsi = (has_ice_t && tc_ < 0.0)
+                        ? vent * 2.0 * PI * rho * dv_diff * ni_rate
+                        : 0.0;
       double dqsidt = (Lv + LATICE) * qv_si / (R_V * temp * temp);
       double abi = 1.0 + dqsidt * (Lv + LATICE) / CP_D;
       double qi_tend = std::min(epsi / abi, 1.0 / dt) * (qv[c] - qv_si);
@@ -548,7 +650,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       double revap_v = interp_rain(g_revap, i0r, fir);
       // cdistr = nr / Gamma(mu_r+1) = nr at mu_r = 1 (get_rain_dsd2,
       // micro_p3.F90:1880)
-      double cdistr = std::max(nr[c], NSMALL);
+      double cdistr = std::max(nr_in, NSMALL);
       double gamma_mu2 = 2.0;
       double epsr =
           2.0 * PI * cdistr * rho * dv_diff *
@@ -556,14 +658,14 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
            F2R * std::sqrt(rho / mu_visc) * std::cbrt(sc_n) * revap_v);
 
       // wet growth (ice_cldliq_wet_growth, micro_p3.F90:2259-2319)
-      bool cold_mix = (qi[c] >= QSMALL) && (qc[c] + qr[c] >= 1.0e-6) &&
+      bool cold_mix = (qi[c] >= QSMALL) && (qc_in + qr_in >= 1.0e-6) &&
                       (tc_ < 0.0);
       double qwgrth =
           cold_mix
               ? std::max(vent * 2.0 * PI *
                              (rho * Lv * dv_diff * (qsat0 - qv[c]) -
                               tc_ * kap) /
-                             (Lf + CP_L * tc_) * ni[c],
+                             (Lf + CP_L * tc_) * ni_rate,
                          0.0)
               : 1e300;
       double excess = std::max(rim + qrcol - qwgrth, 0.0);
@@ -574,6 +676,8 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       rim *= (1.0 - wg_frac);
       qrcol *= (1.0 - wg_frac);
       nr_shed_wg = excess * 1.923e6;
+      // densify the rime in the prognostic update (:2313, :3196-3200)
+      log_wg = cold_mix && excess >= 1.0e-10;
 
       // rain evaporation: analytically-integrated supersaturation
       // relaxation (evaporate_rain, micro_p3.F90:3383-3537)
@@ -597,20 +701,20 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       double instant = -ssat_r / (abl * tau_r);
       double equilib = -A_c / abl * tau_eff / tau_r;
       double ev_big = instant * w_ts + equilib * (1.0 - w_ts);
-      ev = (qr[c] < 1.0e-12 && qv[c] / std::max(qsl, QSMALL) < 0.999)
-               ? qr[c] / dt
+      ev = (qr_in < 1.0e-12 && qv[c] / std::max(qsl, QSMALL) < 0.999)
+               ? qr_in / dt
                : ev_big;
       ev = std::min(ev, -ssat_r / dt / abl);
-      ev = std::min(std::max(ev, 0.0), qr[c] / dt);
-      if (!((qc[c] + qi[c] < 1.0e-6) && ssat_r < 0.0 && qr[c] >= QSMALL))
+      ev = std::min(std::max(ev, 0.0), qr_in / dt);
+      if (!((qc_in + qi_in < 1.0e-6) && ssat_r < 0.0 && qr[c] >= QSMALL))
         ev = 0.0;
     } else {
       // -- continuous tier ------------------------------------------------
       double subsat = std::max(qsl - qv[c], 0.0) / std::max(qsl, QSMALL);
-      double tau_evap = 150.0 / std::max(std::pow(rho * qr[c], 0.35), 1e-4);
-      ev = (qr[c] >= QSMALL && qc[c] < QSMALL) ? subsat * qr[c] / tau_evap
+      double tau_evap = 150.0 / std::max(std::pow(rho * qr_in, 0.35), 1e-4);
+      ev = (qr[c] >= QSMALL && qc[c] < QSMALL) ? subsat * qr_in / tau_evap
                                                : 0.0;
-      double tau_dep = 300.0 / std::max(std::pow(rho * qi[c], 0.25), 1e-3);
+      double tau_dep = 300.0 / std::max(std::pow(rho * qi_in, 0.25), 1e-3);
       bool has_ice = (qi[c] >= QSMALL) && (tc_ < 0.0);
       dep = (has_ice && sup_i > 0.0) ? (qv[c] - qv_si) / tau_dep : 0.0;
       sub = (has_ice && sup_i < 0.0) ? (qv_si - qv[c]) / tau_dep : 0.0;
@@ -622,6 +726,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                 : 0.0;
       melt = (qi[c] >= QSMALL && tc_ > 0.0) ? qi[c] * tc_ / 60.0 : 0.0;
     }
+
+    // number rates tied to mass rates are computed INSIDE the process
+    // subroutines, BEFORE the conservation rescalings (ice_melting
+    // :2251, ice_deposition_sublimation :3307, evaporate_rain :3532)
+    double ni2nr_melt = melt * ni_rate / std::max(qi_in, QSMALL);
+    double ni_sub_n = sub * ni_rate / std::max(qi_in, QSMALL);
+    double nr_evap = ev * nr_in / std::max(qr_in, QSMALL);
 
     // -- conservation rescaling (*_conservation, micro_p3.F90:3029-3106 +
     //    2957-3007; mirrors physics/p3.py) --------------------------------
@@ -662,17 +773,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       conserve2(qv_avail, dep, qinuc);
     }
 
-    double ni2nr_melt = melt * ni[c] / std::max(qi[c], QSMALL);
-    double ni_sub_n = sub * ni[c] / std::max(qi[c], QSMALL);
-    double nr_evap = ev * nr[c] / std::max(qr[c], QSMALL);
 
     {
       double sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt;
       // sources include nc2nr_autoconv (the reference's nr_conservation
       // source list, micro_p3.F90:2981-3000)
-      double sources_nr = nr[c] + (ni2nr_melt + nr_shed_wg +
-                                   shed * inv_dropmass +
-                                   au * nc[c] / std::max(qc[c], QSMALL)) * dt;
+      double sources_nr = nr[c] + (ni2nr_melt + nr_shed_wg + ncshdc +
+                                   au * nc_in / std::max(qc_in, QSMALL)) * dt;
       if (sinks_nr > sources_nr) {
         double r = sources_nr / std::max(sinks_nr, 1e-30);
         nr_col *= r; nr_frz *= r; nr_self *= r; nr_evap *= r;
@@ -712,7 +819,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
                                   berg - sub - melt + rim);
     double qv_new = qv[c] + dt * (ev + sub - dep - qinuc);
     double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz - nr_col +
-                                  ni2nr_melt + shed * inv_dropmass +
+                                  ni2nr_melt + ncshdc +
                                   nr_shed_wg - nr_evap);
     double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz - ni_self -
                                   ni2nr_melt - ni_sub_n);
@@ -721,6 +828,21 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double bm_new =
         bm[c] + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0 -
                       (melt + sub) * bm[c] / std::max(qi[c], QSMALL));
+    // negative rime zeroes BOTH qm and bm (update_prognostic_ice
+    // :3188-3191); wet growth densifies: qm = qi, bm = qm / rho_rimeMax
+    // (:3196-3200)
+    if (qm_new < 0.0) {
+      qm_new = 0.0;
+      bm_new = 0.0;
+    }
+    if (log_wg) {
+      qm_new = qi_new;
+      bm_new = qi_new / 900.0;
+    }
+    // prescribed droplet number is re-imposed at the end of part2 on
+    // every level that reaches the prognostic update
+    // (update_prognostic_liquid :3241); skipped levels keep part1's value
+    if (!skip_lvl) nc[c] = NCCNST * inv_rho;
     theta[c] += dt / (CP_D * exner[c]) *
                 (Lv * (-ev) + Ls * (dep + qinuc - sub) +
                  Lf * (qc_frz + qr_frz + qrcol + rim + berg - melt));
@@ -731,8 +853,8 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     qv[c] = std::max(qv_new, 0.0);
     nr[c] = std::max(nr_new, 0.0);
     ni[c] = std::max(ni_new, 0.0);
-    qm[c] = std::max(qm_new, 0.0);
-    bm[c] = std::max(bm_new, 0.0);
+    qm[c] = qm_new;
+    bm[c] = bm_new;
 
     // end-of-part2 clipping (micro_p3.F90:893-920): tiny hydrometeors
     // return to vapor with latent cooling; ni re-capped (:921-925)
@@ -763,86 +885,100 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     if (dz[c] < dz_min) dz_min = dz[c];
   }
 
-  // fall speeds (table tier: vm table * rhofacr for rain, table(2) *
-  // rhofaci for ice; continuous KW-style otherwise)
-  auto rain_fallspeed = [&](double qr_, double nr_, double rho,
-                            double rho0) {
+  // per-substep sedimentation prep, with the reference's writebacks
+  // (rain_sedimentation :3825-3843, ice_sedimentation :4007-4037,
+  // cloud_sedimentation :3670-3722; mirrors the JAX sub_body helpers)
+  auto rain_sed_prep = [&](double qr_, double* nr_, double rho, double rho0,
+                           double* vq, double* vn) {
+    bool gate = qr_ >= QSMALL;
     if (!tab) {
-      return std::clamp(36.34 * std::pow(std::max(rho * qr_, 0.0), 0.1364) *
-                            std::sqrt(rho0 / rho),
-                        0.0, 9.1);
+      double v = std::clamp(36.34 * std::pow(std::max(rho * qr_, 0.0),
+                                             0.1364) *
+                                std::sqrt(rho0 / rho),
+                            0.0, 9.1);
+      *vq = v;
+      *vn = v;
+      return;
     }
+    double qr_c = gate ? std::min(qr_, 1.0e-2) : 0.0;
+    double nr_c = gate ? std::max(*nr_, 0.0) : 0.0;
+    double nr_l = rain_dsd_nr(qr_c, nr_c);
+    if (gate) *nr_ = nr_l;
     double lam = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
-                           std::max(nr_, NSMALL) / std::max(qr_, QSMALL));
+                           std::max(nr_l, NSMALL) / std::max(qr_c, QSMALL));
     int i0;
     double fi;
     rain_size_index((MU_R + 1.0) / lam, &i0, &fi);
     double rhofacr = std::pow(rho_1000mb / rho, 0.54);
-    double v = rhofacr * interp_rain(g_vm, i0, fi);
-    return qr_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+    *vq = gate ? rhofacr * interp_rain(g_vm, i0, fi) : 0.0;
+    *vn = gate ? rhofacr * interp_rain(g_vn, i0, fi) : 0.0;
   };
-  // number-weighted V_nr for nr sedimentation (compute_rain_fall_velocity,
-  // micro_p3.F90:3872-3908; vn table from p3_init_b :351); table-less
-  // fallback degrades to the mass-weighted speed, matching the JAX scheme.
-  auto rain_fallspeed_n = [&](double qr_, double nr_, double rho,
-                              double rho0) {
-    if (!tab) return rain_fallspeed(qr_, nr_, rho, rho0);
-    double lam = std::cbrt(PI / 6.0 * RHO_H2O * 24.0 *
-                           std::max(nr_, NSMALL) / std::max(qr_, QSMALL));
-    int i0;
-    double fi;
-    rain_size_index((MU_R + 1.0) / lam, &i0, &fi);
-    double rhofacr = std::pow(rho_1000mb / rho, 0.54);
-    double v = rhofacr * interp_rain(g_vn, i0, fi);
-    return qr_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
-  };
-  auto ice_fallspeed = [&](double qi_, double ni_, double qm_, double bm_,
-                           double rho) {
+  auto ice_sed_prep = [&](double qi_, double* ni_, double* qm_, double* bm_,
+                          double rho, double* vq, double* vn) {
+    bool gate = qi_ >= QSMALL;
     if (!tab) {
-      return std::clamp(1.2 * std::pow(std::max(rho * qi_, 0.0), 0.0625), 0.3,
-                        3.0);
+      double v = std::clamp(
+          1.2 * std::pow(std::max(rho * qi_, 0.0), 0.0625), 0.3, 3.0);
+      *vq = v;
+      *vn = v;
+      return;
     }
-    double rhop = std::clamp(qm_ / std::max(bm_, 1e-30), 50.0, 900.0);
-    IceIdx idx = ice_table_indices(qi_, ni_, qm_, rhop);
-    double v = std::pow(rho_600mb / rho, 0.54) * interp_ice(2, idx);
-    return qi_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+    double qi_c = gate ? std::min(qi_, 5.1e-3) : 0.0;
+    double ni_c = std::max(gate ? std::max(*ni_, 0.0) : 0.0, NSMALL);
+    bool has_m = gate && *qm_ >= QSMALL;
+    double qm_c = has_m ? *qm_ : 0.0;
+    double bm_c = has_m ? std::clamp(*bm_, 0.0, 5.1e-3) : 0.0;
+    double rr;
+    bulk_rho_rime(qi_c, &qm_c, &bm_c, &rr);
+    IceIdx idx = ice_table_indices(qi_c, ni_c, qm_c, rr);
+    double rfac = std::pow(rho_600mb / rho, 0.54);
+    double ni_l = std::min(ni_c, interp_ice(7, idx) * ni_c);
+    ni_l = std::max(ni_l, interp_ice(8, idx) * ni_l);
+    if (gate) {
+      *ni_ = ni_l;
+      *qm_ = qm_c;
+      *bm_ = bm_c;
+    }
+    *vq = gate ? rfac * interp_ice(2, idx) : 0.0;
+    *vn = gate ? rfac * interp_ice(1, idx) : 0.0;
   };
-  // number-weighted V_nit (table col 1): ni sediments slower than qi
-  // (ice_sedimentation, micro_p3.F90:4025-4037)
-  auto ice_fallspeed_n = [&](double qi_, double ni_, double qm_, double bm_,
-                             double rho) {
-    if (!tab) {
-      return std::clamp(1.2 * std::pow(std::max(rho * qi_, 0.0), 0.0625), 0.3,
-                        3.0);
-    }
-    double rhop = std::clamp(qm_ / std::max(bm_, 1e-30), 50.0, 900.0);
-    IceIdx idx = ice_table_indices(qi_, ni_, qm_, rhop);
-    double v = std::pow(rho_600mb / rho, 0.54) * interp_ice(1, idx);
-    return qi_ >= QSMALL ? std::clamp(v, 0.0, 10.0) : 0.0;
+
+  // Stokes cloud fall speed from the CURRENT (qc, nc) gamma DSD, with
+  // get_cloud_dsd2's nc adjustment persisted (cloud_sedimentation,
+  // micro_p3.F90:3670-3722; acn from the part1 t_atm)
+  auto cloud_sed_prep = [&](double qc_, double* nc_, double temp, double rho,
+                            double* vq) {
+    bool gate = qc_ >= QSMALL;
+    double qc_c = gate ? std::min(qc_, 5.1e-3) : 0.0;
+    double nc_l = cloud_dsd_nc(qc_c, gate ? std::max(*nc_, 0.0) : 0.0, rho);
+    if (gate) *nc_ = nc_l;
+    double mu_v = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
+    double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
+    double s_ = 0.0005714 * (nc_l * 1.0e-6 * rho) + 0.2714;
+    double mu_cd = std::clamp(1.0 / (s_ * s_) - 1.0, 2.0, 15.0);
+    double lamc = std::cbrt(PI / 6.0 * RHO_H2O * std::max(nc_l, NSMALL) *
+                            (mu_cd + 3.0) * (mu_cd + 2.0) * (mu_cd + 1.0) /
+                            std::max(qc_c, QSMALL));
+    lamc = std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
+    *vq = gate ? acn * std::exp(std::lgamma(mu_cd + 6.0) -
+                                std::lgamma(mu_cd + 4.0)) /
+                     (lamc * lamc)
+               : 0.0;
   };
 
   // Global CFL sub-cycle count (matches the JAX path's global max, computed
-  // with pre-process rho and post-process hydrometeors).
+  // with pre-process rho and post-process hydrometeors; prep on COPIES so
+  // the estimate itself does not advance the writebacks).
   for (std::int64_t c = 0; c < n; ++c) {
     std::int64_t col = c / nz;
     double rho0 = rho_pre[col * nz];
     double rho = rho_pre[c];
-    double vr = rain_fallspeed(qr[c], nr[c], rho, rho0);
-    double vi = ice_fallspeed(qi[c], ni[c], qm[c], bm[c], rho);
-    double temp_c = temp_pre[c];
-    double mu_v = 1.496e-6 * std::pow(temp_c, 1.5) / (temp_c + 120.0);
-    double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
-    double sfac = 0.0005714 * (nc[c] * 1.0e-6 * rho) + 0.2714;
-    double mu_cd = std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
-    double lamc = std::cbrt(PI / 6.0 * RHO_H2O * nc[c] * (mu_cd + 3.0) *
-                            (mu_cd + 2.0) * (mu_cd + 1.0) /
-                            std::max(qc[c], QSMALL));
-    lamc = std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
-    double vc = qc[c] >= QSMALL
-                    ? acn * std::exp(std::lgamma(mu_cd + 6.0) -
-                                     std::lgamma(mu_cd + 4.0)) /
-                          (lamc * lamc)
-                    : 0.0;
+    double vr, vn_r, vi, vn_i, vc;
+    double nr_t = nr[c], ni_t = ni[c], qm_t = qm[c], bm_t = bm[c],
+           nc_t = nc[c];
+    rain_sed_prep(qr[c], &nr_t, rho, rho0, &vr, &vn_r);
+    ice_sed_prep(qi[c], &ni_t, &qm_t, &bm_t, rho, &vi, &vn_i);
+    cloud_sed_prep(qc[c], &nc_t, temp_pre[c], rho, &vc);
     vmax = std::max(vmax, std::max(vc, std::max(vr, vi)));
   }
   double nsub = std::max(std::ceil(dt * vmax / (0.9 * dz_min)), 1.0);
@@ -867,30 +1003,13 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double rho0 = Rho[0];
 
     for (double it = 0; it < nsub; ++it) {
-      // recompute fall speeds each sub-step (matches JAX sub_body)
+      // recompute fall speeds each sub-step, with the reference's
+      // per-substep DSD/limiter/rime writebacks (matches JAX sub_body)
       for (std::int64_t k = 0; k < nz; ++k) {
-        vr_k[k] = rain_fallspeed(Qr[k], Nr[k], Rho[k], rho0);
-        vnr_k[k] = rain_fallspeed_n(Qr[k], Nr[k], Rho[k], rho0);
-        vi_k[k] = ice_fallspeed(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
-        vni_k[k] = ice_fallspeed_n(Qi[k], Ni[k], Qm[k], Bm[k], Rho[k]);
-        // Stokes cloud fall speed with the gamma DSD (matches the JAX
-        // cloud_fallspeed; p3_main cloud sedimentation,
-        // micro_p3.F90:3670-3690)
-        double temp = Tp[k];
-        double mu_v = 1.496e-6 * std::pow(temp, 1.5) / (temp + 120.0);
-        double acn = 9.80616 * RHO_H2O / (18.0 * mu_v);
-        double sfac = 0.0005714 * (Nc[k] * 1.0e-6 * Rho[k]) + 0.2714;
-        double mu_cd =
-            std::clamp(1.0 / (sfac * sfac) - 1.0, 2.0, 15.0);
-        double lamc = std::cbrt(PI / 6.0 * RHO_H2O * Nc[k] * (mu_cd + 3.0) *
-                                (mu_cd + 2.0) * (mu_cd + 1.0) /
-                                std::max(Qc[k], QSMALL));
-        lamc = std::clamp(lamc, (mu_cd + 1.0) * 2.5e4, (mu_cd + 1.0) * 1.0e6);
-        double vq = acn *
-                    std::exp(std::lgamma(mu_cd + 6.0) -
-                             std::lgamma(mu_cd + 4.0)) /
-                    (lamc * lamc);
-        vc_k[k] = Qc[k] >= QSMALL ? vq : 0.0;
+        rain_sed_prep(Qr[k], &Nr[k], Rho[k], rho0, &vr_k[k], &vnr_k[k]);
+        ice_sed_prep(Qi[k], &Ni[k], &Qm[k], &Bm[k], Rho[k], &vi_k[k],
+                     &vni_k[k]);
+        cloud_sed_prep(Qc[k], &Nc[k], Tp[k], Rho[k], &vc_k[k]);
       }
       auto fall = [&](double* Q, const double* V, double* srf) {
         for (std::int64_t k = 0; k < nz; ++k) flux[k] = Rho[k] * Q[k] * V[k];
@@ -933,7 +1052,9 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     // micro_p3.F90:4145-4200, called after sedimentation at :1452-1454):
     // below T_homogfrz all remaining liquid freezes instantly into rimed
     // ice packed at rho_rimeMax, with latent heating.
-    double t_cur = theta[c] * exner[c];
+    // the reference gates on t_atm frozen at END OF PART1 (p3_main
+    // passes t_atm(i,:), never refreshed by part2/sedimentation)
+    double t_cur = temp_pre[c];
     if (qc[c] >= QSMALL && t_cur < T_HOMOGFRZ) {
       double q_nuc = qc[c];
       qm[c] += q_nuc;

@@ -385,3 +385,141 @@ def test_homogeneous_freezing_matches_oracle():
     assert _mid(out[6]) == pytest.approx(qm1, rel=1e-3)
     assert _mid(out[7]) == pytest.approx(bm1, rel=1e-3)
     assert _mid(out[9]) == pytest.approx(th1, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# 3. full-step composition parity: p3_scheme vs the oracle's complete
+#    p3_main transliteration (part1 -> part2 -> sedimentation ->
+#    homogeneous freezing -> part3, micro_p3.F90:1141-1506)
+# ---------------------------------------------------------------------------
+NZ_FULL = 24
+
+
+def _column_profile(kind):
+    """Canned single columns (bottom-up, NZ_FULL levels) for the
+    full-step oracle comparison.  Values are chosen so the DSD lambda
+    limiters stay unbound, the in-cloud magnitude caps don't fire, and
+    all sedimentation Courant numbers stay < 0.9 (both discretizations
+    then take exactly one upwind substep)."""
+    z = (np.arange(NZ_FULL) + 0.5) * 500.0
+    if kind == "warm":
+        temp = 295.0 - 6.0e-3 * z
+        pres = 1.0e5 * (temp / 295.0) ** (9.80616 / (287.042 * 6.0e-3))
+        rho_d = pres / (287.042 * temp)
+        qsl = np.array([float(P.saturation_vapor_pressure(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qv = 0.85 * qsl
+        qc = np.where((z > 1500) & (z < 5000), 8.0e-4, 0.0)
+        qr = np.where((z > 500) & (z < 4000), 5.0e-4, 0.0)
+        nr = np.where(qr > 0, 8.0e4, 0.0)
+        qi = ni = qm = bm = np.zeros(NZ_FULL)
+    elif kind == "cold":
+        temp = 260.0 - 4.0e-3 * z
+        pres = 6.0e4 * (temp / 260.0) ** (9.80616 / (287.042 * 4.0e-3))
+        rho_d = pres / (287.042 * temp)
+        qsi = np.array([float(P.saturation_vapor_pressure_ice(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qv = 1.10 * qsi          # ice-supersaturated: deposition + nucleation
+        qc = qr = nr = np.zeros(NZ_FULL)
+        qi = np.where((z > 2000) & (z < 9000), 2.0e-4, 0.0)
+        ni = np.where(qi > 0, 8.0e4, 0.0)
+        qm = 0.3 * qi
+        bm = qm / 400.0
+    elif kind == "mixed":  # supercooled liquid + rain + rimed ice
+        temp = 271.0 - 5.0e-3 * z
+        pres = 8.0e4 * (temp / 271.0) ** (9.80616 / (287.042 * 5.0e-3))
+        rho_d = pres / (287.042 * temp)
+        qsl = np.array([float(P.saturation_vapor_pressure(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qv = 0.95 * qsl
+        qc = np.where((z > 1000) & (z < 6000), 6.0e-4, 0.0)
+        qr = np.where(z < 3000, 4.0e-4, 0.0)
+        nr = np.where(qr > 0, 6.0e4, 0.0)
+        qi = np.where(z > 3500, 3.0e-4, 0.0)
+        ni = np.where(qi > 0, 1.0e5, 0.0)
+        qm = 0.5 * qi
+        bm = qm / 300.0
+    elif kind == "wetgrowth":
+        # heavy riming: big supercooled liquid + rain + dense ice so the
+        # collected mass exceeds the wet-growth heat-balance limit qwgrth
+        # (ice_cldliq_wet_growth, micro_p3.F90:2259-2319): shedding, the
+        # collection scale-back, AND the log_wetgrowth densification
+        # (update_prognostic_ice :3196-3200) all fire.  Also exercises the
+        # out-of-range rime density rebound (bm too big -> rho_rime < 50,
+        # calc_bulkRhoRime :1904-1943).
+        temp = 268.0 - 4.0e-3 * z
+        pres = 8.5e4 * (temp / 268.0) ** (9.80616 / (287.042 * 4.0e-3))
+        rho_d = pres / (287.042 * temp)
+        qsl = np.array([float(P.saturation_vapor_pressure(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qv = 1.0 * qsl            # saturated: wet-growth limit small
+        qc = np.where((z > 500) & (z < 8000), 2.5e-3, 0.0)
+        qr = np.where(z < 6000, 2.0e-3, 0.0)
+        nr = np.where(qr > 0, 2.0e5, 0.0)
+        qi = np.where((z > 1000) & (z < 9000), 4.0e-3, 0.0)
+        ni = np.where(qi > 0, 4.0e5, 0.0)
+        qm = 0.8 * qi
+        bm = np.where(z < 5000, qm / 20.0, qm / 300.0)  # rho_rime 20 -> 50
+    else:  # "capped": in-cloud magnitude caps + warm ice (melt, no sublim)
+        temp = 287.0 - 5.0e-3 * z
+        pres = 9.5e4 * (temp / 287.0) ** (9.80616 / (287.042 * 5.0e-3))
+        rho_d = pres / (287.042 * temp)
+        qsl = np.array([float(P.saturation_vapor_pressure(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qv = 0.9 * qsl
+        qc = np.where((z > 1000) & (z < 5000), 7.0e-3, 0.0)   # > 5.1 g/kg
+        qr = np.where(z < 4000, 2.0e-2, 0.0)                  # > 10 g/kg
+        nr = np.where(qr > 0, 2.0e6, 0.0)
+        qi = np.where(z < 2500, 5.0e-4, 0.0)   # warm ice: melts, must
+        ni = np.where(qi > 0, 2.0e5, 0.0)      # NOT sublimate (epsi T<0)
+        qm = 0.4 * qi
+        bm = qm / 500.0
+    exner = (pres / 1.0e5) ** (287.042 / 1004.64)
+    return dict(temp=temp, pres=pres, rho_d=rho_d, qv=qv, qc=qc, qr=qr,
+                nr=nr, qi=qi, ni=ni, qm=qm, bm=bm, exner=exner)
+
+
+@pytest.mark.parametrize("kind", ["warm", "cold", "mixed", "wetgrowth",
+                                  "capped"])
+def test_full_step_matches_oracle(tbl, kind):
+    """ONE COMPLETE p3_main step: the vectorized scheme at the table tier
+    vs the oracle's straight-line column transliteration of
+    p3_main_part1/part2/sedimentation/homogeneous_freezing/part3 --
+    pinning the process COMPOSITION (sequencing, conservation coupling,
+    update order), not just the individual rates."""
+    c = _column_profile(kind)
+    dt = 10.0
+    shape = (1, NZ_FULL, 1, 1)
+    col = lambda a: jnp.asarray(a, jnp.float64).reshape(shape)
+    theta = c["temp"] / c["exner"]
+    qv_prev = 0.98 * c["qv"]
+    t_prev = c["temp"] - 0.1
+    out = p3_scheme(
+        qc=col(c["qc"]), nc=col(np.zeros(NZ_FULL)), qr=col(c["qr"]),
+        nr=col(c["nr"]), qi=col(c["qi"]), ni=col(c["ni"]),
+        qm=col(c["qm"]), bm=col(c["bm"]), qv=col(c["qv"]),
+        theta=col(theta), exner=col(c["exner"]), pres=col(c["pres"]),
+        rho_d=col(c["rho_d"]), dz=col(np.full(NZ_FULL, 500.0)), dt=dt,
+        tables=tbl, qv_prev=col(qv_prev), t_prev=col(t_prev))
+
+    ora = O.p3_main_step(
+        tbl, c["qc"], np.zeros(NZ_FULL), c["qr"], c["nr"], c["qi"],
+        c["ni"], c["qm"], c["bm"], c["qv"], theta, c["exner"], c["pres"],
+        c["rho_d"], np.full(NZ_FULL, 500.0), dt, qv_prev=qv_prev,
+        t_prev=t_prev)
+
+    names = ["qc", "nc", "qr", "nr", "qi", "ni", "qm", "bm", "qv",
+             "theta"]
+    scales = dict(qc=1e-3, nc=1e8, qr=1e-3, nr=1e5, qi=1e-3, ni=1e5,
+                  qm=1e-3, bm=1e-6, qv=1e-2, theta=300.0)
+    for i, name in enumerate(names):
+        got = np.asarray(out[i]).reshape(NZ_FULL)
+        want = np.asarray(ora[i])
+        np.testing.assert_allclose(
+            got, want, rtol=1e-9, atol=1e-9 * scales[name],
+            err_msg=f"{kind}: {name}")
+    # surface precipitation rates (m/s liquid-equivalent)
+    assert float(np.asarray(out[10]).reshape(())) == pytest.approx(
+        ora[10], rel=1e-9, abs=1e-18)
+    assert float(np.asarray(out[11]).reshape(())) == pytest.approx(
+        ora[11], rel=1e-9, abs=1e-18)
