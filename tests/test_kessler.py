@@ -131,3 +131,27 @@ def test_kessler_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(out_p[name]), np.asarray(out_x[name]),
             rtol=1e-12, atol=1e-14, err_msg=name)
+
+
+def test_kessler_matches_independent_oracle():
+    """EXTERNAL anchor: the vectorized kessler_column vs a straight-line
+    NumPy transliteration of the reference kernel written in a second
+    pass from microphysics_kessler.h:234-339 (tests/oracle_kessler.py) --
+    the oracle_dycore/oracle_p3 move applied to the warm-rain scheme.
+    Multi-subcycle (rainsplit > 1), f64, every output + precl."""
+    from tests.oracle_kessler import kessler_oracle
+
+    theta, qv, qc, qr, rho, z, pk = _column(nz=32, ncol=4)
+    dt, Rd, cp, p0 = 40.0, 287.0, 1003.0, 1e5   # big dt: forces subcycling
+    th2, qv2, qc2, qr2, precl = kessler_column(
+        theta, qv, qc, qr, rho, z, pk, dt=dt, Rd=Rd, cp=cp, p0=p0)
+    tho, qvo, qco, qro, preclo = kessler_oracle(
+        np.asarray(theta), np.asarray(qv), np.asarray(qc), np.asarray(qr),
+        np.asarray(rho), np.asarray(z), np.asarray(pk), dt, Rd, cp, p0)
+
+    np.testing.assert_allclose(np.asarray(th2), tho, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(qv2), qvo, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(qc2), qco, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(qr2), qro, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(precl), preclo, rtol=1e-12,
+                               atol=1e-20)
