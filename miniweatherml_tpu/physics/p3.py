@@ -727,12 +727,6 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             gate = qr_ >= QSMALL
             return (jnp.where(gate, rhofacr * vm, 0.0),
                     jnp.where(gate, rhofacr * vn, 0.0))
-
-        def rain_fallspeed(qr_, nr_):
-            return rain_fallspeeds(qr_, nr_)[0]
-
-        def rain_fallspeed_n(qr_, nr_):
-            return rain_fallspeeds(qr_, nr_)[1]
     else:
         # riming: continuous collection of cloud by falling ice  [approx]
         vi = jnp.clip(1.2 * jnp.maximum(rho * qi, 0.0) ** 0.0625, 0.3, 3.0)
@@ -752,17 +746,12 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         qm_reb, bm_reb = qm_in, bm_in
         log_wg = jnp.zeros(qc.shape, bool)
 
-        def rain_fallspeed(qr_, nr_):
-            return jnp.clip(
+        # table-less fallback: KW-style mass-weighted speed; no vn table,
+        # so the number-weighted speed degrades to the mass-weighted one
+        def rain_fallspeeds(qr_, nr_):
+            v = jnp.clip(
                 36.34 * jnp.maximum(rho * qr_, 0.0) ** 0.1364
                 * jnp.sqrt(ax(rho, slice(0, 1)) / rho), 0.0, 9.1)
-
-        # table-less fallback: no vn table, so the number-weighted speed
-        # degrades to the mass-weighted one
-        rain_fallspeed_n = rain_fallspeed
-
-        def rain_fallspeeds(qr_, nr_):
-            v = rain_fallspeed(qr_, nr_)
             return v, v
         # melting above freezing: thermal relaxation  [approx]
         melt = jnp.where((qi >= QSMALL) & (tc > 0.0), qi * tc / 60.0, 0.0)
