@@ -54,6 +54,16 @@ Processes (tier with tables / without):
   * ice sedimentation: fall speed from table 2 * rhofaci  [P3 / approx]
   * sink-vs-source conservation rescaling per species  [P3 form]
     (:2966-3060 *_conservation)
+
+Composition fidelity (anchored by tests/oracle_p3.py's straight-line
+transliteration of the whole p3_main at rtol 1e-9): the reference's
+in-cloud magnitude caps feed every rate (micro_p3_utils.F90:75-76),
+wet growth sheds + densifies (log_wetgrowth, :3196-3200), warm ice melts
+but never sublimates (epsi gated at T<0, :2346), part2's ni limiters act
+on the in-cloud value only, sedimentation applies the per-substep
+DSD/lambda-limiter/bulk-rime writebacks (:3700, :3843, :4021-4034), the
+prescribed droplet number is re-imposed at end-of-part2 (:3241), and
+homogeneous freezing gates on the end-of-part1 temperature.
 """
 
 from __future__ import annotations
