@@ -523,3 +523,47 @@ def test_full_step_matches_oracle(tbl, kind):
         ora[10], rel=1e-9, abs=1e-18)
     assert float(np.asarray(out[11]).reshape(())) == pytest.approx(
         ora[11], rel=1e-9, abs=1e-18)
+
+
+def test_two_consecutive_steps_match_oracle(tbl):
+    """Two chained p3_main calls with the wrapper's qv_prev/t_prev history
+    threading (microphysics_p3.h:297-301: first call passes the current
+    qv/T, later calls the previous call's post-micro values) -- pins the
+    rain-evaporation A_c history coupling (evaporate_rain,
+    micro_p3.F90:3383-3537) across steps, not just within one."""
+    c = _column_profile("mixed")
+    dt = 10.0
+    shape = (1, NZ_FULL, 1, 1)
+    col = lambda a: jnp.asarray(a, jnp.float64).reshape(shape)
+    theta = c["temp"] / c["exner"]
+
+    # step 1: first-call sentinel (qv_prev = qv, t_prev = T)
+    s = dict(qc=c["qc"], nc=np.zeros(NZ_FULL), qr=c["qr"], nr=c["nr"],
+             qi=c["qi"], ni=c["ni"], qm=c["qm"], bm=c["bm"], qv=c["qv"],
+             theta=theta)
+    o = dict(s)
+    qvp_s, tp_s = c["qv"].copy(), c["temp"].copy()
+    qvp_o, tp_o = c["qv"].copy(), c["temp"].copy()
+    names = ["qc", "nc", "qr", "nr", "qi", "ni", "qm", "bm", "qv",
+             "theta"]
+    for step in range(2):
+        out = p3_scheme(
+            **{k: col(v) for k, v in s.items()},
+            exner=col(c["exner"]), pres=col(c["pres"]),
+            rho_d=col(c["rho_d"]), dz=col(np.full(NZ_FULL, 500.0)), dt=dt,
+            tables=tbl, qv_prev=col(qvp_s), t_prev=col(tp_s))
+        ora = O.p3_main_step(
+            tbl, o["qc"], o["nc"], o["qr"], o["nr"], o["qi"], o["ni"],
+            o["qm"], o["bm"], o["qv"], o["theta"], c["exner"], c["pres"],
+            c["rho_d"], np.full(NZ_FULL, 500.0), dt, qv_prev=qvp_o,
+            t_prev=tp_o)
+        s = {k: np.asarray(out[i]).reshape(NZ_FULL)
+             for i, k in enumerate(names)}
+        o = {k: np.asarray(ora[i]) for i, k in enumerate(names)}
+        # wrapper history: previous call's post-micro qv and T
+        qvp_s, tp_s = s["qv"], s["theta"] * c["exner"]
+        qvp_o, tp_o = o["qv"], o["theta"] * c["exner"]
+        for k in names:
+            np.testing.assert_allclose(
+                s[k], o[k], rtol=2e-9, atol=2e-9,
+                err_msg=f"step {step}: {k}")
