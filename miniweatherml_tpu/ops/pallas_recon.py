@@ -347,6 +347,20 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
                    face_axis=-1, fo_ref=fo_ref)
 
 
+
+def _compiler_params(allow_input_fusion):
+    """Shared CompilerParams: input fusion (the measured +3.3 Mcellups
+    round-2 lever) plus an opt-in bounds-check bypass for A/B runs
+    (MWML_PALLAS_NOBOUNDS=1; all block indexing here is static)."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        allow_input_fusion=allow_input_fusion,
+        disable_bounds_checks=os.environ.get("MWML_PALLAS_NOBOUNDS",
+                                             "0") == "1")
+
 def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             mats: WenoMatrices, cutoff: float,
                             normal_id: int, C0: float, gamma: float,
@@ -463,8 +477,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         in_specs=in_specs,
         # let XLA fuse input producers (the de-densitize pass, broadcasts)
         # into the kernel's input reads instead of materializing them
-        compiler_params=pltpu.CompilerParams(
-            allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
+        compiler_params=_compiler_params(
+            [False] + [True] * (len(in_specs) - 1)),
         out_specs=out_specs,
         out_shape=out_shape,
         # Pallas has no native CPU lowering; tests run interpreted.
@@ -772,8 +786,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        compiler_params=pltpu.CompilerParams(
-            allow_input_fusion=[False] + [True] * (len(in_specs) - 1)),
+        compiler_params=_compiler_params(
+            [False] + [True] * (len(in_specs) - 1)),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.devices()[0].platform != "tpu",
@@ -855,7 +869,7 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        compiler_params=pltpu.CompilerParams(allow_input_fusion=fuse),
+        compiler_params=_compiler_params(fuse),
         out_specs=pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, B, n), F.dtype),
@@ -897,7 +911,7 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        compiler_params=pltpu.CompilerParams(allow_input_fusion=fuse),
+        compiler_params=_compiler_params(fuse),
         out_specs=pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, R, n, Ll), F.dtype),
