@@ -99,15 +99,60 @@ RHO_RIMEMAX = 900.0         # (micro_p3_utils.F90:151-153)
 
 
 def saturation_vapor_pressure(temp):
-    """Liquid svp, Magnus form (reference microphysics_p3.h:446-449)."""
+    """Liquid svp, Magnus form -- the WRAPPER's own svp, used by the
+    saturation pre-adjustment only (reference microphysics_p3.h:446-449).
+    The scheme proper uses the Murphy-Koop forms below, as the Fortran
+    p3_main does (wv_sat_scream.F90)."""
     tc = temp - 273.15
     return 610.94 * jnp.exp(17.625 * tc / (243.04 + tc))
 
 
 def saturation_vapor_pressure_ice(temp):
-    """Ice svp, Magnus form (stands in for wv_sat_scream.F90's ice branch)."""
+    """Ice svp, Magnus form (wrapper-tier companion of the above; kept
+    for the part1 docstring-noted uses outside the scheme)."""
     tc = temp - 273.15
     return 611.21 * jnp.exp(22.587 * tc / (273.86 + tc))
+
+
+# ratio of molecular masses of water and dry air (micro_p3_utils.F90:133,
+# constituents passed by the wrapper: 18.016 / 28.966, microphysics_p3.h:
+# 136-137)
+EP_2 = 18.016 / 28.966
+
+
+def _murphy_koop_svp_liq(t):
+    """Murphy & Koop (2005) liquid saturation vapor pressure [Pa]
+    (wv_sat_scream.F90 MurphyKoop_svp, i_type = 0 branch; also the ice
+    call above freezing)."""
+    logt = jnp.log(t)
+    return jnp.exp(54.842763 - 6763.22 / t - 4.210 * logt + 0.000367 * t
+                   + jnp.tanh(0.0415 * (t - 218.8))
+                   * (53.878 - 1331.22 / t - 9.44523 * logt
+                      + 0.014025 * t))
+
+
+def _murphy_koop_svp_ice(t):
+    """Murphy & Koop (2005) ice saturation vapor pressure [Pa] below
+    freezing; the reference falls back to the liquid form at T >= 0 C
+    (wv_sat_scream.F90:96-107)."""
+    logt = jnp.log(t)
+    e_ice = jnp.exp(9.550426 - 5723.265 / t + 3.53068 * logt
+                    - 0.00728332 * t)
+    return jnp.where(t < TMELT, e_ice, _murphy_koop_svp_liq(t))
+
+
+def p3_qv_sat_liq(t, pres):
+    """Saturation mixing ratio w.r.t. liquid, exactly wv_sat_scream's
+    qv_sat(t, p, 0): ep_2 * e / max(1e-3, p - e)."""
+    e = _murphy_koop_svp_liq(t)
+    return EP_2 * e / jnp.maximum(1.0e-3, pres - e)
+
+
+def p3_qv_sat_ice(t, pres):
+    """Saturation mixing ratio w.r.t. ice, wv_sat_scream's
+    qv_sat(t, p, 1)."""
+    e = _murphy_koop_svp_ice(t)
+    return EP_2 * e / jnp.maximum(1.0e-3, pres - e)
 
 
 def latent_heat_condensation(temp):
@@ -292,7 +337,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # clips (:477), so everything downstream uses the post-clip state.
     # (The reference computes qv_sat from the pre-clip temperature; the
     # clipped masses are < 1e-8 so the difference is sub-microkelvin.)
-    qv_si0 = saturation_vapor_pressure_ice(temp) / (R_V * temp * rho_d)
+    # scheme-internal saturation is Murphy-Koop qv_sat(t, p) (wv_sat_scream
+    # qv_sat; the wrapper's Magnus svp is used only for the saturation
+    # pre-adjustment, microphysics_p3.h:446-449)
+    qv_si0 = p3_qv_sat_ice(temp, pres)
     sup_i0 = qv / jnp.maximum(qv_si0, QSMALL) - 1.0
     small_c1 = qc < QSMALL
     qv = qv + jnp.where(small_c1, qc, 0.0)
@@ -420,7 +468,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # rain evaporation toward liquid saturation  [approx: relaxation over
     # tau_r ~ (2 pi N0r / (rho qsat_deficit diffusivity)) -> use 50 s scaled
     # by amount of rain surface area ~ (rho qr)^0.525 like Kessler's vent.]
-    qsl = saturation_vapor_pressure(temp) / (R_V * temp * rho_d)
+    qsl = p3_qv_sat_liq(temp, pres)
     subsat = jnp.maximum(qsl - qv, 0.0) / jnp.maximum(qsl, QSMALL)
     tau_evap = 150.0 / jnp.maximum((rho * qr_in) ** 0.35, 1e-4)
     ev = jnp.where((qr >= QSMALL) & (qc < QSMALL),
@@ -428,7 +476,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     # -- ice process rates ---------------------------------------------
     tc = temp - TMELT
-    qv_si = saturation_vapor_pressure_ice(temp) / (R_V * temp * rho_d)
+    qv_si = p3_qv_sat_ice(temp, pres)
     sup_i = qv / jnp.maximum(qv_si, QSMALL) - 1.0
 
     # ice nucleation: Cooper 1986 N = 0.005 exp(0.304 (T0-T)) * 1e3 / rho,
@@ -604,8 +652,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         vent = (tab5 + tab10 * jnp.cbrt(sc_n)
                 * jnp.sqrt(rhofaci * rho / mu_visc))
         # melting (ice_melting, micro_p3.F90:2211-2256)  [P3]
-        qsat0 = saturation_vapor_pressure(jnp.full_like(temp, TMELT)) / (
-            R_V * TMELT * rho_d)
+        qsat0 = p3_qv_sat_liq(jnp.full_like(temp, TMELT), pres)
         melt = jnp.where(
             has_ice_t & (tc > 0.0),
             jnp.maximum(vent * (tc * kap - rho * Lv * dv_diff
@@ -859,7 +906,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qv_sources = sub + ev
     qv_sinks_plq = dep + qinuc
     t_end = temp + ((qv_sinks_plq - sub) * Ls / cp - ev * Lv / cp) * dt
-    qsl_end = saturation_vapor_pressure(t_end) / (R_V * t_end * rho_d)
+    qsl_end = p3_qv_sat_liq(t_end, pres)
     A_plq = (Lv * qsl_end * dt / cp / (R_V * t_end * t_end)
              * (Ls * sub + Lv * ev))
     frac_plq = ((qsl_end - qv + qv_sinks_plq * dt + A_plq)

@@ -70,6 +70,36 @@ double svp_ice(double temp) {
   return 611.21 * std::exp(22.587 * tc / (273.86 + tc));
 }
 
+// Murphy & Koop (2005) saturation mixing ratios -- the scheme-internal
+// thermodynamics (wv_sat_scream.F90 MurphyKoop_svp + qv_sat; the Magnus
+// forms above belong to the wrapper's saturation pre-adjustment only)
+constexpr double EP_2 = 18.016 / 28.966;  // micro_p3_utils.F90:133
+
+double mk_svp_liq(double t) {
+  double logt = std::log(t);
+  return std::exp(54.842763 - 6763.22 / t - 4.210 * logt + 0.000367 * t +
+                  std::tanh(0.0415 * (t - 218.8)) *
+                      (53.878 - 1331.22 / t - 9.44523 * logt +
+                       0.014025 * t));
+}
+
+double mk_svp_ice(double t) {
+  if (t >= TMELT) return mk_svp_liq(t);
+  double logt = std::log(t);
+  return std::exp(9.550426 - 5723.265 / t + 3.53068 * logt -
+                  0.00728332 * t);
+}
+
+double p3_qv_sat_liq(double t, double pres) {
+  double e = mk_svp_liq(t);
+  return EP_2 * e / std::max(1.0e-3, pres - e);
+}
+
+double p3_qv_sat_ice(double t, double pres) {
+  double e = mk_svp_ice(t);
+  return EP_2 * e / std::max(1.0e-3, pres - e);
+}
+
 double latent_heat_condensation(double temp) {
   double tc = temp - 273.15;
   return (2500.8 - 2.36 * tc + 0.0016 * tc * tc - 0.00006 * tc * tc * tc) *
@@ -354,7 +384,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     // (mirrors the JAX scheme).
     double sup_i0_p1;
     {
-      double qv_si0 = svp_ice(temp) / (R_V * temp * rho_d[c]);
+      double qv_si0 = p3_qv_sat_ice(temp, pres[c]);
       double sup_i0 = qv[c] / std::max(qv_si0, QSMALL) - 1.0;
       sup_i0_p1 = sup_i0;
       if (qc[c] < QSMALL) {
@@ -483,10 +513,10 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double brk = dm_r < 280.0e-6 ? 1.0 : 2.0 - std::exp(2300.0 * (dm_r - 280.0e-6));
     double nr_self = qr[c] >= QSMALL ? brk * 5.78 * nr_in * qr_in * rho : 0.0;
 
-    double qsl = svp_liquid(temp) / (R_V * temp * rho_d[c]);
+    double qsl = p3_qv_sat_liq(temp, pres[c]);
 
     double tc_ = temp - TMELT;
-    double qv_si = svp_ice(temp) / (R_V * temp * rho_d[c]);
+    double qv_si = p3_qv_sat_ice(temp, pres[c]);
     double sup_i = qv[c] / std::max(qv_si, QSMALL) - 1.0;
 
     // ice nucleation, Cooper 1986 capped at 100e3/rho; crystals of mass
@@ -619,7 +649,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
           interp_ice(5, idx) +
           interp_ice(10, idx) * std::cbrt(sc_n) *
               std::sqrt(rhofaci * rho / mu_visc);
-      double qsat0 = svp_liquid(TMELT) / (R_V * TMELT * rho_d[c]);
+      double qsat0 = p3_qv_sat_liq(TMELT, pres[c]);
       melt = (has_ice_t && tc_ > 0.0)
                  ? std::max(vent *
                                 (tc_ * kap -
@@ -802,7 +832,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       double qv_sinks_plq = dep + qinuc;
       double t_end = temp + ((qv_sinks_plq - sub) * Ls / CP_D
                              - ev * Lv / CP_D) * dt;
-      double qsl_end = svp_liquid(t_end) / (R_V * t_end * rho_d[c]);
+      double qsl_end = p3_qv_sat_liq(t_end, pres[c]);
       double A_plq = Lv * qsl_end * dt / CP_D / (R_V * t_end * t_end) *
                      (Ls * sub + Lv * ev);
       double frac = (qsl_end - qv[c] + qv_sinks_plq * dt + A_plq) /

@@ -13,9 +13,9 @@ nucleation cap, aimm = 0.65 vs 0.66, and the bulk-vs-DSD-integrated Bigg
 freezing form).
 
 Like the reference subroutines, thermodynamic inputs (saturation mixing
-ratios, latent heats) are ARGUMENTS, not computed here -- the repo scheme's
-Magnus-form svp stand-ins (documented deviation from wv_sat_scream) enter
-both sides identically, so these oracles pin the process formulas proper.
+ratios, latent heats) are ARGUMENTS where the Fortran takes arguments; the
+saturation itself is the reference's Murphy-Koop qv_sat (wv_sat_scream.F90),
+transliterated here independently.
 
 Only used by tests (tests/test_p3_oracle.py).
 """
@@ -808,6 +808,30 @@ def svp_ice(t):
     return 611.21 * math.exp(22.587 * tc / (273.86 + tc))
 
 
+def murphy_koop_svp(t, i_type):
+    """Murphy & Koop (2005) saturation vapor pressure [Pa]
+    (wv_sat_scream.F90 MurphyKoop_svp:60-118): ice branch below freezing
+    when i_type = 1, otherwise the liquid (tanh) form."""
+    logt = math.log(t)
+    if i_type == 1 and t < T0:
+        return math.exp(9.550426 - 5723.265 / t + 3.53068 * logt
+                        - 0.00728332 * t)
+    return math.exp(54.842763 - 6763.22 / t - 4.210 * logt + 0.000367 * t
+                    + math.tanh(0.0415 * (t - 218.8))
+                    * (53.878 - 1331.22 / t - 9.44523 * logt
+                       + 0.014025 * t))
+
+
+EP_2 = 18.016 / 28.966   # mwh2o/mwdry (micro_p3_utils.F90:133)
+
+
+def qv_sat(t_atm, p_atm, i_wrt):
+    """wv_sat_scream.F90 qv_sat:30-55: saturation MIXING RATIO from the
+    Murphy-Koop svp, ep_2 * e / max(1e-3, p - e)."""
+    e = murphy_koop_svp(t_atm, i_wrt)
+    return EP_2 * e / max(1.0e-3, p_atm - e)
+
+
 def get_time_space_phys_variables(t_atm, pres, rho, lv, ls, qv_sat_l,
                                   qv_sat_i):
     """(micro_p3.F90:3538-3585.)  Returns
@@ -924,8 +948,8 @@ def p3_main_part1(dt, pres, exner, rho, rho_d, qv, th, qc, nc, qr, nr,
     for k in range(nz):
         inv_rho = 1.0 / rho[k]
         env["inv_rho"][k] = inv_rho
-        env["qv_sat_l"][k] = svp_liq(t_atm[k]) / (RV * t_atm[k] * rho_d[k])
-        env["qv_sat_i"][k] = svp_ice(t_atm[k]) / (RV * t_atm[k] * rho_d[k])
+        env["qv_sat_l"][k] = qv_sat(t_atm[k], pres[k], 0)
+        env["qv_sat_i"][k] = qv_sat(t_atm[k], pres[k], 1)
         env["qv_supersat_i"][k] = qv[k] / env["qv_sat_i"][k] - 1.0
         env["rhofacr"][k] = (RHO_1000MB * inv_rho) ** 0.54
         env["rhofaci"][k] = (RHO_600MB * inv_rho) ** 0.54
@@ -1100,7 +1124,7 @@ def p3_main_part2(tables, vn_table, vm_table, revap_table, dt, pres,
                 ni_self = ice_self_collection(
                     rho[k], rhofaci, t3, eii, qm_incld, qi_incld,
                     ni_incld)
-                qsat0 = svp_liq(T0) / (RV * T0 * env["rho_d"][k])
+                qsat0 = qv_sat(T0, pres[k], 0)
                 melt, ni2nr_melt = ice_melting(
                     rho[k], t_atm, rhofaci, t5, t10, lv, lf, dv, sc, mu,
                     kap, qv[k], qsat0, qi_incld, ni_incld)
@@ -1166,7 +1190,7 @@ def p3_main_part2(tables, vn_table, vm_table, revap_table, dt, pres,
             sublim, ev)
         sublim, ev = prevent_liq_supersaturation(
             qv[k], t_atm, lv, ls, dt, qidep, qinuc, sublim, ev,
-            lambda t, kk=k: svp_liq(t) / (RV * t * env["rho_d"][kk]))
+            lambda t, kk=k: qv_sat(t, pres[kk], 0))
 
         (th[k], qv[k], qi[k], ni[k], qm[k], bm[k], qc[k], nc[k], qr[k],
          nr[k]) = update_prognostic_ice(

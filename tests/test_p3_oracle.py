@@ -10,8 +10,9 @@ Two layers of cross-check:
   2. Process-isolation: single-process column setups where the observed
      p3_scheme tendency equals a known combination of oracle rates (the
      scheme applies all tendencies from pre-update values, so the
-     extraction is exact, not first-order).  The scheme's documented
-     thermodynamic stand-ins (Magnus svp) are fed to the oracle as
+     extraction is exact, not first-order).  Thermodynamic inputs
+     (Murphy-Koop qv_sat, as the Fortran scheme uses; the Magnus svp
+     belongs to the wrapper's pre-adjustment) are fed to the oracle as
      arguments, exactly as the Fortran subroutines receive qv_sat_l/i.
 """
 
@@ -156,9 +157,10 @@ def _thermo(temp, pres, rho_d, qv, qcond=0.0):
     the total condensate qc+qr+qi: the scheme's rho estimate includes it
     (p3_scheme: rho = rho_d * (1 + qv + qc + qr + qi))."""
     rho = rho_d * (1.0 + qv + qcond)
-    qsl = float(P.saturation_vapor_pressure(temp)) / (461.505 * temp * rho_d)
-    qsi = float(P.saturation_vapor_pressure_ice(temp)) / (461.505 * temp
-                                                          * rho_d)
+    # scheme-internal saturation is the Murphy-Koop mixing-ratio form
+    # (wv_sat_scream qv_sat; the Magnus svp belongs to the wrapper)
+    qsl = float(P.p3_qv_sat_liq(jnp.float64(temp), jnp.float64(pres)))
+    qsi = float(P.p3_qv_sat_ice(jnp.float64(temp), jnp.float64(pres)))
     lv = 2501000.0
     ls = lv + 333700.0
     mu = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
@@ -275,10 +277,8 @@ def test_ice_self_collection_rate_matches_oracle(tbl):
     + table 3): cold ice at exact ice saturation (dep = sub = 0), no
     liquid; dni/dt = -ni_self."""
     temp, pres = 263.15, 6.0e4
-    rho_d0 = pres / (287.042 * temp)
-    qsi = float(P.saturation_vapor_pressure_ice(temp)) / (461.505 * temp
-                                                          * rho_d0)
-    qv = qsi         # exactly ice-saturated
+    qv = float(P.p3_qv_sat_ice(jnp.float64(temp),
+                               jnp.float64(pres)))  # exactly ice-saturated
     qi0, ni0, qm0, bm0 = 1.0e-3, 1.0e5, 2.0e-4, 5.0e-7
     col, rho_d, exner = _uniform_column(temp, pres, qv, qi=qi0, ni=ni0,
                                         qm=qm0, bm=bm0)
@@ -306,9 +306,7 @@ def test_rain_evaporation_matches_oracle(tbl):
     micro_p3.F90:3383-3537 + calc_liq_relaxation_timescale :2358-2410):
     warm subsaturated rain, no cloud/ice; dqv/dt = +evap."""
     temp, pres = 293.15, 9.0e4
-    rho_d0 = pres / (287.042 * temp)
-    qsl = float(P.saturation_vapor_pressure(temp)) / (461.505 * temp
-                                                      * rho_d0)
+    qsl = float(P.p3_qv_sat_liq(jnp.float64(temp), jnp.float64(pres)))
     qv = qsl * 0.5
     qr0, nr0 = 5.0e-4, 5.0e7
     col, rho_d, exner = _uniform_column(temp, pres, qv, qr=qr0, nr=nr0)
@@ -341,9 +339,7 @@ def test_ice_supersat_conservation_matches_oracle(tbl):
     qv_avail.  Supersaturation kept below 5% so Cooper nucleation stays
     off; no liquid, no rain -> dqi/dt is the limited deposition alone."""
     temp, pres = 250.0, 5.0e4
-    rho_d0 = pres / (287.042 * temp)
-    qsi0 = float(P.saturation_vapor_pressure_ice(temp)) / (461.505 * temp
-                                                           * rho_d0)
+    qsi0 = float(P.p3_qv_sat_ice(jnp.float64(temp), jnp.float64(pres)))
     qv = qsi0 * 1.04
     qi0, ni0, qm0, bm0 = 1.0e-3, 1.0e6, 2.0e-4, 5.0e-7
     dt_l = 60.0
