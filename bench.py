@@ -81,7 +81,10 @@ def _device_alive(timeout_s: float) -> bool:
 
 
 def main() -> None:
-    probe_s = float(os.environ.get("MWML_BENCH_PROBE_S", 900.0))
+    # Default horizon 9 min: long enough for the classic 5-10 min tunnel
+    # wedge to heal, short enough that the honest-zero JSON still prints
+    # inside a ~10-minute capture window around the run.
+    probe_s = float(os.environ.get("MWML_BENCH_PROBE_S", 540.0))
     if not _device_alive(probe_s):
         _finish({
             "metric": "supercell cell-updates/sec/chip "
