@@ -22,6 +22,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
+#include <cstdio>
 #include <vector>
 
 namespace {
@@ -759,10 +761,31 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
 
     // number rates tied to mass rates are computed INSIDE the process
     // subroutines, BEFORE the conservation rescalings (ice_melting
-    // :2251, ice_deposition_sublimation :3307, evaporate_rain :3532)
+    // :2251, ice_deposition_sublimation :3307, evaporate_rain :3532,
+    // cloud_water_autoconversion :2778, cloud_rain_accretion :2694,
+    // ice_cldliq_collection :2087)
     double ni2nr_melt = melt * ni_rate / std::max(qi_in, QSMALL);
     double ni_sub_n = sub * ni_rate / std::max(qi_in, QSMALL);
     double nr_evap = ev * nr_in / std::max(qr_in, QSMALL);
+    double inv_qc = 1.0 / std::max(qc_in, QSMALL);
+    double ncautr = au * CONS3;
+    double nc2nr_auto = au * nc_in * inv_qc;
+    double nc_accret = ac * nc_in * inv_qc;
+    double nc_collect = (rim + shed) * nc_in * inv_qc;
+
+    // nc_conservation (micro_p3.F90:2957-2979): rescales nc2nr_auto (the
+    // nr_conservation source) even in prescribed-nc mode
+    {
+      double sink_nc = (nc_collect + nc_frz + nc_accret + nc2nr_auto) * dt;
+      double source_nc = nc[c];
+      if (sink_nc > source_nc) {
+        double r = source_nc / std::max(sink_nc, 1e-30);
+        nc_collect *= r;
+        nc_frz *= r;
+        nc_accret *= r;
+        nc2nr_auto *= r;
+      }
+    }
 
     // -- conservation rescaling (*_conservation, micro_p3.F90:3029-3106 +
     //    2957-3007; mirrors physics/p3.py) --------------------------------
@@ -809,7 +832,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
       // sources include nc2nr_autoconv (the reference's nr_conservation
       // source list, micro_p3.F90:2981-3000)
       double sources_nr = nr[c] + (ni2nr_melt + nr_shed_wg + ncshdc +
-                                   au * nc_in / std::max(qc_in, QSMALL)) * dt;
+                                   nc2nr_auto) * dt;
       if (sinks_nr > sources_nr) {
         double r = sources_nr / std::max(sinks_nr, 1e-30);
         nr_col *= r; nr_frz *= r; nr_self *= r; nr_evap *= r;
@@ -848,7 +871,7 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
     double qi_new = qi[c] + dt * (qc_frz + qr_frz + qrcol + dep + qinuc +
                                   berg - sub - melt + rim);
     double qv_new = qv[c] + dt * (ev + sub - dep - qinuc);
-    double nr_new = nr[c] + dt * (au * CONS3 - nr_self - nr_frz - nr_col +
+    double nr_new = nr[c] + dt * (ncautr - nr_self - nr_frz - nr_col +
                                   ni2nr_melt + ncshdc +
                                   nr_shed_wg - nr_evap);
     double ni_new = ni[c] + dt * (ninuc + nc_frz + nr_frz - ni_self -

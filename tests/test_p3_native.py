@@ -108,3 +108,48 @@ def test_native_backend_in_module():
     step = jax.jit(lambda s: micro.time_step(dy.time_step(s, dt), dt))
     st = step(st)
     assert st.validate() == {}
+
+
+def test_native_matches_jax_on_oracle_columns():
+    """The twin over the five canned full-step oracle columns (warm, cold,
+    mixed, heavy-riming/wet-growth, capped extreme -- the same states that
+    pin p3_scheme against the Fortran transliteration), so the composition
+    paths those columns exercise (wet-growth densification, in-cloud caps,
+    sedimentation-time limiters, Murphy-Koop saturation) are twin-covered
+    too, not just a single random state."""
+    from miniweatherml_tpu.native import load_p3_library
+    from miniweatherml_tpu.physics.p3 import _p3_scheme_native_callback
+    from miniweatherml_tpu.physics.p3_tables import (default_table_path,
+                                                     load_p3_tables)
+    from tests.test_p3_oracle import NZ_FULL, _column_profile
+
+    tables = None
+    if load_p3_library().p3_has_tables():
+        tables = load_p3_tables(default_table_path())
+
+    dt = 10.0
+    shape = (1, NZ_FULL, 1, 1)
+    names = ["qc", "nc", "qr", "nr", "qi", "ni", "qm", "bm", "qv", "theta",
+             "precip_liq", "precip_ice"]
+    for kind in ("warm", "cold", "mixed", "wetgrowth", "capped"):
+        c = _column_profile(kind)
+        col = lambda a: jnp.asarray(a, jnp.float64).reshape(shape)
+        args = dict(
+            qc=col(c["qc"]), nc=col(np.zeros(NZ_FULL)), qr=col(c["qr"]),
+            nr=col(c["nr"]), qi=col(c["qi"]), ni=col(c["ni"]),
+            qm=col(c["qm"]), bm=col(c["bm"]), qv=col(c["qv"]),
+            theta=col(c["temp"] / c["exner"]), exner=col(c["exner"]),
+            pres=col(c["pres"]), rho_d=col(c["rho_d"]),
+            dz=col(np.full(NZ_FULL, 500.0)))
+        jax_out = p3_scheme(**args, dt=dt, z_axis=1, tables=tables)
+        native_out = _p3_scheme_native_callback(
+            args["qc"], args["nc"], args["qr"], args["nr"], args["qi"],
+            args["ni"], args["qm"], args["bm"], args["qv"], args["theta"],
+            args["exner"], args["pres"], args["rho_d"], args["dz"], dt)
+        for name, a, b in zip(names, jax_out, native_out):
+            a = np.asarray(a)
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(
+                a, np.asarray(b).reshape(a.shape),
+                rtol=1e-9, atol=1e-12 * scale,
+                err_msg=f"{kind}: {name}")
