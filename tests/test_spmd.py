@@ -232,19 +232,25 @@ def test_spmd_pallas_open_and_wall_bc_on_sharded_axis():
 
 @pytest.mark.slow
 @pytest.mark.xslow
-def test_spmd_p3_matmul_lookups_shard_local(monkeypatch):
-    """The TPU matmul table-lookup path (MWML_P3_TABLES=matmul) is purely
-    shard-local: under shard_map its lax.map cell chunking operates on the
-    local block, so the 8-shard step matches the single-device matmul step
-    (and the gather path) to interpolation rounding."""
+@pytest.mark.parametrize("impl,dtype,rtol,atol", [
+    ("matmul", "float64", 1e-8, 1e-11),
+    # the Pallas lookup kernels are f32-only (interpret mode on CPU);
+    # f32 sharding reorders dycore reductions, hence the looser tol
+    ("pallas", "float32", 2e-4, 1e-6),
+])
+def test_spmd_p3_lookups_shard_local(monkeypatch, impl, dtype, rtol, atol):
+    """The TPU table-lookup paths (MWML_P3_TABLES=matmul and the
+    VMEM-resident pallas kernels) are purely shard-local: under shard_map
+    the cell chunking/blocking operates on the local block, so the
+    8-shard step matches the single-device step."""
     from miniweatherml_tpu.core.coupler import Grid, make_coupler_state
     from miniweatherml_tpu.dycore.euler import Dycore
     from miniweatherml_tpu.physics.p3 import MicrophysicsP3
 
-    monkeypatch.setenv("MWML_P3_TABLES", "matmul")
+    monkeypatch.setenv("MWML_P3_TABLES", impl)
     g = Grid(nx=32, ny=16, nz=12, nens=1,
              xlen=64000.0, ylen=32000.0, zlen=16000.0)
-    st = make_coupler_state(g, dtype="float64",
+    st = make_coupler_state(g, dtype=dtype,
                             options={"init_data": "supercell",
                                      "out_freq": -1.0})
     micro = MicrophysicsP3()
@@ -260,6 +266,8 @@ def test_spmd_p3_matmul_lookups_shard_local(monkeypatch):
     step = make_spmd_step(st, mesh, dy, micro=micro, sponge_time_scale=None)
     out = jax.jit(lambda s: step(s, dt))(sharded)
     for name in ("temp", "wvel", "water_vapor", "ice", "rain", "precl"):
+        a = np.asarray(ref[name])
         np.testing.assert_allclose(
-            np.asarray(out[name]), np.asarray(ref[name]),
-            rtol=1e-8, atol=1e-11, err_msg=name)
+            np.asarray(out[name]), a,
+            rtol=rtol, atol=atol * max(float(np.abs(a).max()), 1.0),
+            err_msg=name)
