@@ -85,21 +85,27 @@ class HorizontalSponge:
                 name, ns = ay
                 jy = jax.lax.axis_index(name) * g.ny + jy
                 gny = g.ny * ns
-        weight = jnp.zeros((g.ny, g.nx), jd)
-
-        # Later walls overwrite earlier ones where bands overlap, matching the
-        # reference's sequential kernel launches (x1 -> x2 -> y1 -> y2).
-        def merge(weight, w_new):
-            return jnp.where(w_new > 0.0, w_new, weight)
-
+        # The reference launches one blending kernel per wall
+        # (x1 -> x2 -> y1 -> y2, horizontal_sponge.h:137-193); where bands
+        # overlap (corners, with y walls enabled) the later pass blends
+        # the earlier pass's OUTPUT toward the same column.  Because every
+        # pass is a linear blend toward the same column c,
+        #   f' = w*c + (1-w)*f
+        # the sequential composition collapses to the closed form
+        #   f_final = (1 - prod_k (1-w_k))*c + prod_k (1-w_k)*f,
+        # independent of wall order.
+        one_minus = jnp.ones((g.ny, g.nx), jd)
         if x1:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(ix, gnx)[None, :], weight.shape))
+            one_minus = one_minus * (1.0 - wall_weight(ix, gnx))[None, :]
         if x2:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(gnx - 1 - ix, gnx)[None, :], weight.shape))
+            one_minus = one_minus * (1.0 - wall_weight(gnx - 1 - ix,
+                                                       gnx))[None, :]
         if y1:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(jy, gny)[:, None], weight.shape))
+            one_minus = one_minus * (1.0 - wall_weight(jy, gny))[:, None]
         if y2:
-            weight = merge(weight, jnp.broadcast_to(wall_weight(gny - 1 - jy, gny)[:, None], weight.shape))
+            one_minus = one_minus * (1.0 - wall_weight(gny - 1 - jy,
+                                                       gny))[:, None]
+        weight = 1.0 - one_minus
 
         w = weight[None, None, :, :]  # (1, 1, ny, nx)
         updates = {}

@@ -113,3 +113,76 @@ def test_thermal_perturbation_matches_reference_kernel():
                     want[:, k, j, i] += 5.0 * np.cos(np.pi * rad / 2) ** 2
     np.testing.assert_allclose(np.asarray(out["temp"]), want, rtol=1e-12,
                                atol=1e-12)
+
+
+def test_horizontal_sponge_matches_reference_kernel():
+    """horizontal_sponge.h:100-193: per-wall sequential cosine blends
+    toward the stored column -- overlapping corner bands compose (the
+    later wall blends the earlier wall's OUTPUT), which the closed-form
+    weight 1 - prod(1-w_k) must reproduce exactly.  All four walls on, a
+    grid small enough that the bands overlap."""
+    from miniweatherml_tpu.physics.horizontal_sponge import HorizontalSponge
+
+    state = _state()   # 16 x 8 horizontal: 5-cell bands overlap in y
+    hs = HorizontalSponge(sponge_cells=5, time_scale=2.0)
+    state = hs.init(state)
+    dt = 0.7
+    out = hs.apply(state, dt, x1=True, x2=True, y1=True, y2=True)
+
+    g = state.grid
+    names = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor")
+    col = np.asarray(state["horiz_sponge_column"])  # (6, nens, nz)
+    n_sp, tf = 5, dt / 2.0
+    fields = [np.array(np.asarray(state[n]), dtype=float) for n in names]
+
+    def blend(weight_of_ij):
+        for l in range(len(names)):
+            f = fields[l]
+            c = col[l][:, :, None, None]
+            for j in range(g.ny):
+                for i in range(g.nx):
+                    w = weight_of_ij(i, j) * tf
+                    f[:, :, j, i] = (w * c[:, :, 0, 0]
+                                     + (1 - w) * f[:, :, j, i])
+
+    # the reference's four sequential kernels
+    blend(lambda i, j: ((np.cos(np.pi * i / (n_sp - 1)) + 1) / 2
+                        if i < n_sp else 0.0))
+    blend(lambda i, j: ((np.cos(np.pi * (g.nx - 1 - i) / (n_sp - 1)) + 1) / 2
+                        if g.nx - 1 - i < n_sp else 0.0))
+    blend(lambda i, j: ((np.cos(np.pi * j / (n_sp - 1)) + 1) / 2
+                        if j < n_sp else 0.0))
+    blend(lambda i, j: ((np.cos(np.pi * (g.ny - 1 - j) / (n_sp - 1)) + 1) / 2
+                        if g.ny - 1 - j < n_sp else 0.0))
+
+    for l, name in enumerate(names):
+        np.testing.assert_allclose(np.asarray(out[name]), fields[l],
+                                   rtol=1e-12, atol=1e-13, err_msg=name)
+
+
+def test_time_averager_matches_reference_kernel():
+    """time_averager.h:60-73: tavg = inertia*tavg + (1-inertia)*f with
+    inertia = etime/(etime+dt), over three unequal steps."""
+    from miniweatherml_tpu.physics.time_averager import TimeAverager
+
+    state = _state()
+    ta = TimeAverager()
+    state = ta.init(state)
+    names = ("density_dry", "uvel", "vvel", "wvel", "temp", "water_vapor")
+    tavg = {n: np.zeros_like(np.asarray(state[n]), dtype=float)
+            for n in names}
+    etime = 0.0
+    rng = np.random.default_rng(5)
+    for dt in (0.5, 1.25, 2.0):
+        state = state.replace_fields(
+            uvel=state["uvel"] + 0.1 * dt,
+            temp=state["temp"] * (1.0 + 1e-4 * dt))
+        inertia = etime / (etime + dt)
+        for n in names:
+            tavg[n] = inertia * tavg[n] + (1 - inertia) * np.asarray(state[n])
+        etime += dt
+        state = ta.accumulate(state, dt)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(state["time_avg_" + n]),
+                                   tavg[n], rtol=1e-12, atol=1e-14,
+                                   err_msg=n)
