@@ -110,6 +110,7 @@ def test_native_backend_in_module():
     assert st.validate() == {}
 
 
+@pytest.mark.xslow
 def test_native_matches_jax_on_oracle_columns():
     """The twin over the five canned full-step oracle columns (warm, cold,
     mixed, heavy-riming/wet-growth, capped extreme -- the same states that

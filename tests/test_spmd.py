@@ -236,7 +236,8 @@ def test_spmd_pallas_open_and_wall_bc_on_sharded_axis():
     ("matmul", "float64", 1e-8, 1e-11),
     # the Pallas lookup kernels are f32-only (interpret mode on CPU);
     # f32 sharding reorders dycore reductions, hence the looser tol
-    ("pallas", "float32", 2e-4, 1e-6),
+    pytest.param("pallas", "float32", 2e-4, 1e-6,
+                 marks=pytest.mark.xslow),
 ])
 def test_spmd_p3_lookups_shard_local(monkeypatch, impl, dtype, rtol, atol):
     """The TPU table-lookup paths (MWML_P3_TABLES=matmul and the
