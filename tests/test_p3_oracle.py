@@ -456,6 +456,22 @@ def _column_profile(kind):
         ni = np.where(qi > 0, 4.0e5, 0.0)
         qm = 0.8 * qi
         bm = np.where(z < 5000, qm / 20.0, qm / 300.0)  # rho_rime 20 -> 50
+    elif kind == "clearsky":
+        # no hydrometeors anywhere: cold ice-supersaturated aloft (pure
+        # Cooper nucleation through the 444 path) over a dry, cold,
+        # subsaturated mid-layer (the 555 level skip) over warm moist air
+        temp = 284.0 - 6.5e-3 * z
+        pres = 9.8e4 * (temp / 284.0) ** (9.80616 / (287.042 * 6.5e-3))
+        rho_d = pres / (287.042 * temp)
+        qsl = np.array([float(P.saturation_vapor_pressure(t))
+                        / (461.505 * t * r) for t, r in zip(temp, rho_d)])
+        qsi = np.array([float(P.p3_qv_sat_ice(jnp.float64(t),
+                                              jnp.float64(p)))
+                        for t, p in zip(temp, pres)])
+        qv = np.where(z > 8000, 1.2 * qsi,          # nucleation aloft
+                      np.where(z > 4000, 0.3 * qsi,  # 555-skip layer
+                               0.7 * qsl))
+        qc = qr = nr = qi = ni = qm = bm = np.zeros(NZ_FULL)
     else:  # "capped": in-cloud magnitude caps + warm ice (melt, no sublim)
         temp = 287.0 - 5.0e-3 * z
         pres = 9.5e4 * (temp / 287.0) ** (9.80616 / (287.042 * 5.0e-3))
@@ -476,7 +492,7 @@ def _column_profile(kind):
 
 
 @pytest.mark.parametrize("kind", ["warm", "cold", "mixed", "wetgrowth",
-                                  "capped"])
+                                  "capped", "clearsky"])
 def test_full_step_matches_oracle(tbl, kind):
     """ONE COMPLETE p3_main step: the vectorized scheme at the table tier
     vs the oracle's straight-line column transliteration of
