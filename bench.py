@@ -74,6 +74,10 @@ def _device_alive(timeout_s: float) -> bool:
         t.join(min(60.0, max(0.0, deadline - time.monotonic())))
         if ok:
             return True
+        if not t.is_alive():
+            # the probe DIED (backend init raised) rather than hanging --
+            # no point spinning out the rest of the horizon
+            return False
         print(f"[bench] device probe still pending "
               f"({deadline - time.monotonic():.0f}s left in horizon)",
               file=sys.stderr, flush=True)

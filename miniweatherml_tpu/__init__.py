@@ -12,6 +12,18 @@ Top-level pieces:
   experiments -- drivers mirroring the reference experiments
 """
 
+import os as _os
+
+# MWML_PLATFORM=cpu pins the JAX backend before initialization -- the only
+# way to keep a run off the TPU under the axon plugin, which ignores the
+# JAX_PLATFORMS env var.  Useful for driving the experiment CLIs on hosts
+# where the chip (or its tunnel) is unavailable.  Must run before any
+# jax.devices() call, hence at package import.
+if _os.environ.get("MWML_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MWML_PLATFORM"])
+
 from .core.coupler import (CouplerState, CouplerMeta, Grid, Options,  # noqa: F401
                            TracerMeta, make_coupler_state)
 from .config import SimConfig, load_config  # noqa: F401

@@ -39,6 +39,22 @@ NUM_STATE = 5
 _CS = 350.0  # frozen acoustic speed (dynamics...h:402)
 
 
+def _roll(x, shift, axis, interpret):
+    """Circular rotation toward higher indices (``jnp.roll`` convention).
+
+    On TPU this is ``pltpu.roll`` -- verified bitwise-equal to the jnp
+    convention on-chip (roll path vs concat path, BASELINE.md round-3
+    A/B).  ``pltpu.roll`` has no interpret-mode evaluation rule, so
+    interpret-mode runs (CPU tests) use ``jnp.roll`` directly; the two
+    agree element-for-element, keeping the production roll path under
+    automated parity coverage."""
+    if interpret:
+        return jnp.roll(x, shift, axis)
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, shift, axis)
+
+
 def _weno_edges_block(x, n_out, ord_, tv_terms, edge_terms, idl, cutoff,
                       axis=None, fast_weights=False, shifts=None):
     """WENO edges on a block along ``axis`` (default: last).
@@ -274,7 +290,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
             fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
             normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
             local_edges=False, div_scale=None, self_bc=None,
-            use_roll=False, aligned_tf=False):
+            use_roll=False, aligned_tf=False, interpret=False):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -298,27 +314,26 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
         # ring with a final roll.  Avoids the (n + 2 hs)-wide concat
         # buffer whose every window is vreg-misaligned (the lane kernel's
         # ~57%-of-VPU-peak tax, BASELINE.md roofline).
-        from jax.experimental.pallas import tpu as pltpu
-
         p = p_ref[...]
         ax_l = p.ndim - 1
         # pltpu.roll requires non-negative shifts; (hs - i) mod n is the
         # same circular rotation
-        shifts = [p if i == hs_ else pltpu.roll(p, (hs_ - i) % n, ax_l)
+        shifts = [p if i == hs_ else _roll(p, (hs_ - i) % n, ax_l, interpret)
                   for i in range(ord_)]
         gll_l, gll_r = _weno_edges(None, n, ord_, tv_terms, edge_terms,
                                    idl, cutoff, fast_weights=fast_weights,
                                    opt=opt, shifts=shifts)
         # face f (0..n-1): L from cell f-1's right edge (wraps), R from
         # cell f's left edge; face n duplicates face 0 (same stencil).
-        L = pltpu.roll(gll_r, 1, gll_r.ndim - 1)
+        L = _roll(gll_r, 1, gll_r.ndim - 1, interpret)
         R = gll_l
         _riemann_block(L, R,
                        jax.lax.slice_in_dim(hyr_ref[...], 0, n, axis=-1),
                        jax.lax.slice_in_dim(hyt_ref[...], 0, n, axis=-1),
                        sf_ref, tf_ref, normal_id, ntracers, C0, gamma,
                        div_scale=div_scale, face_axis=-1, fo_ref=fo_ref,
-                       periodic_roll=True, aligned_tf=aligned_tf)
+                       periodic_roll=True, aligned_tf=aligned_tf,
+                       interpret=interpret)
         return
     if self_bc is not None:
         x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -1)
@@ -410,11 +425,13 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     grid = (math.ceil(B / Bt),)
     n_s_out = n if div_scale is not None else n + 1
 
-    # Aligned-roll fast path for periodic whole-axis blocks (TPU only:
-    # pltpu.roll has no interpret-mode lowering); MWML_X_ROLL=0 disables.
+    # Aligned-roll fast path for periodic whole-axis blocks; MWML_X_ROLL=0
+    # disables.  Interpret-mode runs (CPU tests) take the same branch with
+    # the jnp.roll shim (_roll), so the production TPU path is what the
+    # parity tests exercise.
     import os
-    use_roll = (jax.devices()[0].platform == "tpu" and self_bc == 0
-                and div_scale is not None
+    interpret = jax.devices()[0].platform != "tpu"
+    use_roll = (self_bc == 0 and div_scale is not None
                 and os.environ.get("MWML_X_ROLL", "1") == "1")
     # n-wide aligned tracer-flux output (see _riemann_block): only valid
     # on the periodic roll path.  Callers detect which form came back by
@@ -426,7 +443,7 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
         local_edges=local_edges, div_scale=div_scale, self_bc=self_bc,
-        use_roll=use_roll, aligned_tf=aligned_tf)
+        use_roll=use_roll, aligned_tf=aligned_tf, interpret=interpret)
     if self_bc is not None:
         base = kernel
 
@@ -482,7 +499,7 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         out_specs=out_specs,
         out_shape=out_shape,
         # Pallas has no native CPU lowering; tests run interpreted.
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=interpret,
     )(*operands)
     if emit_fo:
         sf, tf, fo = out
@@ -574,7 +591,7 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
                    gamma, div_scale=None, face_axis=-1, fo_ref=None,
-                   periodic_roll=False, aligned_tf=False):
+                   periodic_roll=False, aligned_tf=False, interpret=False):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
     arrays broadcast against the per-var face blocks.
 
@@ -615,11 +632,9 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
     if periodic_roll:
         # faces are n-wide (aligned); face i+1 of cell i is the next face,
         # wrapping -- one circular roll closes the divergence ring
-        from jax.experimental.pallas import tpu as pltpu
-
         fa = sflux.ndim - 1
         nl = sflux.shape[fa]
-        sf_ref[...] = (sflux - pltpu.roll(sflux, nl - 1, fa)) * div_scale
+        sf_ref[...] = (sflux - _roll(sflux, nl - 1, fa, interpret)) * div_scale
         if ntracers:
             trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers,
                                        axis=0)
@@ -641,7 +656,7 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
                     [tflux, jax.lax.slice_in_dim(tflux, 0, 1, axis=fa)],
                     axis=fa)
             if fo_ref is not None:
-                b = pltpu.roll(tflux, nl - 1, fa)
+                b = _roll(tflux, nl - 1, fa, interpret)
                 fo_ref[...] = (jnp.maximum(b, 0.0)
                                - jnp.minimum(tflux, 0.0)) * div_scale
         return

@@ -1142,7 +1142,6 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # 1137, called at :1460).  Only the prognostic effects are implemented:
     # the diagnostic outputs (effective radii, reflectivity) are discarded
     # by the reference wrapper.  cld_frac_* = 1 in the wrapper.
-    cons1 = jnp.pi / 6.0 * RHO_H2O
 
     # cloud (:1020-1035): tiny qc evaporates back to vapor with latent
     # cooling; otherwise get_cloud_dsd2's lambda limiters may adjust nc
@@ -1150,16 +1149,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     small_c = qc < QSMALL
     qv = qv + jnp.where(small_c, qc, 0.0)
     theta = theta - jnp.where(small_c, qc, 0.0) * Lv / (cp * exner)
-    s_c = 0.0005714 * (jnp.maximum(nc, NSMALL) * 1.0e-6 * rho) + 0.2714
-    mu_c3 = jnp.clip(1.0 / (s_c * s_c) - 1.0, 2.0, 15.0)
-    mval = (mu_c3 + 3.0) * (mu_c3 + 2.0) * (mu_c3 + 1.0)
-    lamc3 = jnp.cbrt(cons1 * jnp.maximum(nc, NSMALL) * mval
-                     / jnp.maximum(qc, QSMALL))
-    lamc3_cl = jnp.clip(lamc3, (mu_c3 + 1.0) * 2.5e4, (mu_c3 + 1.0) * 1.0e6)
-    nc_lim = jnp.where(lamc3 != lamc3_cl,
-                       lamc3_cl ** 3 * qc / (cons1 * mval),
-                       jnp.maximum(nc, NSMALL))
-    nc = jnp.where(small_c, 0.0, nc_lim)
+    nc = jnp.where(small_c, 0.0, cloud_dsd_nc(qc, nc))
     qc = jnp.where(small_c, 0.0, qc)
 
     # rain (:1037-1060): tiny qr evaporates; otherwise get_rain_dsd2's
@@ -1167,14 +1157,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     small_r = qr < QSMALL
     qv = qv + jnp.where(small_r, qr, 0.0)
     theta = theta - jnp.where(small_r, qr, 0.0) * Lv / (cp * exner)
-    lamr3 = jnp.cbrt(cons1 * jnp.maximum(nr, NSMALL) * 24.0
-                     / jnp.maximum(qr, QSMALL))
-    lamr3_cl = jnp.clip(lamr3, 2.0 * 500.0, 2.0 * 1.0e5)
-    # nr from clipped lambda: Gamma(mu_r+1)/Gamma(mu_r+4) = 1/24
-    nr_lim = jnp.where(lamr3 != lamr3_cl,
-                       lamr3_cl ** 3 * qr / (24.0 * cons1),
-                       jnp.maximum(nr, NSMALL))
-    nr = jnp.where(small_r, 0.0, nr_lim)
+    nr = jnp.where(small_r, 0.0, rain_dsd_nr(qr, nr))
     qr = jnp.where(small_r, 0.0, qr)
 
     # ice (:1062-1126): tiny qi sublimates back to vapor; otherwise
@@ -1184,20 +1167,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qv = qv + jnp.where(small_i, qi, 0.0)
     theta = theta - jnp.where(small_i, qi, 0.0) * Ls / (cp * exner)
     ni = jnp.maximum(ni, NSMALL)
-    # calc_bulkRhoRime: rho_rime = qm/bm bounded to [50, 900] (bm adjusts),
-    # qm <= qi, tiny qm zeroed
-    has_bm = bm >= 1.0e-15
-    rho_rime3 = jnp.where(has_bm,
-                          jnp.clip(qm / jnp.maximum(bm, 1e-30),
-                                   RHO_RIMEMIN, RHO_RIMEMAX), 0.0)
-    bm = jnp.where(has_bm, qm / jnp.maximum(rho_rime3, RHO_RIMEMIN), 0.0)
-    qm = jnp.where(has_bm, qm, 0.0)
-    over = (qm > qi) & (rho_rime3 > 0.0)
-    qm = jnp.where(over, qi, qm)
-    bm = jnp.where(over, qm / jnp.maximum(rho_rime3, RHO_RIMEMIN), bm)
-    tiny_m = qm < QSMALL
-    qm = jnp.where(tiny_m, 0.0, qm)
-    bm = jnp.where(tiny_m, 0.0, bm)
+    qm, bm, _ = _bulk_rho_rime(qi, qm, bm)
     ni = cap_ni(ni)
     if tables is not None:
         from .p3_tables import (ice_table_indices, interp_ice_multi,
@@ -1206,10 +1176,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                          RHO_RIMEMAX)
         idx3 = ice_table_indices(qi, ni, qm, rhop3)
         # normalized lambda-limiter factors (tables 7/8, :1085-1097)
-        t7_3, t8_3 = jax.lax.cond(
+        t7_3, t8_3 = (t.astype(qi.dtype) for t in jax.lax.cond(
             jnp.any(qi >= QSMALL),
             lambda: interp_ice_multi(tables, (7, 8), *idx3),
-            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2)
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2))
         ni = jnp.minimum(ni, t7_3 * ni)
         ni = jnp.maximum(ni, t8_3 * ni)
     qi = jnp.where(small_i, 0.0, qi)

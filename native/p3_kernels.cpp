@@ -447,32 +447,11 @@ void p3_column_step(std::int64_t ncol, std::int64_t nz, double dt, double* qc,
 
     // part2's pre-process DSD limiting, reference order (get_cloud_dsd2
     // micro_p3.F90:626, get_rain_dsd2 :630); adjustments persist to the
-    // cell nc/nr
-    {
-      const double cons1 = PI / 6.0 * RHO_H2O;
-      if (qc[c] >= QSMALL) {
-        double nc1 = std::max(nc[c], NSMALL);
-        double s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714;
-        double mu_ = std::clamp(1.0 / (s_ * s_) - 1.0, 2.0, 15.0);
-        double mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0);
-        double lamc =
-            std::cbrt(cons1 * nc1 * mval_ / std::max(qc_in, QSMALL));
-        double lamc_cl =
-            std::clamp(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6);
-        nc[c] = (lamc != lamc_cl)
-                    ? lamc_cl * lamc_cl * lamc_cl * qc_in / (cons1 * mval_)
-                    : nc1;
-      }
-      if (qr[c] >= QSMALL) {
-        double nr1 = std::max(nr[c], NSMALL);
-        double lamr =
-            std::cbrt(cons1 * nr1 * 24.0 / std::max(qr_in, QSMALL));
-        double lamr_cl = std::clamp(lamr, 2.0 * 500.0, 2.0 * 1.0e5);
-        nr[c] = (lamr != lamr_cl)
-                    ? lamr_cl * lamr_cl * lamr_cl * qr_in / (24.0 * cons1)
-                    : nr1;
-      }
-    }
+    // cell nc/nr.  The helpers guard on q >= QSMALL internally, and
+    // qc_in >= QSMALL iff qc[c] >= QSMALL (the in-cloud cap never drops
+    // below QSMALL), so the calls are exact.
+    nc[c] = cloud_dsd_nc(qc_in, nc[c], rho);
+    nr[c] = rain_dsd_nr(qr_in, nr[c]);
     const double nc_in = qc[c] >= QSMALL ? std::max(nc[c], 0.0) : 0.0;
     const double nr_in = qr[c] >= QSMALL ? std::max(nr[c], 0.0) : 0.0;
     // impose_max_total_ni (:637) on the IN-CLOUD ni only; the prognostic

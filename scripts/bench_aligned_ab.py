@@ -63,6 +63,8 @@ def main():
         worst = max(worst, d)
     print(f"max |aligned - baseline| over fields after {inner} steps: "
           f"{worst:.3e}", flush=True)
+    # the two formulations reorder no arithmetic, so the match must be exact
+    assert worst == 0.0, f"aligned tracer-flux path diverged: {worst:.3e}"
 
     reps = 4 if on_tpu else 1
     cells = nx * ny * nz

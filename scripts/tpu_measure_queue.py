@@ -10,6 +10,7 @@ and only then starts the expensive runs."""
 import json, os, socket, subprocess, sys, time
 
 LOG = "/tmp/tpuq/results.log"
+os.makedirs(os.path.dirname(LOG), exist_ok=True)
 def log(msg):
     line = f"[{time.strftime('%H:%M:%S')}] {msg}"
     print(line, flush=True)

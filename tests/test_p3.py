@@ -82,6 +82,23 @@ def _column(nz=30, tsurf=300.0, qv0=0.012, qc0=0.0, qr0=0.0, qi0=0.0):
         dz=z3(400.0))
 
 
+def test_p3_scheme_preserves_f32_dtype_under_x64():
+    """With x64 enabled (this suite's global config) the gather-path table
+    lookups return f64; every lookup site must cast back to the state dtype
+    so an f32 run never silently promotes a prognostic field (a promoted
+    field breaks lax.scan carries and shard_map out-avals).  Regression for
+    the part3 ni lambda-limiter site, which once skipped the cast."""
+    from miniweatherml_tpu.physics.p3_tables import load_p3_tables
+    col = {k: (v.astype(jnp.float32) if hasattr(v, "astype") else v)
+           for k, v in _column(tsurf=290.0, qc0=2e-3, qr0=5e-4, qi0=2e-4,
+                               qv0=0.01).items()}
+    out = p3_scheme(**col, dt=10.0, tables=load_p3_tables())
+    names = ("qc", "nc", "qr", "nr", "qi", "ni", "qm", "bm", "qv", "theta",
+             "precip_liq", "precip_ice")
+    for name, a in zip(names, out):
+        assert a.dtype == jnp.float32, (name, a.dtype)
+
+
 def test_p3_scheme_warm_rain_forms():
     """A cloud-heavy column must autoconvert cloud to rain (KK2000) and rain
     must fall out as surface precip."""

@@ -32,6 +32,27 @@ def test_pallas_step_matches_xla(case, nx, ny, nz):
 
 
 @pytest.mark.slow
+def test_pallas_x_roll_matches_concat_path(monkeypatch):
+    """The periodic whole-axis x kernel has two formulations: the aligned
+    circular-roll fast path (the TPU production default; jnp.roll shim in
+    interpret mode) and the halo-concat path (MWML_X_ROLL=0, also the form
+    sharded axes use).  They must agree to rounding -- the roll A/B was
+    verified bitwise on-chip (BASELINE.md round-3); this keeps both under
+    CPU coverage."""
+    st, dy_x, _ = _setup("thermal", nx=24, ny=1, nz=12)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    out_roll = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_X_ROLL", "0")
+    jax.clear_caches()  # env is read at trace time
+    out_cat = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "wvel", "temp", "water_vapor"):
+        np.testing.assert_allclose(
+            np.asarray(out_roll[name]), np.asarray(out_cat[name]),
+            rtol=1e-12, atol=1e-14, err_msg=name)
+
+
+@pytest.mark.slow
 @pytest.mark.xslow
 def test_pallas_opt_algebra_close_to_reference_order():
     """The reduced-operation limiter algebra (opt_algebra=True, the default)
