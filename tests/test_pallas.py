@@ -32,13 +32,16 @@ def test_pallas_step_matches_xla(case, nx, ny, nz):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_pallas_x_roll_matches_concat_path(monkeypatch):
     """The periodic whole-axis x kernel has two formulations: the aligned
     circular-roll fast path (the TPU production default; jnp.roll shim in
     interpret mode) and the halo-concat path (MWML_X_ROLL=0, also the form
     sharded axes use).  They must agree to rounding -- the roll A/B was
     verified bitwise on-chip (BASELINE.md round-3); this keeps both under
-    CPU coverage."""
+    CPU coverage.  (xslow: the roll path itself is exercised by every
+    interpret-mode pallas test since it became the default branch; this
+    cross-check of the two formulations is belt-and-braces.)"""
     st, dy_x, _ = _setup("thermal", nx=24, ny=1, nz=12)
     dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
     dt = dy_x.compute_time_step(st)
