@@ -50,20 +50,27 @@ def count_ops(hlo_text: str) -> dict:
     return counts
 
 
-def compiled_counts(n_devices: int, per_nx: int, per_ny: int, nz: int):
+def compiled_counts(n_devices: int, per_nx: int, per_ny: int, nz: int,
+                    micro_kind: str = "kessler"):
     py, px = near_square_factors(n_devices)
     nx, ny = per_nx * px, per_ny * py
     cfg = config_from_dict(dict(
         sim_time=1e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
         xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
         init_data="supercell", out_prefix="cc", dt_phys=0.0, out_freq=-1.0))
-    state, mods, dycore = build(cfg)
+    if micro_kind == "p3":
+        from miniweatherml_tpu.experiments.supercell_p3 import build as build_p3
+        from miniweatherml_tpu.physics.p3 import MicrophysicsP3
+        state, mods, dycore = build_p3(cfg)
+        micro = MicrophysicsP3()
+    else:
+        state, mods, dycore = build(cfg)
+        micro = MicrophysicsKessler()
     mesh = make_mesh(devices=jax.devices()[:n_devices], ens=1)
     st = shard_state(state, mesh)
     dt = dycore.compute_time_step(state)
-
     # explicit shard_map path
-    step = make_spmd_step(state, mesh, dycore, micro=MicrophysicsKessler(),
+    step = make_spmd_step(state, mesh, dycore, micro=micro,
                           nudger=ColumnNudger())
     txt_sm = jax.jit(lambda s: step(s, dt)).lower(st).compile().as_text()
 
@@ -77,6 +84,11 @@ def compiled_counts(n_devices: int, per_nx: int, per_ny: int, nz: int):
 
 
 def main():
+    micro_kind = "kessler"
+    if "--micro" in sys.argv:
+        i = sys.argv.index("--micro")
+        micro_kind = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     per_nx = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     per_ny = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     nz = int(sys.argv[3]) if len(sys.argv) > 3 else 16
@@ -86,7 +98,7 @@ def main():
           + " | auto-SPMD: " + " ".join(f"{o:>18}" for o in OPS))
     n = 1
     while n <= ndev:
-        mesh_s, sm, auto = compiled_counts(n, per_nx, per_ny, nz)
+        mesh_s, sm, auto = compiled_counts(n, per_nx, per_ny, nz, micro_kind)
         print(f"{n:5d} {mesh_s:>6} | "
               + " ".join(f"{sm[o]:18d}" for o in OPS)
               + " |            "
