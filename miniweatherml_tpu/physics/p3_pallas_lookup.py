@@ -43,9 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .p3_tables import DENSIZE, ISIZE, RCOLLSIZE, RIMSIZE
 
-RAINSIZE = 300  # rain-table rows (p3_init_b, micro_p3.F90:236-334)
-
-
 def _bc() -> int:
     return int(os.environ.get("MWML_P3_PALLAS_BC", 1024))
 
@@ -98,8 +95,8 @@ def _coll_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
     out_ref[...] = jnp.exp(r * np.float32(np.log(10.0)))
 
 
-def _rain_kernel(i0_ref, fi_ref, t_ref, out_ref, *, BC):
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (BC, RAINSIZE), 1)
+def _rain_kernel(i0_ref, fi_ref, t_ref, out_ref, *, BC, size):
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (BC, size), 1)
     wk = _pair_rows(i0_ref[...], fi_ref[...], iota_i)
     out_ref[...] = jnp.dot(wk, t_ref[...],
                            preferred_element_type=jnp.float32)
@@ -126,7 +123,7 @@ def _segment_selector(K, P):
     return jnp.asarray(s)
 
 
-def _call(kernel, flat, consts, nblocks, BC, K, widths, interpret):
+def _call(kernel, flat, consts, nblocks, BC, K, interpret):
     """Shared pallas_call plumbing: per-block (BC, 1) operand columns +
     whole-array constant operands (table, selector)."""
     in_specs = [pl.BlockSpec((BC, 1), lambda b: (b, 0),
@@ -166,7 +163,7 @@ def interp_ice_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj,
          (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32)], BC)
     out = _call(functools.partial(_ice_kernel, BC=BC, K=K),
                 flat, [T, _segment_selector(K, P)],
-                flat[0].shape[0] // BC, BC, K, None, interpret)
+                flat[0].shape[0] // BC, BC, K, interpret)
     out = out[:n].reshape(*shape, K)
     return tuple(out[..., k] for k in range(K))
 
@@ -191,22 +188,25 @@ def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
          (j0, jnp.int32), (fj, jnp.float32)], BC)
     out = _call(functools.partial(_coll_kernel, BC=BC, K=K),
                 flat, [T, _segment_selector(K, P)],
-                flat[0].shape[0] // BC, BC, K, None, interpret)
+                flat[0].shape[0] // BC, BC, K, interpret)
     out = out[:n].reshape(*shape, K)
     return tuple(out[..., k] for k in range(K))
 
 
 def interp_rain_pallas(rows, i0, fi, interpret: bool = False):
-    """1-D rain-table linear interpolation for several (RAINSIZE,) rows
-    sharing one index set; returns a tuple in ``rows`` order."""
+    """1-D rain-table linear interpolation for several equal-length rows
+    sharing one index set; returns a tuple in ``rows`` order.  The row
+    length is taken from the rows themselves (300 for the generated rain
+    tables, p3_init_b micro_p3.F90:236-334), matching interp_rain_multi."""
     BC = _bc()
     K = len(rows)
     T = jnp.asarray(np.stack([np.asarray(r, np.float32) for r in rows],
-                             axis=1), jnp.float32)        # (300, K)
+                             axis=1), jnp.float32)        # (size, K)
+    size = T.shape[0]
 
-    i0 = jnp.clip(i0, 0, RAINSIZE - 2)  # matches interp_rain_multi
+    i0 = jnp.clip(i0, 0, size - 2)  # matches interp_rain_multi
     shape, n, flat = _flatten_pad([(i0, jnp.int32), (fi, jnp.float32)], BC)
-    out = _call(functools.partial(_rain_kernel, BC=BC),
-                flat, [T], flat[0].shape[0] // BC, BC, K, None, interpret)
+    out = _call(functools.partial(_rain_kernel, BC=BC, size=size),
+                flat, [T], flat[0].shape[0] // BC, BC, K, interpret)
     out = out[:n].reshape(*shape, K)
     return tuple(out[..., k] for k in range(K))

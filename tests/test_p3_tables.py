@@ -231,3 +231,36 @@ def test_pallas_rain_kernel_matches_gather(tables, monkeypatch):
     for g, p in zip(ref, out):
         np.testing.assert_allclose(np.asarray(p), np.asarray(g),
                                    rtol=3e-5, atol=0)
+
+
+def test_truncated_table_file_raises(tmp_path):
+    """A truncated/corrupt table file must fail loudly (ValueError), not
+    spin forever at EOF (readline() returning '' used to loop)."""
+    src = default_table_path()
+    with open(src) as f:
+        head = [f.readline() for _ in range(50)]
+    cut = tmp_path / "truncated.dat"
+    cut.write_text("".join(head))
+    with pytest.raises(ValueError, match="truncated"):
+        load_p3_tables(str(cut))
+
+
+def test_pallas_rain_kernel_derives_row_length(monkeypatch):
+    """The rain kernel takes its table width from the rows themselves
+    (not a hard-coded 300), matching interp_rain_multi's contract."""
+    from miniweatherml_tpu.physics.p3_tables import interp_rain_multi
+
+    rng = np.random.default_rng(7)
+    rows = tuple(np.asarray(rng.uniform(0.5, 2.0, 77), np.float32)
+                 for _ in range(2))
+    n = 500
+    i0 = jnp.asarray(rng.integers(0, 78, n), jnp.int32)  # incl. clip range
+    fi = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_rain_multi(rows, i0, fi)
+    monkeypatch.setenv("MWML_P3_TABLES", "pallas")
+    out = interp_rain_multi(rows, i0, fi)
+    for g, p in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=3e-5, atol=0)
