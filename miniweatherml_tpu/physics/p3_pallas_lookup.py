@@ -43,8 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .p3_tables import DENSIZE, ISIZE, RCOLLSIZE, RIMSIZE
 
-def _bc() -> int:
-    return int(os.environ.get("MWML_P3_PALLAS_BC", 1024))
+def _bc(lanes: int = 1) -> int:
+    """Cells per block, clamped so the kernel's (BC, lanes) temporaries
+    fit Mosaic's scoped-VMEM budget.  The collect kernel's lane width is
+    K*P = 1200, and ~7 full-width temps (iota, digit decode, weights,
+    matmul operand) live at once: BC=1024 there needs ~20.5 MB of scoped
+    VMEM vs the 16 MB limit (measured OOM on-chip).  Cap the per-temp
+    footprint at ~1.5 MB; env MWML_P3_PALLAS_BC remains an upper bound."""
+    bc = int(os.environ.get("MWML_P3_PALLAS_BC", 1024))
+    cap = max(8, (1_500_000 // (4 * max(lanes, 1))) // 8 * 8)
+    return min(bc, cap)
 
 
 def _pair_rows(i0, f, iota):
@@ -148,9 +156,9 @@ def interp_ice_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj,
                       interpret: bool = False):
     """Trilinear ice-table interpolation in one VMEM-resident kernel;
     same contract as p3_tables.interp_ice_multi."""
-    BC = _bc()
     K = len(cols)
     P = DENSIZE * RIMSIZE
+    BC = _bc(K * P)
     # (densize, rimsize, isize, K) -> (isize, K, densize*rimsize): column
     # k occupies lanes [k*P, (k+1)*P), plane-major (jj*RIMSIZE + ii)
     tsel = np.moveaxis(tables.ice[..., [c - 1 for c in cols]], 2, 0)
@@ -172,9 +180,9 @@ def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
                           interpret: bool = False):
     """Quadrilinear ice-rain collection interpolation in one kernel;
     same contract as p3_tables.interp_collect_multi (exponentiated)."""
-    BC = _bc()
     K = len(cols)
     P = DENSIZE * RIMSIZE * RCOLLSIZE
+    BC = _bc(K * P)
     # (densize, rimsize, isize, rcollsize, K) -> (isize, K, P) with
     # plane p = (jj*RIMSIZE + ii)*RCOLLSIZE + rr
     tsel = np.moveaxis(tables.collect[..., [c - 1 for c in cols]], 2, 0)
@@ -198,11 +206,11 @@ def interp_rain_pallas(rows, i0, fi, interpret: bool = False):
     sharing one index set; returns a tuple in ``rows`` order.  The row
     length is taken from the rows themselves (300 for the generated rain
     tables, p3_init_b micro_p3.F90:236-334), matching interp_rain_multi."""
-    BC = _bc()
     K = len(rows)
     T = jnp.asarray(np.stack([np.asarray(r, np.float32) for r in rows],
                              axis=1), jnp.float32)        # (size, K)
     size = T.shape[0]
+    BC = _bc(size)
 
     i0 = jnp.clip(i0, 0, size - 2)  # matches interp_rain_multi
     shape, n, flat = _flatten_pad([(i0, jnp.int32), (fi, jnp.float32)], BC)
