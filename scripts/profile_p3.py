@@ -26,17 +26,29 @@ from miniweatherml_tpu.physics.p3_tables import (
     rain_collection_index, rain_size_index)
 
 
-def timeit(name, f, *args, reps=3):
+def _sync(out):
+    """Fetch ONE scalar: on the axon platform block_until_ready returns
+    early, so a value fetch is the only honest sync; fetching a single
+    leaf keeps the host round-trip out of the per-rep cost."""
+    leaves = [a for a in jax.tree_util.tree_leaves(out) if hasattr(a, "dtype")]
+    if leaves:
+        float(jnp.max(leaves[0]))
+
+
+def timeit(name, f, *args, reps=3, inner=4):
+    """Median-free best-of-reps with ``inner`` back-to-back async calls
+    per rep and one sync at the end: the tunnel's ~0.4 s dispatch latency
+    pipelines across the inner calls instead of being counted ``inner``
+    times (the numbers recorded before this change carried that latency)."""
     out = f(*args)
-    jax.tree_util.tree_map(
-        lambda a: float(jnp.max(a)) if hasattr(a, "dtype") else a, out)
+    _sync(out)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.tree_util.tree_map(
-            lambda a: float(jnp.max(a)) if hasattr(a, "dtype") else a, out)
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(inner):
+            out = f(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
     print(f"{name:34s} {best * 1e3:9.2f} ms", flush=True)
     return best
 
@@ -66,7 +78,7 @@ def main():
     rho_c = state["cloud_water"]
     temp = state["temp"]
     rho = rho_d + rho_v + rho_c
-    timeit("saturation bisection (60 iters)",
+    timeit("saturation bisection (dtype-adaptive iters)",
            jax.jit(lambda *a: compute_adjusted_state(*a)),
            rho, rho_d, rho_v, rho_c, temp)
 
