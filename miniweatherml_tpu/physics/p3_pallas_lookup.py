@@ -2,10 +2,13 @@
 
 The XLA matmul formulation (p3_tables.interp_*_multi) materializes the
 (cells, 50) one-hot weight matrix and the (cells, K*P) corner-product
-array in HBM; at 16.8M cells that is ~10 GB of traffic per batched
-lookup.  Here the whole interpolation runs inside one kernel with the
-table resident in VMEM, so HBM traffic collapses to the index inputs
-and the K output columns (~16x less).
+array in HBM.  This kernel was written to collapse that traffic by
+keeping the whole interpolation VMEM-resident -- but MEASURED ON-CHIP
+IT LOSES (ice 82.5 ms vs the matmul path's ~15 at 4.2M cells): the
+(cells, 1) column operands acquire 128x-padded T(8,128) HBM copies at
+the custom-call boundary, so the kernel pays more HBM traffic than the
+fusion it removes.  It stays as an opt-in A/B reference; the matmul
+form is the TPU default (BASELINE.md round-3 negative results).
 
 Formulation (chosen for Mosaic-friendliness -- every op is a full-width
 vector op or an MXU matmul; no lane slicing, no in-kernel reshapes):
@@ -110,18 +113,28 @@ def _rain_kernel(i0_ref, fi_ref, t_ref, out_ref, *, BC, size):
                            preferred_element_type=jnp.float32)
 
 
-def _flatten_pad(arrays, BC):
-    """Flatten index/frac arrays to padded (n_padded, 1) f32/i32 columns."""
-    shape = arrays[0][0].shape
-    n = int(np.prod(shape)) if shape else 1
-    pad = (-n) % BC
-    flat = []
-    for a, dt in arrays:
-        a = a.reshape(n).astype(dt)
-        if pad:
-            a = jnp.pad(a, (0, pad))
-        flat.append(a.reshape(-1, 1))
-    return shape, n, flat
+def _chunked(kernel, arrays, consts, BC, K, interpret):
+    """Run the kernel over all cells, chunked via p3_tables._map_cells.
+
+    The kernel's (cells, 1) column operands acquire XLA's T(8,128) tiling
+    at the custom-call boundary -- a 128x padded HBM copy PER OPERAND
+    (measured: 2.0 GB each at 4.2M cells; the 8-operand collect call
+    needed 18 GB and OOMed the chip).  Chunking the *call* bounds those
+    copies (MWML_P3_CHUNK_PALLAS cells/chunk, default 131072 -> 64 MB per
+    operand copy) while the grid inside each call still walks BC-cell
+    blocks."""
+    from .p3_tables import _map_cells
+
+    def fn(*flat):
+        n = flat[0].shape[0]
+        pad = (-n) % BC
+        cols = [jnp.pad(a, (0, pad)).reshape(-1, 1) for a in flat]
+        out = _call(kernel, cols, consts, cols[0].shape[0] // BC, BC, K,
+                    interpret)
+        return out[:n]
+
+    n_chunk = int(os.environ.get("MWML_P3_CHUNK_PALLAS", 131072))
+    return _map_cells(fn, list(arrays), K, n_chunk)
 
 
 def _segment_selector(K, P):
@@ -166,13 +179,11 @@ def interp_ice_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj,
     T = jnp.asarray(np.ascontiguousarray(tsel).reshape(ISIZE, -1),
                     jnp.float32)
 
-    shape, n, flat = _flatten_pad(
-        [(i0, jnp.int32), (fi, jnp.float32), (ii0, jnp.int32),
-         (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32)], BC)
-    out = _call(functools.partial(_ice_kernel, BC=BC, K=K),
-                flat, [T, _segment_selector(K, P)],
-                flat[0].shape[0] // BC, BC, K, interpret)
-    out = out[:n].reshape(*shape, K)
+    out = _chunked(functools.partial(_ice_kernel, BC=BC, K=K),
+                   [i0.astype(jnp.int32), fi.astype(jnp.float32),
+                    ii0.astype(jnp.int32), fii.astype(jnp.float32),
+                    jj0.astype(jnp.int32), fjj.astype(jnp.float32)],
+                   [T, _segment_selector(K, P)], BC, K, interpret)
     return tuple(out[..., k] for k in range(K))
 
 
@@ -190,14 +201,12 @@ def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
     T = jnp.asarray(np.ascontiguousarray(tsel).reshape(ISIZE, -1),
                     jnp.float32)
 
-    shape, n, flat = _flatten_pad(
-        [(i0, jnp.int32), (fi, jnp.float32), (ii0, jnp.int32),
-         (fii, jnp.float32), (jj0, jnp.int32), (fjj, jnp.float32),
-         (j0, jnp.int32), (fj, jnp.float32)], BC)
-    out = _call(functools.partial(_coll_kernel, BC=BC, K=K),
-                flat, [T, _segment_selector(K, P)],
-                flat[0].shape[0] // BC, BC, K, interpret)
-    out = out[:n].reshape(*shape, K)
+    out = _chunked(functools.partial(_coll_kernel, BC=BC, K=K),
+                   [i0.astype(jnp.int32), fi.astype(jnp.float32),
+                    ii0.astype(jnp.int32), fii.astype(jnp.float32),
+                    jj0.astype(jnp.int32), fjj.astype(jnp.float32),
+                    j0.astype(jnp.int32), fj.astype(jnp.float32)],
+                   [T, _segment_selector(K, P)], BC, K, interpret)
     return tuple(out[..., k] for k in range(K))
 
 
@@ -213,8 +222,7 @@ def interp_rain_pallas(rows, i0, fi, interpret: bool = False):
     BC = _bc(size)
 
     i0 = jnp.clip(i0, 0, size - 2)  # matches interp_rain_multi
-    shape, n, flat = _flatten_pad([(i0, jnp.int32), (fi, jnp.float32)], BC)
-    out = _call(functools.partial(_rain_kernel, BC=BC, size=size),
-                flat, [T], flat[0].shape[0] // BC, BC, K, interpret)
-    out = out[:n].reshape(*shape, K)
+    out = _chunked(functools.partial(_rain_kernel, BC=BC, size=size),
+                   [i0.astype(jnp.int32), fi.astype(jnp.float32)],
+                   [T], BC, K, interpret)
     return tuple(out[..., k] for k in range(K))
