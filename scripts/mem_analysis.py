@@ -60,8 +60,8 @@ def main():
         compiled = lowered.compile()
     except Exception as e:  # OOM report carries the allocation table
         txt = str(e)
-        print("COMPILE FAILED; error tail:")
-        print(txt[-8000:])
+        print("COMPILE FAILED; error text:")
+        print(txt[:40000])
         return 1
     ma = compiled.memory_analysis()
     print("memory_analysis:", ma)
