@@ -28,7 +28,12 @@ __all__ = ["build", "main"]
 
 def build(config: SimConfig):
     state = setup_state(config)
-    micro = MicrophysicsP3(backend=str(config.extras.get("p3_backend", "jax")))
+    micro = MicrophysicsP3(
+        backend=str(config.extras.get("p3_backend", "jax")),
+        # YAML `p3_diagnostics: true` registers + fills part3's diagnostic
+        # fields (eff radii, reflectivity, ...) each step -- a strict
+        # superset of the reference wrapper, which discards them
+        diagnostics=bool(config.extras.get("p3_diagnostics", False)))
     dycore = Dycore()
     nudger = ColumnNudger()
 
@@ -52,7 +57,10 @@ def main(argv=None) -> CouplerState:
         raise SystemExit("usage: supercell_p3 <input.yaml>")
     config = load_config(argv[0])
     state, mods, dycore = build(config)
-    writer = StateWriter(config.out_prefix, state) if config.out_freq >= 0 else None
+    diag = (MicrophysicsP3.DIAG_FIELDS
+            if config.extras.get("p3_diagnostics", False) else ())
+    writer = (StateWriter(config.out_prefix, state, extra_vars=diag)
+              if config.out_freq >= 0 else None)
     timers = Timers()
     timers.start("main")
     state = run_main_loop(state, config, mods, dycore, writer, timers)

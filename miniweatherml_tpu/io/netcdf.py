@@ -78,9 +78,14 @@ class StateWriter:
     """
 
     def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0,
-                 offsets: tuple | None = None):
+                 offsets: tuple | None = None,
+                 extra_vars: tuple = ()):
+        """``extra_vars``: additional registered (nens, nz, ny, nx) fields
+        to write beyond the reference's state+tracer variable layout
+        (dynamics...h:2114-2131) -- e.g. the P3 diagnostic fields."""
         self.iens = iens
-        self.varnames = list(_STATE_VARS) + list(state.meta.tracer_names)
+        self.varnames = (list(_STATE_VARS) + list(state.meta.tracer_names)
+                         + list(extra_vars))
         g = state.grid
         if _netcdf_file is None:
             self.path = path_prefix + ".npz"

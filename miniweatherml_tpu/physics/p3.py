@@ -251,7 +251,7 @@ def _conserve(avail, dt, *sinks):
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
               rho_d, dz, dt, z_axis: int = 1, tables=None,
               spmd_axes: tuple = (), qv_prev=None, t_prev=None,
-              do_predict_nc: bool = False):
+              do_predict_nc: bool = False, diagnostics: bool = False):
     """The P3-class column scheme on dry mixing ratios.
 
     All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
@@ -277,6 +277,15 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     parameter is the v4.1.1 constant mu_r = 1 -- p3_init_b fills the mu_r
     table with mu_r_constant (micro_p3.F90:236-287,
     micro_p3_utils.F90:33), so the constant IS the reference's table tier.
+
+    ``diagnostics=True`` additionally returns p3_main_part3's diagnostic
+    outputs (micro_p3.F90:1026,:1046-1048,:1085-1127 with the p3_main
+    defaults :1307-1315) as a 13th element -- a dict with
+    ``eff_radius_qc`` / ``eff_radius_qi`` (m), ``diam_qi`` (m),
+    ``rho_qi`` (kg/m^3), ``vm_qi`` (m/s), ``equiv_reflectivity`` (dBZ).
+    The reference COMPUTES these but its miniWeatherML wrapper discards
+    them (microphysics_p3.h builds then drops the diag arrays); here they
+    are an opt-in strict superset.  Ice diagnostics need ``tables``.
     """
     temp = theta * exner
     rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
@@ -299,21 +308,29 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
 
     _cons1 = jnp.pi / 6.0 * RHO_H2O
 
-    def rain_dsd_nr(qr_, nr_):
+    def rain_dsd2(qr_, nr_):
         """get_rain_dsd2's lambda-limiter adjustment of nr (micro_p3.F90:
         1841-1893, mu_r = 1 constant): keeps the mean drop size within
         [10 um, 2 mm] so process rates (notably the Verlinde-Cotton breakup
-        exponential, :2725-2737) never see absurd DSDs."""
+        exponential, :2725-2737) never see absurd DSDs.  Returns
+        (nr adjusted, lamr after the clip) -- lamr feeds the part3 rain
+        reflectivity diagnostic (:1046-1048)."""
         nr1 = jnp.maximum(nr_, NSMALL)
         lamr = jnp.cbrt(_cons1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
         lamr_cl = jnp.clip(lamr, 2.0 * 500.0, 2.0 * 1.0e5)
         nr_lim = jnp.where(lamr != lamr_cl,
                            lamr_cl ** 3 * qr_ / (24.0 * _cons1), nr1)
-        return jnp.where(qr_ >= QSMALL, nr_lim, nr_)
+        return jnp.where(qr_ >= QSMALL, nr_lim, nr_), lamr_cl
 
-    def cloud_dsd_nc(qc_, nc_):
+    def rain_dsd_nr(qr_, nr_):
+        return rain_dsd2(qr_, nr_)[0]
+
+    def cloud_dsd2(qc_, nc_):
         """get_cloud_dsd2's lambda-limiter adjustment of nc
-        (micro_p3.F90:1774-1837)."""
+        (micro_p3.F90:1774-1837).  Returns (nc adjusted, mu_c, lamc after
+        the clip); mu_c/lamc feed the part3 effective-radius diagnostic
+        (:1026 -- the reference does NOT recompute mu from the adjusted
+        nc, so mu here is the pre-limiter value)."""
         nc1 = jnp.maximum(nc_, NSMALL)
         s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714
         mu_ = jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
@@ -322,7 +339,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         lamc_cl = jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
         nc_lim = jnp.where(lamc != lamc_cl,
                            lamc_cl ** 3 * qc_ / (_cons1 * mval_), nc1)
-        return jnp.where(qc_ >= QSMALL, nc_lim, nc_)
+        return jnp.where(qc_ >= QSMALL, nc_lim, nc_), mu_, lamc_cl
+
+    def cloud_dsd_nc(qc_, nc_):
+        return cloud_dsd2(qc_, nc_)[0]
 
 
     def ax(a, sl):
@@ -989,6 +1009,14 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qm = jnp.where(tiny_i2, 0.0, qm)
     bm = jnp.where(tiny_i2, 0.0, bm)
     ni = cap_ni(ni)
+    if diagnostics:
+        # per-column is_hydromet_present, set exactly where the reference
+        # sets it: a level surviving the end-of-part2 clipping
+        # (micro_p3.F90:893-920 else-branches).  Columns without it skip
+        # part3 in the reference, leaving the diag outputs at their
+        # p3_main init values (:1307-1315) -- reproduced below.
+        hydro_col = jnp.any(~(tiny_c2 & tiny_r2 & tiny_i2), axis=z_axis,
+                            keepdims=True)
 
     # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
     def cloud_sed_speeds(qc_, nc_):
@@ -1149,16 +1177,27 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     small_c = qc < QSMALL
     qv = qv + jnp.where(small_c, qc, 0.0)
     theta = theta - jnp.where(small_c, qc, 0.0) * Lv / (cp * exner)
-    nc = jnp.where(small_c, 0.0, cloud_dsd_nc(qc, nc))
+    nc3, mu_c3, lamc3 = cloud_dsd2(qc, nc)
+    nc = jnp.where(small_c, 0.0, nc3)
     qc = jnp.where(small_c, 0.0, qc)
+    if diagnostics:
+        # diag_eff_radius_qc (:1026); default 10 um (:1312)
+        eff_qc = jnp.where(small_c, 10.0e-6, 0.5 * (mu_c3 + 3.0) / lamc3)
 
     # rain (:1037-1060): tiny qr evaporates; otherwise get_rain_dsd2's
     # lambda limiters (mu_r = 1 constant, :1841-1893) may adjust nr.
     small_r = qr < QSMALL
     qv = qv + jnp.where(small_r, qr, 0.0)
     theta = theta - jnp.where(small_r, qr, 0.0) * Lv / (cp * exner)
-    nr = jnp.where(small_r, 0.0, rain_dsd_nr(qr, nr))
+    nr3, lamr3 = rain_dsd2(qr, nr)
+    nr = jnp.where(small_r, 0.0, nr3)
     qr = jnp.where(small_r, 0.0, qr)
+    if diagnostics:
+        # ze_rain = nr*(mu_r+6)!/(mu_r)!/lamr^6 at mu_r = 1 (:1046-1048);
+        # clear cells keep the p3_main init 1e-22 (:1310)
+        ze_rain = jnp.where(
+            small_r, 1.0e-22,
+            jnp.maximum(nr * 5040.0 / lamr3 ** 6, 1.0e-22))
 
     # ice (:1062-1126): tiny qi sublimates back to vapor; otherwise
     # calc_bulkRhoRime re-bounds qm/bm (:1904-1943), the total ice number
@@ -1169,25 +1208,70 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     ni = jnp.maximum(ni, NSMALL)
     qm, bm, _ = _bulk_rho_rime(qi, qm, bm)
     ni = cap_ni(ni)
+    ice_diag = None
     if tables is not None:
         from .p3_tables import (ice_table_indices, interp_ice_multi,
                                 lookup_dtype)
         rhop3 = jnp.clip(qm / jnp.maximum(bm, 1e-30), RHO_RIMEMIN,
                          RHO_RIMEMAX)
         idx3 = ice_table_indices(qi, ni, qm, rhop3)
-        # normalized lambda-limiter factors (tables 7/8, :1085-1097)
-        t7_3, t8_3 = (t.astype(qi.dtype) for t in jax.lax.cond(
+        # normalized lambda-limiter factors (tables 7/8, :1085-1097); with
+        # diagnostics also fall speed / eff radius / reflectivity / mean
+        # diameter / bulk density (tables 2/6/9/11/12, :1082-1090)
+        cols3 = (7, 8, 2, 6, 9, 11, 12) if diagnostics else (7, 8)
+        vals3 = tuple(t.astype(qi.dtype) for t in jax.lax.cond(
             jnp.any(qi >= QSMALL),
-            lambda: interp_ice_multi(tables, (7, 8), *idx3),
-            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * 2))
+            lambda: interp_ice_multi(tables, cols3, *idx3),
+            lambda: (jnp.zeros(qi.shape, lookup_dtype(qi)),) * len(cols3)))
+        t7_3, t8_3 = vals3[0], vals3[1]
         ni = jnp.minimum(ni, t7_3 * ni)
         ni = jnp.maximum(ni, t8_3 * ni)
+        if diagnostics:
+            ice_diag = vals3[2:]
     qi = jnp.where(small_i, 0.0, qi)
     ni = jnp.where(small_i, 0.0, ni)
     qm = jnp.where(small_i, 0.0, qm)
     bm = jnp.where(small_i, 0.0, bm)
 
-    return qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, precip_liq, precip_ice
+    if not diagnostics:
+        return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
+                precip_liq, precip_ice)
+
+    # -- part3 ice diagnostics (:1102-1112) with p3_main defaults in
+    # clear-sky cells (:1307-1315); ni here is post ni-limiter, exactly
+    # the ni_incld the reference feeds the reflectivity sum (:1108).
+    if ice_diag is not None:
+        t2_3, t6_3, t9_3, t11_3, t12_3 = ice_diag
+        rho_600mb = 60000.0 / (287.042 * 253.15)
+        rhofaci3 = (rho_600mb * inv_rho) ** 0.54
+        vm_qi = jnp.where(small_i, 0.0, t2_3 * rhofaci3)
+        eff_qi = jnp.where(small_i, 25.0e-6, t6_3)
+        diam_qi = jnp.where(small_i, 0.0, t11_3)
+        rho_qi_d = jnp.where(small_i, 0.0, t12_3)
+        # ze_ice starts at the p3_main init 1e-22 and ACCUMULATES the
+        # (single) ice category's contribution (:1108), so the base term
+        # rides into the sum exactly as in the reference
+        ze_ice = jnp.where(
+            small_i, 1.0e-22,
+            jnp.maximum(1.0e-22 + 0.1892 * t9_3 * ni * rho, 1.0e-22))
+    else:  # approx tier: no ice tables -> p3_main defaults
+        vm_qi = jnp.zeros_like(qi)
+        eff_qi = jnp.full_like(qi, 25.0e-6)
+        diam_qi = jnp.zeros_like(qi)
+        rho_qi_d = jnp.zeros_like(qi)
+        ze_ice = jnp.full_like(qi, 1.0e-22)
+    # dBZ over every cell (:1127); 0.1892 = 0.176/0.93 (:1108)
+    dbz = 10.0 * jnp.log10((ze_rain + ze_ice) * 1.0e18)
+    # columns the reference skips keep the p3_main init values
+    diag = dict(
+        eff_radius_qc=jnp.where(hydro_col, eff_qc, 10.0e-6),
+        eff_radius_qi=jnp.where(hydro_col, eff_qi, 25.0e-6),
+        diam_qi=jnp.where(hydro_col, diam_qi, 0.0),
+        rho_qi=jnp.where(hydro_col, rho_qi_d, 0.0),
+        vm_qi=jnp.where(hydro_col, vm_qi, 0.0),
+        equiv_reflectivity=jnp.where(hydro_col, dbz, -99.0))
+    return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
+            precip_liq, precip_ice, diag)
 
 
 def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
@@ -1250,12 +1334,21 @@ class MicrophysicsP3:
         ("water_vapor", "Water Vapor", True, True),
     )
 
+    # part3 diagnostic outputs (opt-in; see p3_scheme(diagnostics=True))
+    DIAG_FIELDS = ("eff_radius_qc", "eff_radius_qi", "diam_qi", "rho_qi",
+                   "vm_qi", "equiv_reflectivity")
+
     def __init__(self, backend: str = "jax", table_path: str | None = None,
                  use_tables: bool | None = None,
-                 do_predict_nc: bool = False):
+                 do_predict_nc: bool = False, diagnostics: bool = False):
         if backend not in ("jax", "native"):
             raise ValueError("backend must be 'jax' or 'native'")
+        if diagnostics and backend != "jax":
+            raise ValueError("diagnostics=True requires backend='jax' "
+                             "(the native twin mirrors the reference "
+                             "wrapper, which discards the diag arrays)")
         self.backend = backend
+        self.diagnostics = diagnostics
         # Predicted droplet number (micro_p3.F90 do_predict_nc branches);
         # the reference wrapper runs prescribed (microphysics_p3.h:314).
         self.do_predict_nc = do_predict_nc
@@ -1279,6 +1372,18 @@ class MicrophysicsP3:
         state = state.register_field("t_prev")
         state = state.register_field("precl", shape=(g.nens, g.ny, g.nx))
         state = state.register_field("precl_ice", shape=(g.nens, g.ny, g.nx))
+        if self.diagnostics:
+            for name in self.DIAG_FIELDS:
+                state = state.register_field(name)
+            # p3_main init values (micro_p3.F90:1307-1315) so the t=0
+            # snapshot carries the same defaults a skipped column keeps
+            state = state.replace_fields(
+                eff_radius_qc=jnp.full_like(state["eff_radius_qc"],
+                                            10.0e-6),
+                eff_radius_qi=jnp.full_like(state["eff_radius_qi"],
+                                            25.0e-6),
+                equiv_reflectivity=jnp.full_like(
+                    state["equiv_reflectivity"], -99.0))
         cv_d = CP_D - R_D
         return state.set_options(
             micro="p3",
@@ -1329,11 +1434,15 @@ class MicrophysicsP3:
                     pressure, rho_d, dz, dt, qv_prev=qv_prev,
                     t_prev=t_prev))
         else:
-            qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = p3_scheme(
+            out = p3_scheme(
                 qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
                 rho_d, dz, dt, z_axis=1, tables=self.tables,
                 spmd_axes=spmd_axes, qv_prev=qv_prev, t_prev=t_prev,
-                do_predict_nc=self.do_predict_nc)
+                do_predict_nc=self.do_predict_nc,
+                diagnostics=self.diagnostics)
+            qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = out[:12]
+            if self.diagnostics:
+                state = state.replace_fields(**out[12])
 
         clamp = lambda q: jnp.maximum(q * rho_d, 0.0)
         temp_new = theta * exner  # frozen exner (microphysics_p3.h:434-436)

@@ -1414,12 +1414,19 @@ def ice_sedimentation(dt, rho, inv_dz, tables, env, qi, ni, qm, bm):
 
 def p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr, nr, qi,
                   ni, qm, bm):
-    """(micro_p3.F90:977-1137.)  Prognostic effects only -- the
-    diagnostic outputs (radii, reflectivity) are discarded by the
-    reference wrapper."""
+    """(micro_p3.F90:977-1137.)  Returns the diagnostic outputs as a dict
+    of per-level arrays (the reference wrapper discards them; kept here
+    to anchor the scheme's opt-in diagnostics).  Defaults per p3_main
+    :1307-1315: eff_radius_qc 10 um, eff_radius_qi 25 um, ze 1e-22."""
     nz = len(qv)
     lv, ls = LATVAP, LATVAP + LATICE
     ice_table = tables.ice
+    diag = dict(
+        eff_radius_qc=np.full(nz, 10.0e-6), eff_radius_qi=np.full(nz, 25.0e-6),
+        diam_qi=np.zeros(nz), rho_qi=np.zeros(nz), vm_qi=np.zeros(nz),
+        equiv_reflectivity=np.zeros(nz))
+    ze_rain = np.full(nz, 1.0e-22)
+    ze_ice = np.full(nz, 1.0e-22)
     for k in range(nz):
         inv_exner = 1.0 / exner[k]
         # cloud
@@ -1427,6 +1434,7 @@ def p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr, nr, qi,
             nc_incld, mu_c, lamc, _, _ = get_cloud_dsd2(qc[k], nc[k],
                                                         rho[k])
             nc[k] = nc_incld
+            diag["eff_radius_qc"][k] = 0.5 * (mu_c + 3.0) / lamc  # :1026
         else:
             qv[k] += qc[k]
             th[k] -= inv_exner * qc[k] * lv * INV_CP
@@ -1436,6 +1444,11 @@ def p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr, nr, qi,
         if qr[k] >= QSMALL:
             nr_incld, mu_r, lamr, _, _ = get_rain_dsd2(qr[k], nr[k])
             nr[k] = nr_incld
+            # :1046-1048
+            ze_rain[k] = (nr[k] * (mu_r + 6.0) * (mu_r + 5.0)
+                          * (mu_r + 4.0) * (mu_r + 3.0) * (mu_r + 2.0)
+                          * (mu_r + 1.0) / lamr ** 6)
+            ze_rain[k] = max(ze_rain[k], 1.0e-22)
         else:
             qv[k] += qr[k]
             th[k] -= inv_exner * qr[k] * lv * INV_CP
@@ -1449,16 +1462,23 @@ def p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr, nr, qi,
             dumi, dumjj, dumii, dum1, dum4, dum5 = \
                 find_lookup_table_indices_1a(qi[k], ni_incld, qm[k], rhop)
             args = (dumjj, dumii, dumi)
-            t7 = access_lookup_table(ice_table, *args, 7, dum1, dum4,
-                                     dum5)
-            t8 = access_lookup_table(ice_table, *args, 8, dum1, dum4,
-                                     dum5)
+            t2, t6, t7, t8, t9, t11, t12 = (
+                access_lookup_table(ice_table, *args, c, dum1, dum4, dum5)
+                for c in (2, 6, 7, 8, 9, 11, 12))
             ni_incld = min(ni_incld, t7 * ni_incld)
             ni_incld = max(ni_incld, t8 * ni_incld)
             ni[k] = ni_incld
             if qm[k] < QSMALL:
                 qm[k] = 0.0
                 bm[k] = 0.0
+            # :1102-1112 diagnostics (rhofaci = (rho_600mb/rho)^0.54)
+            rhofaci = (60000.0 / (287.042 * 253.15) / rho[k]) ** 0.54
+            diag["vm_qi"][k] = t2 * rhofaci
+            diag["eff_radius_qi"][k] = t6
+            diag["diam_qi"][k] = t11
+            diag["rho_qi"][k] = t12
+            ze_ice[k] = max(ze_ice[k] + 0.1892 * t9 * ni_incld * rho[k],
+                            1.0e-22)
         else:
             qv[k] += qi[k]
             th[k] -= inv_exner * qi[k] * ls * INV_CP
@@ -1468,15 +1488,21 @@ def p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr, nr, qi,
             bm[k] = 0.0
         if qr[k] < QSMALL:
             nr[k] = 0.0
+        # :1127
+        diag["equiv_reflectivity"][k] = \
+            10.0 * np.log10((ze_rain[k] + ze_ice[k]) * 1.0e18)
+    return diag
 
 
 def p3_main_step(tables, qc, nc, qr, nr, qi, ni, qm, bm, qv, th, exner,
-                 pres, rho_d, dz, dt, qv_prev=None, t_prev=None):
+                 pres, rho_d, dz, dt, qv_prev=None, t_prev=None,
+                 return_diag=False):
     """One full p3_main step (micro_p3.F90:1141-1506) on a single column,
     bottom-up arrays, the reference wrapper's configuration
     (do_predict_nc = false, do_prescribed_CCN = false, cld_frac = 1).
     Returns (qc, nc, qr, nr, qi, ni, qm, bm, qv, th, precip_liq_surf,
-    precip_ice_surf)."""
+    precip_ice_surf); with ``return_diag`` also part3's diagnostic dict
+    (p3_main init values :1307-1315 when part3 is skipped)."""
     qc, nc, qr, nr = (np.array(a, dtype=float) for a in (qc, nc, qr, nr))
     qi, ni, qm, bm = (np.array(a, dtype=float) for a in (qi, ni, qm, bm))
     qv, th = np.array(qv, dtype=float), np.array(th, dtype=float)
@@ -1504,6 +1530,12 @@ def p3_main_step(tables, qc, nc, qr, nr, qi, ni, qm, bm, qv, th, exner,
         bm)
     precip_liq_surf = 0.0
     precip_ice_surf = 0.0
+    nz = len(qv)
+    diag = dict(
+        eff_radius_qc=np.full(nz, 10.0e-6),
+        eff_radius_qi=np.full(nz, 25.0e-6), diam_qi=np.zeros(nz),
+        rho_qi=np.zeros(nz), vm_qi=np.zeros(nz),
+        equiv_reflectivity=np.full(nz, -99.0))
     if is_nucleat_possible or is_hydromet_present:
         is_hydromet_present = p3_main_part2(
             tables, vn_table, vm_table, revap_table, dt, pres, exner,
@@ -1526,7 +1558,8 @@ def p3_main_step(tables, qc, nc, qr, nr, qi, ni, qm, bm, qv, th, exner,
                     env["t_atm"][k], 1.0 / exner[k], LATICE, qc[k],
                     nc[k], qr[k], nr[k], qi[k], ni[k], qm[k], bm[k],
                     th[k])
-            p3_main_part3(tables, env, exner, rho, qv, th, qc, nc, qr,
-                          nr, qi, ni, qm, bm)
-    return (qc, nc, qr, nr, qi, ni, qm, bm, qv, th, precip_liq_surf,
-            precip_ice_surf)
+            diag = p3_main_part3(tables, env, exner, rho, qv, th, qc, nc,
+                                 qr, nr, qi, ni, qm, bm)
+    out = (qc, nc, qr, nr, qi, ni, qm, bm, qv, th, precip_liq_surf,
+           precip_ice_surf)
+    return out + (diag,) if return_diag else out

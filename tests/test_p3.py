@@ -246,6 +246,34 @@ def test_p3_module_integration_with_dycore():
         np.asarray(st["t_prev"]), np.asarray(st["temp"]), rtol=1e-12)
 
 
+def test_p3_wrapper_diagnostics_fields():
+    """MicrophysicsP3(diagnostics=True) registers part3's diagnostic
+    fields and fills them each step (eff radii / reflectivity, an opt-in
+    strict superset of the reference wrapper, which computes-then-drops
+    them in micro_p3.F90 part3)."""
+    g = Grid(nx=8, ny=1, nz=12, xlen=20000.0, ylen=20000.0, zlen=16000.0)
+    st = make_coupler_state(g, dtype="float64",
+                            options={"init_data": "supercell",
+                                     "out_freq": -1.0})
+    micro = MicrophysicsP3(diagnostics=True)
+    dy = Dycore()
+    st = micro.init(st)
+    st = dy.init(st)
+    for name in MicrophysicsP3.DIAG_FIELDS:
+        assert name in st.fields
+    # seed some cloud so the diagnostics have something to report
+    st = st.replace_fields(cloud_water=jnp.full_like(
+        st["cloud_water"], 1.0e-3))
+    st = micro.time_step(st, 10.0)
+    dbz = np.asarray(st["equiv_reflectivity"])
+    effc = np.asarray(st["eff_radius_qc"])
+    assert np.all(np.isfinite(dbz)) and dbz.min() >= -99.0
+    assert effc.min() > 0.0
+    # native backend mirrors the reference wrapper: no diag support
+    with pytest.raises(ValueError):
+        MicrophysicsP3(backend="native", diagnostics=True)
+
+
 def test_p3_adds_mass_flags():
     """Number/rime tracers must not add mass (microphysics_p3.h:103-112):
     the dycore conversion counts only qc/qr/qi/qv into total density."""

@@ -537,6 +537,64 @@ def test_full_step_matches_oracle(tbl, kind):
         ora[11], rel=1e-9, abs=1e-18)
 
 
+@pytest.mark.parametrize("kind", ["warm", "mixed", "clearsky"])
+def test_part3_diagnostics_match_oracle(tbl, kind):
+    """p3_scheme(diagnostics=True)'s part3 diagnostic outputs (effective
+    radii, mean ice diameter/density/fall speed, equivalent reflectivity
+    in dBZ -- micro_p3.F90:1026,:1046-1048,:1102-1127 with the p3_main
+    init defaults :1307-1315) vs the oracle transliteration.  The
+    reference wrapper discards these; the scheme offers them opt-in.
+    clearsky pins the skipped-column defaults (dBZ -99)."""
+    c = _column_profile(kind)
+    dt = 10.0
+    shape = (1, NZ_FULL, 1, 1)
+    col = lambda a: jnp.asarray(a, jnp.float64).reshape(shape)
+    theta = c["temp"] / c["exner"]
+    out = p3_scheme(
+        qc=col(c["qc"]), nc=col(np.zeros(NZ_FULL)), qr=col(c["qr"]),
+        nr=col(c["nr"]), qi=col(c["qi"]), ni=col(c["ni"]),
+        qm=col(c["qm"]), bm=col(c["bm"]), qv=col(c["qv"]),
+        theta=col(theta), exner=col(c["exner"]), pres=col(c["pres"]),
+        rho_d=col(c["rho_d"]), dz=col(np.full(NZ_FULL, 500.0)), dt=dt,
+        tables=tbl, diagnostics=True)
+    assert len(out) == 13
+    diag = out[12]
+
+    *_, odiag = O.p3_main_step(
+        tbl, c["qc"], np.zeros(NZ_FULL), c["qr"], c["nr"], c["qi"],
+        c["ni"], c["qm"], c["bm"], c["qv"], theta, c["exner"], c["pres"],
+        c["rho_d"], np.full(NZ_FULL, 500.0), dt, return_diag=True)
+
+    for name in ("eff_radius_qc", "eff_radius_qi", "diam_qi", "rho_qi",
+                 "vm_qi", "equiv_reflectivity"):
+        got = np.asarray(diag[name]).reshape(NZ_FULL)
+        np.testing.assert_allclose(
+            got, odiag[name], rtol=1e-9, atol=1e-12,
+            err_msg=f"{kind}: {name}")
+
+
+def test_part3_diagnostics_skipped_column_defaults(tbl):
+    """A warm bone-dry column (no hydrometeors, no ice nucleation) skips
+    p3_main's whole body in the reference, so the diagnostics keep their
+    init values (:1307-1315) -- notably equiv_reflectivity = -99 dBZ, NOT
+    the -37 a part3 pass over empty cells would produce.  Pins the
+    scheme's per-column is_hydromet_present gate."""
+    nz = 8
+    shape = (1, nz, 1, 1)
+    col = lambda v: jnp.full(shape, v, jnp.float64)
+    zero = col(0.0)
+    out = p3_scheme(
+        qc=zero, nc=zero, qr=zero, nr=zero, qi=zero, ni=zero, qm=zero,
+        bm=zero, qv=col(1.0e-3), theta=col(300.0), exner=col(1.0),
+        pres=col(1.0e5), rho_d=col(1.1), dz=col(500.0), dt=10.0,
+        tables=tbl, diagnostics=True)
+    diag = out[12]
+    assert np.all(np.asarray(diag["equiv_reflectivity"]) == -99.0)
+    assert np.all(np.asarray(diag["eff_radius_qc"]) == 10.0e-6)
+    assert np.all(np.asarray(diag["eff_radius_qi"]) == 25.0e-6)
+    assert np.all(np.asarray(diag["vm_qi"]) == 0.0)
+
+
 def test_two_consecutive_steps_match_oracle(tbl):
     """Two chained p3_main calls with the wrapper's qv_prev/t_prev history
     threading (microphysics_p3.h:297-301: first call passes the current
