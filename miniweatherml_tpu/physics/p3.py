@@ -170,50 +170,115 @@ def _cp_moist(rho_d, rho_v, rho_c):
 
 def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
                            iters: int | None = None):
-    """Instantaneous saturation adjustment by bisection, vectorized.
+    """Instantaneous saturation adjustment, vectorized.
 
-    Exactly the reference's compute_adjusted_state
+    Semantics of the reference's compute_adjusted_state
     (microphysics_p3.h:467-550): supersaturated cells condense, subsaturated
-    cells with cloud evaporate, each by bisecting the transferred mass until
-    the post-transfer vapor pressure matches the post-transfer saturation
-    pressure.  ``iters`` fixed halvings replace the data-dependent while
-    loop; the default is dtype-adaptive: 60 in f64 (2^-60 of any physical
-    rho_v is far below the reference's 1e-6 tolerance; the C++ twin also
-    runs 60, preserving 1e-9 parity) and 35 in f32, where the bracket has
-    measurably reached its floating-point fixed point (tested exact vs 60
-    over random cells), so further iterations cannot change the result.
-    Returns (rho_v, rho_c, temp).
+    cells with cloud evaporate, until the post-transfer vapor pressure
+    matches the post-transfer saturation pressure.  The reference bisects
+    the transferred mass to an absolute bracket width of 1e-6 kg/m^3
+    (tol at :470, ~14 halvings); here the default solver is a
+    bracket-guarded Newton iteration (rtsafe form) that converges to the
+    SAME root at machine precision in far fewer iterations -- each
+    iteration costs one svp exp, like a bisection step, so the hot P3
+    chain pays ~4-5x less for the pre-adjustment.  The root is unique:
+    f(x) = pv(x) - svp(T(x)) is strictly decreasing in the transferred
+    mass x (more condensation -> drier and warmer -> less supersaturated),
+    and f' is bounded away from zero (the -R_v*T term alone is ~-1e5),
+    so the guarded update (Newton step when inside the current bracket,
+    bisection otherwise) cannot stall or divide by zero.
+
+    ``iters`` (explicit) selects the reference's pure-bisection form with
+    that many halvings -- 60 in f64 reaches the bisection's floating-point
+    fixed point, i.e. the same root Newton finds (tested at 1e-12);
+    35 suffices in f32 (tested exact vs 60).  Returns (rho_v, rho_c, temp).
     """
-    if iters is None:
-        iters = 60 if jnp.result_type(temp) == jnp.float64 else 35
     svp = saturation_vapor_pressure(temp)
     pv = rho_v * R_V * temp
     condensing = pv > svp
     evaporating = (pv < svp) & (rho_c > 0.0)
+    Lv = latent_heat_condensation(temp)
 
-    # Bisect on the signed transfer: positive = condense, negative = evap.
-    lo = jnp.where(condensing, 0.0, jnp.where(evaporating, -rho_c, 0.0))
-    hi = jnp.where(condensing, rho_v, 0.0)
+    if iters is not None:
+        # reference-form bisection (kept for parity anchoring)
+        lo = jnp.where(condensing, 0.0, jnp.where(evaporating, -rho_c, 0.0))
+        hi = jnp.where(condensing, rho_v, 0.0)
 
-    def body(_, carry):
-        lo, hi = carry
+        def body(_, carry):
+            lo, hi = carry
+            x = 0.5 * (lo + hi)
+            rv = jnp.maximum(rho_v - x, 0.0)
+            rc = jnp.maximum(rho_c + x, 0.0)
+            cp = _cp_moist(rho_d, rv, rc)
+            t_loc = temp + x * Lv / (rho * cp)
+            super_sat = rv * R_V * t_loc > saturation_vapor_pressure(t_loc)
+            # supersaturated -> transfer more (raise lo); else lower hi.
+            return jnp.where(super_sat, x, lo), jnp.where(super_sat, hi, x)
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
         x = 0.5 * (lo + hi)
-        rv = jnp.maximum(rho_v - x, 0.0)
-        rc = jnp.maximum(rho_c + x, 0.0)
-        Lv = latent_heat_condensation(temp)
-        cp = _cp_moist(rho_d, rv, rc)
-        t_loc = temp + x * Lv / (rho * cp)
-        super_sat = rv * R_V * t_loc > saturation_vapor_pressure(t_loc)
-        # supersaturated -> transfer more (raise lo); else lower hi.
-        return jnp.where(super_sat, x, lo), jnp.where(super_sat, hi, x)
+    else:
+        # guarded Newton on the signed transfer x (positive = condense,
+        # negative = evaporate).  Within the bracket [-rho_c, rho_v] the
+        # max() clamps in the reference body never fire, so rv/rc are
+        # linear in x and cp(x) is linear too (rv+rc and the total density
+        # are conserved) -- the Newton derivative below is exact.
+        n_newton = 14 if jnp.result_type(temp) == jnp.float64 else 10
+        lo = jnp.where(condensing, 0.0, -rho_c)
+        hi = jnp.where(condensing, rho_v, 0.0)
+        rho_t = rho_d + rho_v + rho_c
+        cp0 = (rho_d * CP_D + rho_v * CP_V + rho_c * CP_L) / rho_t
+        dcp = (CP_L - CP_V) / rho_t
+        _MAGNUS_AB = 17.625 * 243.04
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    x = 0.5 * (lo + hi)
+        def body(_, carry):
+            x, lo, hi, xb, fb = carry
+            rv = rho_v - x
+            cp = cp0 + x * dcp
+            dtdx_lin = Lv / (rho * cp)
+            t_loc = temp + x * dtdx_lin
+            svp_loc = saturation_vapor_pressure(t_loc)
+            f = rv * R_V * t_loc - svp_loc
+            # best-|f| iterate: at a fixed trip count the LAST iterate can
+            # be a regression (near convergence, FMA-level rounding can
+            # flip f's sign and push the Newton step one ulp outside the
+            # bracket, making the fallback below jump to a stale midpoint)
+            # -- so the answer is the best point ever visited, which once
+            # converged can never be lost.
+            absf = jnp.abs(f)
+            better = absf < fb
+            xb = jnp.where(better, x, xb)
+            fb = jnp.where(better, absf, fb)
+            lo = jnp.where(f > 0.0, x, lo)
+            hi = jnp.where(f > 0.0, hi, x)
+            # d/dx [temp + x*Lv/(rho*(cp0+x*dcp))]
+            dtdx = dtdx_lin * (1.0 - x * dcp / cp)
+            tc = t_loc - 273.15
+            dsvp = svp_loc * _MAGNUS_AB / ((243.04 + tc) * (243.04 + tc))
+            fp = -R_V * t_loc + rv * R_V * dtdx - dsvp * dtdx
+            xn = x - f / fp
+            inb = (xn >= lo) & (xn <= hi)
+            return jnp.where(inb, xn, 0.5 * (lo + hi)), lo, hi, xb, fb
+
+        x0 = 0.5 * (lo + hi)
+        inf = jnp.asarray(jnp.inf, x0.dtype)
+        _, lo, hi, x, _ = jax.lax.fori_loop(
+            0, n_newton + 1, body, (x0, lo, hi, x0, jnp.full_like(x0, inf)))
+
+        # Boundary root: a subsaturated cell still subsaturated after ALL
+        # cloud evaporates has its root exactly at x = -rho_c (the
+        # reference's bisection collapses onto that endpoint,
+        # microphysics_p3.h:510-545); Newton cannot land exactly on a
+        # bracket endpoint, so detect it with one extra svp evaluation.
+        cp_lo = cp0 - rho_c * dcp
+        t_lo = temp - rho_c * Lv / (rho * cp_lo)
+        f_lo = (rho_v + rho_c) * R_V * t_lo - saturation_vapor_pressure(t_lo)
+        x = jnp.where(evaporating & (f_lo <= 0.0), -rho_c, x)
+
     active = condensing | evaporating
     x = jnp.where(active, x, 0.0)
     rv = jnp.maximum(rho_v - x, 0.0)
     rc = jnp.maximum(rho_c + x, 0.0)
-    Lv = latent_heat_condensation(temp)
     cp = _cp_moist(rho_d, rv, rc)
     t_new = temp + x * Lv / (rho * cp)
     return rv, rc, t_new

@@ -485,3 +485,28 @@ def test_adjust_state_f32_default_is_fixed_point():
     a60 = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp, iters=60)
     for x35, x60 in zip(a35, a60):
         np.testing.assert_array_equal(np.asarray(x35), np.asarray(x60))
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-12),
+                                       (jnp.float32, 2e-5)])
+def test_adjust_state_newton_matches_bisection(dtype, tol):
+    """The default guarded-Newton solver converges to the same root as the
+    reference-form bisection (microphysics_p3.h:467-550) at machine
+    precision, over random mixes of condensing / evaporating / inactive
+    cells spanning the full temperature range."""
+    rng = np.random.default_rng(17)
+    n = 8192
+    rho_d = jnp.asarray(0.3 + 1.0 * rng.random(n), dtype)
+    rho_v = jnp.asarray(0.03 * rng.random(n), dtype)
+    # mix: half the cells carry cloud (can evaporate), half are dry
+    rho_c = jnp.asarray(np.where(rng.random(n) < 0.5,
+                                 0.01 * rng.random(n), 0.0), dtype)
+    temp = jnp.asarray(200.0 + 120.0 * rng.random(n), dtype)
+    rho = rho_d + rho_v + rho_c
+    newton = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp)
+    ref_iters = 60 if dtype == jnp.float64 else 35
+    bisect = compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
+                                    iters=ref_iters)
+    for xn, xb in zip(newton, bisect):
+        np.testing.assert_allclose(np.asarray(xn), np.asarray(xb),
+                                   rtol=tol, atol=tol * 1e-2)
