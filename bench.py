@@ -53,12 +53,12 @@ def _finish(payload: dict) -> None:
 
 def _device_alive(timeout_s: float) -> bool:
     """Probe the device with a tiny computation under a watchdog.  The axon
-    TPU tunnel wedges when a client is killed mid-execution; the wedge
-    usually self-heals within ~5-10 minutes, so wait out a generous horizon
-    (default 15 min, MWML_BENCH_PROBE_S to override) before giving up, and
-    only then report honestly instead of hanging the harness forever.  The
-    blocked jax call completes as soon as the tunnel heals, so one long
-    join IS the retry loop."""
+    TPU tunnel wedges when a client is killed mid-execution; a full heal
+    was probe-verified at ~20 minutes (2026-08-19), so wait out the whole
+    window (default 22 min, MWML_BENCH_PROBE_S to override) before giving
+    up, and only then report honestly instead of hanging the harness
+    forever.  The blocked jax call completes as soon as the tunnel heals,
+    so one long join IS the retry loop."""
     import threading
 
     ok = []
@@ -85,10 +85,10 @@ def _device_alive(timeout_s: float) -> bool:
 
 
 def main() -> None:
-    # Default horizon 9 min: long enough for the classic 5-10 min tunnel
-    # wedge to heal, short enough that the honest-zero JSON still prints
-    # inside a ~10-minute capture window around the run.
-    probe_s = float(os.environ.get("MWML_BENCH_PROBE_S", 540.0))
+    # Default horizon 22 min: covers the probe-verified ~20-min worst-case
+    # tunnel-wedge heal (2026-08-19), so a wedge at run start still yields
+    # a real measurement instead of a false honest-zero.
+    probe_s = float(os.environ.get("MWML_BENCH_PROBE_S", 1320.0))
     if not _device_alive(probe_s):
         _finish({
             "metric": "supercell cell-updates/sec/chip "
