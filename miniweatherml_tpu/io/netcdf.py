@@ -29,7 +29,9 @@ class ShardedStateWriter:
     the (y, x) decomposition -- the analog of the reference's
     ``file_per_process`` per-rank output (dynamics...h:2027-2120, coupler
     option at simple_city/driver.cpp:38).  Each file carries the shard's
-    global offsets so files can be stitched offline.
+    global offsets so files can be stitched offline into one global file
+    with ``miniweatherml_tpu.io.stitch`` (the PNetCDF single-collective-file
+    analog, dynamics...h:2019-2191).
     """
 
     def __init__(self, path_prefix: str, state: CouplerState, iens: int = 0):
