@@ -316,7 +316,8 @@ def _conserve(avail, dt, *sinks):
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
               rho_d, dz, dt, z_axis: int = 1, tables=None,
               spmd_axes: tuple = (), qv_prev=None, t_prev=None,
-              do_predict_nc: bool = False, diagnostics: bool = False):
+              do_predict_nc: bool = False, diagnostics: bool = False,
+              profile_stop: str | None = None):
     """The P3-class column scheme on dry mixing ratios.
 
     All arrays share one shape with the vertical on ``z_axis`` (bottom-up).
@@ -351,6 +352,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     The reference COMPUTES these but its miniWeatherML wrapper discards
     them (microphysics_p3.h builds then drops the diag arrays); here they
     are an opt-in strict superset.  Ice diagnostics need ``tables``.
+
+    ``profile_stop`` (static; profiling only -- scripts/profile_p3.py)
+    truncates the scheme after a named phase and returns the arrays live
+    at that point, so on-chip timings of successive prefixes attribute
+    the step cost per phase ("part1" | "rates" | "update" | "sed").
+    XLA dead-code-eliminates everything after the returned values, so a
+    prefix really does cost only its own phases.
     """
     temp = theta * exner
     rho = rho_d * (1.0 + qv + qc + qr + qi)  # total density estimate
@@ -529,6 +537,9 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     # freezing rates and calc_rime_density, exactly as the Fortran's
     # part2 get_cloud_dsd2 outputs feed those subroutines
     _mu_cd = cloud_mu(nc)
+
+    if profile_stop == "part1":
+        return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)
 
     def cloud_dsd_lamc(qc_):
         return cloud_dsd_lamc_mu(qc_, nc, _mu_cd)
@@ -900,6 +911,13 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # no ventilation/relaxation machinery without tables -> no Bergeron
         berg = jnp.zeros_like(qc)
 
+    if profile_stop == "rates":
+        # force every process-rate array (they are otherwise dead code)
+        probe = (au + ac + nr_self + ev + dep + sub + melt + berg + rim
+                 + qrcol + nr_col + shed + ncshdc + qc_frz + nc_frz
+                 + qr_frz + nr_frz + qinuc + ninuc + ni_self + nr_shed_wg)
+        return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, probe)
+
     # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
     #    self-collection is identically zero at iparam=3,
     #    micro_p3.F90:2646-2648) ----------------------------------------
@@ -1074,6 +1092,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     qm = jnp.where(tiny_i2, 0.0, qm)
     bm = jnp.where(tiny_i2, 0.0, bm)
     ni = cap_ni(ni)
+
+    if profile_stop == "update":
+        return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)
+
     if diagnostics:
         # per-column is_hydromet_present, set exactly where the reference
         # sets it: a level surviving the end-of-part2 clipping
@@ -1202,6 +1224,10 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     _, qc, nc, qr, nr, qi, ni, qm, bm, pl, pi_ = carry
     precip_liq = jnp.squeeze(pl, axis=z_axis) / dt
     precip_ice = jnp.squeeze(pi_, axis=z_axis) / dt
+
+    if profile_stop == "sed":
+        return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
+                precip_liq, precip_ice)
 
     # -- homogeneous freezing of cloud and rain (homogeneous_freezing,
     # micro_p3.F90:4145-4200, called after sedimentation at :1452-1454):
@@ -1339,6 +1365,51 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             precip_liq, precip_ice, diag)
 
 
+def p3_wrapper_inputs(state):
+    """The wrapper's pre-scheme work (microphysics_p3.h:273-301): saturation
+    pre-adjustment on densities, density -> mixing-ratio conversion,
+    pressure/exner/theta, and the qv_prev/t_prev supersaturation history
+    with its first-step sentinel.  Returns
+    (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure, dz,
+    qv_prev, t_prev).  Shared by MicrophysicsP3.time_step and
+    scripts/profile_p3.py (which times p3_scheme prefixes from exactly
+    these inputs)."""
+    g = state.grid
+    rho_d = state["density_dry"]
+    temp = state["temp"]
+    names = [t[0] for t in MicrophysicsP3.TRACERS]
+    rho_c, rho_nc, rho_r, rho_nr, rho_i, rho_ni, rho_m, rho_bm, rho_v = (
+        state[n] for n in names)
+
+    # saturation pre-adjustment on densities (microphysics_p3.h:273-276)
+    rho = rho_d + rho_c + rho_r + rho_i + rho_v
+    rho_v, rho_c, temp = compute_adjusted_state(
+        rho, rho_d, rho_v, rho_c, temp)
+
+    inv_rd = 1.0 / rho_d
+    qc, nc = rho_c * inv_rd, rho_nc * inv_rd
+    qr, nr = rho_r * inv_rd, rho_nr * inv_rd
+    qi, ni = rho_i * inv_rd, rho_ni * inv_rd
+    qm, bm = rho_m * inv_rd, rho_bm * inv_rd
+    qv = rho_v * inv_rd
+    pressure = R_D * rho_d * temp + R_V * rho_v * temp
+    exner = (pressure / P0) ** (R_D / CP_D)
+    theta = temp / exner
+    dz = jnp.full_like(temp, g.dz)
+
+    # Supersaturation history for evaporate_rain: the previous call's
+    # post-micro qv/T (reference persistent fields,
+    # microphysics_p3.h:120-133 + first_step init :297-301).  t_prev
+    # starts at 0 (the reference zero-allocates both), which serves as
+    # the first-step sentinel: use the current qv/T then, exactly the
+    # reference's first_step branch.
+    first = state["t_prev"] <= 0.0
+    qv_prev = jnp.where(first, qv, state["qv_prev"])
+    t_prev = jnp.where(first, temp, state["t_prev"])
+    return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
+            dz, qv_prev, t_prev)
+
+
 def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
                                exner, pres, rho_d, dz, dt, qv_prev=None,
                                t_prev=None):
@@ -1459,38 +1530,9 @@ class MicrophysicsP3:
 
     def time_step(self, state: CouplerState, dt: float,
                   spmd_axes: tuple = ()) -> CouplerState:
-        g = state.grid
         rho_d = state["density_dry"]
-        temp = state["temp"]
-        names = [t[0] for t in self.TRACERS]
-        rho_c, rho_nc, rho_r, rho_nr, rho_i, rho_ni, rho_m, rho_bm, rho_v = (
-            state[n] for n in names)
-
-        # saturation pre-adjustment on densities (microphysics_p3.h:273-276)
-        rho = rho_d + rho_c + rho_r + rho_i + rho_v
-        rho_v, rho_c, temp = compute_adjusted_state(
-            rho, rho_d, rho_v, rho_c, temp)
-
-        inv_rd = 1.0 / rho_d
-        qc, nc = rho_c * inv_rd, rho_nc * inv_rd
-        qr, nr = rho_r * inv_rd, rho_nr * inv_rd
-        qi, ni = rho_i * inv_rd, rho_ni * inv_rd
-        qm, bm = rho_m * inv_rd, rho_bm * inv_rd
-        qv = rho_v * inv_rd
-        pressure = R_D * rho_d * temp + R_V * rho_v * temp
-        exner = (pressure / P0) ** (R_D / CP_D)
-        theta = temp / exner
-        dz = jnp.full_like(temp, g.dz)
-
-        # Supersaturation history for evaporate_rain: the previous call's
-        # post-micro qv/T (reference persistent fields,
-        # microphysics_p3.h:120-133 + first_step init :297-301).  t_prev
-        # starts at 0 (the reference zero-allocates both), which serves as
-        # the first-step sentinel: use the current qv/T then, exactly the
-        # reference's first_step branch.
-        first = state["t_prev"] <= 0.0
-        qv_prev = jnp.where(first, qv, state["qv_prev"])
-        t_prev = jnp.where(first, temp, state["t_prev"])
+        (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure, dz,
+         qv_prev, t_prev) = p3_wrapper_inputs(state)
 
         if self.backend == "native":
             qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, pl, pi_ = (

@@ -73,6 +73,35 @@ def main():
 
     timeit("full P3 time_step", jax.jit(lambda s: micro[1](s, dt)), state)
 
+    # -- phase attribution: time successive p3_scheme PREFIXES from the
+    # exact wrapper inputs; XLA dead-code-eliminates everything after each
+    # checkpoint, so differences between consecutive rows are per-phase
+    # costs (part1+DSD | process rates+lookups | conservation+update |
+    # sedimentation | homog freeze+part3).
+    from miniweatherml_tpu.physics.p3 import p3_scheme, p3_wrapper_inputs
+    micro_obj = micro[1].__self__ if hasattr(micro[1], "__self__") else None
+    tables_obj = getattr(micro_obj, "tables", None)
+    inp = jax.jit(p3_wrapper_inputs)(state)
+    sched_args = (*inp[:12], state["density_dry"], inp[12], inp[13], inp[14])
+
+    def phase_fn(stop):
+        @jax.jit
+        def f(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
+              rho_d_, dz, qvp, tp):
+            return p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
+                             exner, pres, rho_d_, dz, dt, z_axis=1,
+                             tables=tables_obj, qv_prev=qvp, t_prev=tp,
+                             profile_stop=stop)
+        return f
+
+    prev, prev_name = 0.0, "(wrapper inputs)"
+    for stop in ("part1", "rates", "update", "sed", None):
+        t = timeit(f"p3_scheme prefix [{stop or 'full'}]",
+                   phase_fn(stop), *sched_args)
+        print(f"    -> phase [{prev_name} .. {stop or 'full'}] "
+              f"{(t - prev) * 1e3:9.2f} ms", flush=True)
+        prev, prev_name = t, stop or "full"
+
     rho_d = state["density_dry"]
     rho_v = state["water_vapor"]
     rho_c = state["cloud_water"]
