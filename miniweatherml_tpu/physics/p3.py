@@ -313,6 +313,223 @@ def _conserve(avail, dt, *sinks):
     return [s * ratio for s in sinks]
 
 
+def _fused_enabled(dtype) -> bool:
+    """Whether the per-cell phases run as one-pass Pallas megakernels
+    (ops/elementwise.fused_cellwise).  MWML_P3_FUSED=1/0 forces; the
+    default ("auto") fuses on TPU at f32 -- the production configuration
+    -- and keeps the plain XLA path elsewhere (CPU tests, f64 oracles).
+    Both paths execute the SAME physics functions; the flag only changes
+    the execution schedule."""
+    import os
+    mode = os.environ.get("MWML_P3_FUSED", "auto")
+    if mode in ("0", "off"):
+        return False
+    if mode in ("1", "on"):
+        return True
+    return (jax.devices()[0].platform == "tpu"
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def _p3_update_cellwise(dt, au, ac, qc_frz, nc_frz, qr_frz, nr_frz, rim,
+                        shed, ncshdc, berg, dep, sub, ev, melt, qinuc,
+                        ninuc, qrcol, nr_col, nr_self, ni_self, nr_shed_wg,
+                        rho_rime, wg_mask, qc_in, nc_in, qr_in, nr_in,
+                        qi_in, ni_rate, qc, nc, qr, nr, qi, ni, qm, bm,
+                        qv, theta, exner, inv_rho, temp, qv_si, qsl, pres,
+                        skip_mask, *, do_predict_nc: bool):
+    """Conservation rescaling -> prognostic update -> end-of-part2 clip,
+    per cell (micro_p3.F90:2957-3266 + :893-925).  Pure elementwise: runs
+    identically as plain XLA ops or inside the fused_cellwise Pallas pass
+    (the TPU schedule).  ``wg_mask``/``skip_mask`` are the wet-growth and
+    part2-level-skip booleans as 0/1 floats (Pallas-friendly)."""
+    Lv = LATVAP
+    Ls = LATVAP + LATICE
+    Lf = LATICE
+    cp = CP_D
+    log_wg = wg_mask > 0.5
+    skip_lvl = skip_mask > 0.5
+
+    def cap_ni(ni_):
+        dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
+        return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
+
+    # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
+    #    self-collection is identically zero at iparam=3,
+    #    micro_p3.F90:2646-2648) ----------------------------------------
+    inv_qc = 1.0 / jnp.maximum(qc_in, QSMALL)
+    nc2nr_auto = au * nc_in * inv_qc    # (:2780-2782)
+    nc_accret = ac * nc_in * inv_qc     # (:2694-2696)
+    nc_collect = (rim + shed) * nc_in * inv_qc  # (:2087-2095, both branches)
+    ncautr = au * CONS3                 # new 25-um raindrops (:2778)
+
+    # number rates tied to mass rates are computed INSIDE the process
+    # subroutines, i.e. BEFORE the mass-conservation rescalings below
+    # (ice_melting :2251, ice_deposition_sublimation :3307,
+    # evaporate_rain :3532) -- rescaling melt/sub/ev afterwards does not
+    # retroactively rescale these.
+    ni2nr_melt = melt * ni_rate / jnp.maximum(qi_in, QSMALL)
+    ni_sub_n = sub * ni_rate / jnp.maximum(qi_in, QSMALL)
+    nr_evap = ev * nr_in / jnp.maximum(qr_in, QSMALL)
+
+    # -- conservation rescaling (the reference's *_conservation
+    #    subroutines, micro_p3.F90:3029-3106 + 2957-3007) ---------------
+    # cloud water: sinks scaled by ratio; deposition and sublimation then
+    # run only for the liquid-free remainder (1 - ratio) of the step --
+    # the Wegener-Bergeron-Findeisen split (:3051-3058).
+    sinks_qc = (au + ac + qc_frz + rim + shed + berg) * dt
+    ratio_qc = jnp.where((sinks_qc > qc) & (sinks_qc >= 1.0e-20),
+                         qc / jnp.maximum(sinks_qc, 1e-30), 1.0)
+    au, ac, qc_frz, rim, shed, berg = (
+        t * ratio_qc for t in (au, ac, qc_frz, rim, shed, berg))
+    liq = qc > 1.0e-20
+    dep = jnp.where(liq, dep * (1.0 - ratio_qc), dep)
+    sub = jnp.where(liq, sub * (1.0 - ratio_qc), sub)
+
+    # rain: sinks vs qr + sources (:3063-3082)
+    sinks_qr = (ev + qrcol + qr_frz) * dt
+    sources_qr = qr + (au + ac + melt + shed) * dt
+    ratio_qr = jnp.where((sinks_qr > sources_qr) & (sinks_qr >= 1.0e-20),
+                         sources_qr / jnp.maximum(sinks_qr, 1e-30), 1.0)
+    ev, qrcol, qr_frz = (t * ratio_qr for t in (ev, qrcol, qr_frz))
+
+    # ice: sinks vs qi + sources (:3084-3106)
+    sinks_qi = (sub + melt) * dt
+    sources_qi = qi + (dep + qinuc + berg + qrcol + rim + qr_frz
+                       + qc_frz) * dt
+    ratio_qi = jnp.where((sinks_qi > sources_qi) & (sinks_qi >= 1.0e-20),
+                         sources_qi / jnp.maximum(sinks_qi, 1e-30), 1.0)
+    sub, melt = sub * ratio_qi, melt * ratio_qi
+
+    # vapor: deposition + nucleation cannot overdeplete the ice
+    # supersaturation (ice_supersat_conservation, micro_p3.F90:2856-2886):
+    # the excess is credited with this step's sublimation + rain-evap vapor
+    # sources and damped by the psychrometric factor 1 + Ls^2 qsi/(cp Rv T^2)
+    qv_avail = jnp.maximum(
+        (qv + (sub + ev) * dt - qv_si)
+        / (1.0 + Ls * Ls * qv_si / (cp * R_V * temp * temp)), 0.0)
+    dep_l, qinuc_l = _conserve(qv_avail, dt, dep, qinuc)
+    scale_isc = dep + qinuc > QSMALL      # reference: qv_sink > qsmall gate
+    dep = jnp.where(scale_isc, dep_l, dep)
+    qinuc = jnp.where(scale_isc, qinuc_l, qinuc)
+
+    # number conservations (nc_/nr_/ni_conservation, :2957-3007)
+
+    sinks_nc = (nc_collect + nc_frz + nc_accret + nc2nr_auto) * dt
+    ratio_nc = jnp.where(sinks_nc > nc,
+                         nc / jnp.maximum(sinks_nc, 1e-30), 1.0)
+    nc_collect, nc_frz, nc_accret, nc2nr_auto = (
+        t * ratio_nc for t in (nc_collect, nc_frz, nc_accret, nc2nr_auto))
+
+    sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt
+    sources_nr = nr + (ni2nr_melt + nr_shed_wg + ncshdc
+                       + nc2nr_auto) * dt
+    ratio_nr = jnp.where(sinks_nr > sources_nr,
+                         sources_nr / jnp.maximum(sinks_nr, 1e-30), 1.0)
+    nr_col, nr_frz, nr_self, nr_evap = (
+        t * ratio_nr for t in (nr_col, nr_frz, nr_self, nr_evap))
+
+    sinks_ni = (ni2nr_melt + ni_sub_n + ni_self) * dt
+    sources_ni = ni + (ninuc + nr_frz + nc_frz) * dt
+    ratio_ni = jnp.where(sinks_ni > sources_ni,
+                         sources_ni / jnp.maximum(sinks_ni, 1e-30), 1.0)
+    ni2nr_melt, ni_sub_n, ni_self = (
+        t * ratio_ni for t in (ni2nr_melt, ni_sub_n, ni_self))
+
+    # prevent_liq_supersaturation (micro_p3.F90:2888-2955, the last limiter
+    # in part2): scale the vapor SOURCES (sublimation + rain evap) by frac
+    # so end-of-step qv cannot exceed liquid saturation, linearizing qsl
+    # around the end-of-step temperature with the evaporative-cooling
+    # correction.  Number tendencies (nr_evap, ni_sub) keep the unscaled
+    # rates, as in the reference.
+    qv_sources = sub + ev
+    qv_sinks_plq = dep + qinuc
+    t_end = temp + ((qv_sinks_plq - sub) * Ls / cp - ev * Lv / cp) * dt
+    qsl_end = p3_qv_sat_liq(t_end, pres)
+    A_plq = (Lv * qsl_end * dt / cp / (R_V * t_end * t_end)
+             * (Ls * sub + Lv * ev))
+    frac_plq = ((qsl_end - qv + qv_sinks_plq * dt + A_plq)
+                / jnp.maximum(qv_sources * dt + A_plq, 1e-300
+                              if qv.dtype == jnp.float64 else 1e-35))
+    frac_plq = jnp.clip(frac_plq, 0.0, 1.0)
+    frac_plq = jnp.where(qv_sources < QSMALL, 0.0, frac_plq)
+    sub = sub * frac_plq
+    ev = ev * frac_plq
+
+    # -- apply process tendencies (all ratios use pre-update values;
+    #    update_prognostic_liquid :3216-3266 + update_prognostic_ice
+    #    :3108-3214) ------------------------------------------------------
+    qc_new = qc + dt * (-au - ac - qc_frz - rim - shed - berg)
+    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt + shed)
+    qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc + berg
+                        - sub - melt + rim)
+    qv_new = qv + dt * (ev + sub - dep - qinuc)
+    nr_new = nr + dt * (ncautr - nr_self - nr_frz - nr_col + ni2nr_melt
+                        + ncshdc + nr_shed_wg - nr_evap)
+    ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
+                        - ni_sub_n)
+    # rime mass/volume: all freezing paths rime (dum term,
+    # update_prognostic_ice :3180-3186); rime from rain/freezing packs at
+    # rho_rimeMax = 900 (micro_p3_utils.F90:152), cloud riming at the
+    # Cober-List rho_rime
+    qm_new = qm + dt * (rim + qr_frz + qrcol + qc_frz
+                        - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
+    bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0
+                        - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
+    # negative rime zeroes BOTH qm and bm (update_prognostic_ice
+    # :3188-3191), and wet growth densifies the whole particle: qm = qi,
+    # bm = qm / rho_rimeMax (:3196-3200)
+    neg_qm = qm_new < 0.0
+    qm_new = jnp.where(neg_qm, 0.0, qm_new)
+    bm_new = jnp.where(neg_qm, 0.0, bm_new)
+    qm_new = jnp.where(log_wg, qi_new, qm_new)
+    bm_new = jnp.where(log_wg, qi_new / 900.0, bm_new)
+    if do_predict_nc:
+        nc = nc + dt * (-nc_accret - nc2nr_auto - nc_collect - nc_frz)
+        nc = jnp.maximum(nc, 0.0)
+    else:
+        # prescribed droplet number is re-imposed at the end of part2 on
+        # every level that reaches the prognostic update
+        # (update_prognostic_liquid :3241); levels skipped at :595 keep
+        # their part1 value.
+        nc = jnp.where(skip_lvl, nc, NCCNST * inv_rho)
+    qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
+    nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
+    # latent heating (theta via frozen exner)
+    theta = theta + dt / (cp * exner) * (
+        Lv * (-ev) + Ls * (dep + qinuc - sub)
+        + Lf * (qc_frz + qr_frz + qrcol + rim + berg - melt))
+
+    qc = jnp.maximum(qc, 0.0)
+    qr = jnp.maximum(qr, 0.0)
+    qi = jnp.maximum(qi, 0.0)
+    qv = jnp.maximum(qv, 0.0)
+    nr = jnp.maximum(nr, 0.0)
+    ni = jnp.maximum(ni, 0.0)
+
+    # end-of-part2 clipping (micro_p3.F90:893-920): hydrometeors below
+    # qsmall evaporate/sublimate back to vapor with latent cooling before
+    # sedimentation, and ni is re-capped (:921-925)
+    tiny_c2 = qc < QSMALL
+    qv = qv + jnp.where(tiny_c2, qc, 0.0)
+    theta = theta - jnp.where(tiny_c2, qc * Lv / (cp * exner), 0.0)
+    qc = jnp.where(tiny_c2, 0.0, qc)
+    nc = jnp.where(tiny_c2, 0.0, nc)
+    tiny_r2 = qr < QSMALL
+    qv = qv + jnp.where(tiny_r2, qr, 0.0)
+    theta = theta - jnp.where(tiny_r2, qr * Lv / (cp * exner), 0.0)
+    qr = jnp.where(tiny_r2, 0.0, qr)
+    nr = jnp.where(tiny_r2, 0.0, nr)
+    tiny_i2 = qi < QSMALL
+    qv = qv + jnp.where(tiny_i2, qi, 0.0)
+    theta = theta - jnp.where(tiny_i2, qi * Ls / (cp * exner), 0.0)
+    qi = jnp.where(tiny_i2, 0.0, qi)
+    ni = jnp.where(tiny_i2, 0.0, ni)
+    qm = jnp.where(tiny_i2, 0.0, qm)
+    bm = jnp.where(tiny_i2, 0.0, bm)
+    ni = cap_ni(ni)
+    return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)
+
+
 def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
               rho_d, dz, dt, z_axis: int = 1, tables=None,
               spmd_axes: tuple = (), qv_prev=None, t_prev=None,
@@ -918,180 +1135,32 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                  + qr_frz + nr_frz + qinuc + ninuc + ni_self + nr_shed_wg)
         return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, probe)
 
-    # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
-    #    self-collection is identically zero at iparam=3,
-    #    micro_p3.F90:2646-2648) ----------------------------------------
-    inv_qc = 1.0 / jnp.maximum(qc_in, QSMALL)
-    nc2nr_auto = au * nc_in * inv_qc    # (:2780-2782)
-    nc_accret = ac * nc_in * inv_qc     # (:2694-2696)
-    nc_collect = (rim + shed) * nc_in * inv_qc  # (:2087-2095, both branches)
-    ncautr = au * CONS3                 # new 25-um raindrops (:2778)
+    # -- droplet-number tendencies -> conservation rescaling -> prognostic
+    #    update -> end-of-part2 clip: one pure per-cell function
+    #    (_p3_update_cellwise).  On TPU f32 it runs as ONE fused Pallas
+    #    pass (ops/elementwise.py) -- profile showed XLA splits this phase
+    #    into many kernels at ~10x its minimal one-pass HBM traffic --
+    #    elsewhere as plain XLA ops.  Same function either way.
+    import functools
 
-    # number rates tied to mass rates are computed INSIDE the process
-    # subroutines, i.e. BEFORE the mass-conservation rescalings below
-    # (ice_melting :2251, ice_deposition_sublimation :3307,
-    # evaporate_rain :3532) -- rescaling melt/sub/ev afterwards does not
-    # retroactively rescale these.
-    ni2nr_melt = melt * ni_rate / jnp.maximum(qi_in, QSMALL)
-    ni_sub_n = sub * ni_rate / jnp.maximum(qi_in, QSMALL)
-    nr_evap = ev * nr_in / jnp.maximum(qr_in, QSMALL)
-
-    # -- conservation rescaling (the reference's *_conservation
-    #    subroutines, micro_p3.F90:3029-3106 + 2957-3007) ---------------
-    # cloud water: sinks scaled by ratio; deposition and sublimation then
-    # run only for the liquid-free remainder (1 - ratio) of the step --
-    # the Wegener-Bergeron-Findeisen split (:3051-3058).
-    sinks_qc = (au + ac + qc_frz + rim + shed + berg) * dt
-    ratio_qc = jnp.where((sinks_qc > qc) & (sinks_qc >= 1.0e-20),
-                         qc / jnp.maximum(sinks_qc, 1e-30), 1.0)
-    au, ac, qc_frz, rim, shed, berg = (
-        t * ratio_qc for t in (au, ac, qc_frz, rim, shed, berg))
-    liq = qc > 1.0e-20
-    dep = jnp.where(liq, dep * (1.0 - ratio_qc), dep)
-    sub = jnp.where(liq, sub * (1.0 - ratio_qc), sub)
-
-    # rain: sinks vs qr + sources (:3063-3082)
-    sinks_qr = (ev + qrcol + qr_frz) * dt
-    sources_qr = qr + (au + ac + melt + shed) * dt
-    ratio_qr = jnp.where((sinks_qr > sources_qr) & (sinks_qr >= 1.0e-20),
-                         sources_qr / jnp.maximum(sinks_qr, 1e-30), 1.0)
-    ev, qrcol, qr_frz = (t * ratio_qr for t in (ev, qrcol, qr_frz))
-
-    # ice: sinks vs qi + sources (:3084-3106)
-    sinks_qi = (sub + melt) * dt
-    sources_qi = qi + (dep + qinuc + berg + qrcol + rim + qr_frz
-                       + qc_frz) * dt
-    ratio_qi = jnp.where((sinks_qi > sources_qi) & (sinks_qi >= 1.0e-20),
-                         sources_qi / jnp.maximum(sinks_qi, 1e-30), 1.0)
-    sub, melt = sub * ratio_qi, melt * ratio_qi
-
-    # vapor: deposition + nucleation cannot overdeplete the ice
-    # supersaturation (ice_supersat_conservation, micro_p3.F90:2856-2886):
-    # the excess is credited with this step's sublimation + rain-evap vapor
-    # sources and damped by the psychrometric factor 1 + Ls^2 qsi/(cp Rv T^2)
-    qv_avail = jnp.maximum(
-        (qv + (sub + ev) * dt - qv_si)
-        / (1.0 + Ls * Ls * qv_si / (cp * R_V * temp * temp)), 0.0)
-    dep_l, qinuc_l = _conserve(qv_avail, dt, dep, qinuc)
-    scale_isc = dep + qinuc > QSMALL      # reference: qv_sink > qsmall gate
-    dep = jnp.where(scale_isc, dep_l, dep)
-    qinuc = jnp.where(scale_isc, qinuc_l, qinuc)
-
-    # number conservations (nc_/nr_/ni_conservation, :2957-3007)
-
-    sinks_nc = (nc_collect + nc_frz + nc_accret + nc2nr_auto) * dt
-    ratio_nc = jnp.where(sinks_nc > nc,
-                         nc / jnp.maximum(sinks_nc, 1e-30), 1.0)
-    nc_collect, nc_frz, nc_accret, nc2nr_auto = (
-        t * ratio_nc for t in (nc_collect, nc_frz, nc_accret, nc2nr_auto))
-
-    sinks_nr = (nr_col + nr_frz + nr_self + nr_evap) * dt
-    sources_nr = nr + (ni2nr_melt + nr_shed_wg + ncshdc
-                       + nc2nr_auto) * dt
-    ratio_nr = jnp.where(sinks_nr > sources_nr,
-                         sources_nr / jnp.maximum(sinks_nr, 1e-30), 1.0)
-    nr_col, nr_frz, nr_self, nr_evap = (
-        t * ratio_nr for t in (nr_col, nr_frz, nr_self, nr_evap))
-
-    sinks_ni = (ni2nr_melt + ni_sub_n + ni_self) * dt
-    sources_ni = ni + (ninuc + nr_frz + nc_frz) * dt
-    ratio_ni = jnp.where(sinks_ni > sources_ni,
-                         sources_ni / jnp.maximum(sinks_ni, 1e-30), 1.0)
-    ni2nr_melt, ni_sub_n, ni_self = (
-        t * ratio_ni for t in (ni2nr_melt, ni_sub_n, ni_self))
-
-    # prevent_liq_supersaturation (micro_p3.F90:2888-2955, the last limiter
-    # in part2): scale the vapor SOURCES (sublimation + rain evap) by frac
-    # so end-of-step qv cannot exceed liquid saturation, linearizing qsl
-    # around the end-of-step temperature with the evaporative-cooling
-    # correction.  Number tendencies (nr_evap, ni_sub) keep the unscaled
-    # rates, as in the reference.
-    qv_sources = sub + ev
-    qv_sinks_plq = dep + qinuc
-    t_end = temp + ((qv_sinks_plq - sub) * Ls / cp - ev * Lv / cp) * dt
-    qsl_end = p3_qv_sat_liq(t_end, pres)
-    A_plq = (Lv * qsl_end * dt / cp / (R_V * t_end * t_end)
-             * (Ls * sub + Lv * ev))
-    frac_plq = ((qsl_end - qv + qv_sinks_plq * dt + A_plq)
-                / jnp.maximum(qv_sources * dt + A_plq, 1e-300
-                              if qv.dtype == jnp.float64 else 1e-35))
-    frac_plq = jnp.clip(frac_plq, 0.0, 1.0)
-    frac_plq = jnp.where(qv_sources < QSMALL, 0.0, frac_plq)
-    sub = sub * frac_plq
-    ev = ev * frac_plq
-
-    # -- apply process tendencies (all ratios use pre-update values;
-    #    update_prognostic_liquid :3216-3266 + update_prognostic_ice
-    #    :3108-3214) ------------------------------------------------------
-    qc_new = qc + dt * (-au - ac - qc_frz - rim - shed - berg)
-    qr_new = qr + dt * (au + ac - ev - qr_frz - qrcol + melt + shed)
-    qi_new = qi + dt * (qc_frz + qr_frz + qrcol + dep + qinuc + berg
-                        - sub - melt + rim)
-    qv_new = qv + dt * (ev + sub - dep - qinuc)
-    nr_new = nr + dt * (ncautr - nr_self - nr_frz - nr_col + ni2nr_melt
-                        + ncshdc + nr_shed_wg - nr_evap)
-    ni_new = ni + dt * (ninuc + nc_frz + nr_frz - ni_self - ni2nr_melt
-                        - ni_sub_n)
-    # rime mass/volume: all freezing paths rime (dum term,
-    # update_prognostic_ice :3180-3186); rime from rain/freezing packs at
-    # rho_rimeMax = 900 (micro_p3_utils.F90:152), cloud riming at the
-    # Cober-List rho_rime
-    qm_new = qm + dt * (rim + qr_frz + qrcol + qc_frz
-                        - (melt + sub) * qm / jnp.maximum(qi, QSMALL))
-    bm_new = bm + dt * (rim / rho_rime + (qr_frz + qrcol + qc_frz) / 900.0
-                        - (melt + sub) * bm / jnp.maximum(qi, QSMALL))
-    # negative rime zeroes BOTH qm and bm (update_prognostic_ice
-    # :3188-3191), and wet growth densifies the whole particle: qm = qi,
-    # bm = qm / rho_rimeMax (:3196-3200)
-    neg_qm = qm_new < 0.0
-    qm_new = jnp.where(neg_qm, 0.0, qm_new)
-    bm_new = jnp.where(neg_qm, 0.0, bm_new)
-    qm_new = jnp.where(log_wg, qi_new, qm_new)
-    bm_new = jnp.where(log_wg, qi_new / 900.0, bm_new)
-    if do_predict_nc:
-        nc = nc + dt * (-nc_accret - nc2nr_auto - nc_collect - nc_frz)
-        nc = jnp.maximum(nc, 0.0)
+    from ..ops.elementwise import fused_cellwise
+    dtype = qc.dtype
+    upd_args = (au, ac, qc_frz, nc_frz, qr_frz, nr_frz, rim, shed, ncshdc,
+                berg, dep, sub, ev, melt, qinuc, ninuc, qrcol, nr_col,
+                nr_self, ni_self, nr_shed_wg,
+                jnp.broadcast_to(jnp.asarray(rho_rime, dtype), qc.shape),
+                log_wg.astype(dtype), qc_in, nc_in, qr_in, nr_in, qi_in,
+                ni_rate, qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
+                inv_rho, temp, qv_si, qsl, pres, skip_lvl.astype(dtype))
+    upd_fn = functools.partial(_p3_update_cellwise,
+                               do_predict_nc=do_predict_nc)
+    dt_s = jnp.asarray(dt, dtype)
+    if _fused_enabled(dtype):
+        (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta) = fused_cellwise(
+            upd_fn, (dt_s,), upd_args, n_out=10)
     else:
-        # prescribed droplet number is re-imposed at the end of part2 on
-        # every level that reaches the prognostic update
-        # (update_prognostic_liquid :3241); levels skipped at :595 keep
-        # their part1 value.
-        nc = jnp.where(skip_lvl, nc, NCCNST * inv_rho)
-    qc, qr, qi, qv = qc_new, qr_new, qi_new, qv_new
-    nr, ni, qm, bm = nr_new, ni_new, qm_new, bm_new
-    # latent heating (theta via frozen exner)
-    theta = theta + dt / (cp * exner) * (
-        Lv * (-ev) + Ls * (dep + qinuc - sub)
-        + Lf * (qc_frz + qr_frz + qrcol + rim + berg - melt))
-
-    qc = jnp.maximum(qc, 0.0)
-    qr = jnp.maximum(qr, 0.0)
-    qi = jnp.maximum(qi, 0.0)
-    qv = jnp.maximum(qv, 0.0)
-    nr = jnp.maximum(nr, 0.0)
-    ni = jnp.maximum(ni, 0.0)
-
-    # end-of-part2 clipping (micro_p3.F90:893-920): hydrometeors below
-    # qsmall evaporate/sublimate back to vapor with latent cooling before
-    # sedimentation, and ni is re-capped (:921-925)
-    tiny_c2 = qc < QSMALL
-    qv = qv + jnp.where(tiny_c2, qc, 0.0)
-    theta = theta - jnp.where(tiny_c2, qc * Lv / (cp * exner), 0.0)
-    qc = jnp.where(tiny_c2, 0.0, qc)
-    nc = jnp.where(tiny_c2, 0.0, nc)
-    tiny_r2 = qr < QSMALL
-    qv = qv + jnp.where(tiny_r2, qr, 0.0)
-    theta = theta - jnp.where(tiny_r2, qr * Lv / (cp * exner), 0.0)
-    qr = jnp.where(tiny_r2, 0.0, qr)
-    nr = jnp.where(tiny_r2, 0.0, nr)
-    tiny_i2 = qi < QSMALL
-    qv = qv + jnp.where(tiny_i2, qi, 0.0)
-    theta = theta - jnp.where(tiny_i2, qi * Ls / (cp * exner), 0.0)
-    qi = jnp.where(tiny_i2, 0.0, qi)
-    ni = jnp.where(tiny_i2, 0.0, ni)
-    qm = jnp.where(tiny_i2, 0.0, qm)
-    bm = jnp.where(tiny_i2, 0.0, bm)
-    ni = cap_ni(ni)
+        (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta) = upd_fn(
+            dt_s, *upd_args)
 
     if profile_stop == "update":
         return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)
@@ -1101,9 +1170,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         # sets it: a level surviving the end-of-part2 clipping
         # (micro_p3.F90:893-920 else-branches).  Columns without it skip
         # part3 in the reference, leaving the diag outputs at their
-        # p3_main init values (:1307-1315) -- reproduced below.
-        hydro_col = jnp.any(~(tiny_c2 & tiny_r2 & tiny_i2), axis=z_axis,
-                            keepdims=True)
+        # p3_main init values (:1307-1315) -- reproduced below.  The
+        # end-of-part2 clip zeroes any q* < qsmall, so "survived" is
+        # exactly q* > 0 on the post-clip values.
+        hydro_col = jnp.any((qc > 0.0) | (qr > 0.0) | (qi > 0.0),
+                            axis=z_axis, keepdims=True)
 
     # -- sedimentation (cloud + rain + ice), upstream, CFL sub-cycled ---
     def cloud_sed_speeds(qc_, nc_):

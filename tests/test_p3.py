@@ -510,3 +510,54 @@ def test_adjust_state_newton_matches_bisection(dtype, tol):
     for xn, xb in zip(newton, bisect):
         np.testing.assert_allclose(np.asarray(xn), np.asarray(xb),
                                    rtol=tol, atol=tol * 1e-2)
+
+
+def _seeded_mixed_state(dtype):
+    """Supercell state with hydrometeors injected across regimes so every
+    process family (warm, riming, collection, freezing, melting, wet
+    growth, evap) is active somewhere."""
+    g = Grid(nx=24, ny=2, nz=16, xlen=50000.0, ylen=50000.0, zlen=16000.0)
+    st = make_coupler_state(g, dtype=dtype,
+                            options={"init_data": "supercell",
+                                     "out_freq": -1.0})
+    micro = MicrophysicsP3()
+    dy = Dycore()
+    st = micro.init(st)
+    st = dy.init(st)
+    rng = np.random.default_rng(3)
+    rho_d = np.asarray(st["density_dry"], np.float64)
+    shape = rho_d.shape
+
+    def fld(scale, frac):
+        v = rng.random(shape) * scale
+        v = np.where(rng.random(shape) < frac, v, 0.0)
+        return jnp.asarray(v * rho_d, st["temp"].dtype)
+
+    st = st.replace_fields(
+        cloud_water=fld(2e-3, 0.5), cloud_water_num=fld(1e8, 0.5),
+        rain=fld(1e-3, 0.4), rain_num=fld(1e5, 0.4),
+        ice=fld(1e-3, 0.4), ice_num=fld(1e5, 0.4),
+        ice_rime=fld(3e-4, 0.3), ice_rime_vol=fld(1e-6, 0.3),
+        temp=st["temp"] + jnp.asarray(
+            rng.uniform(-20.0, 20.0, shape), st["temp"].dtype))
+    return st, micro
+
+
+@pytest.mark.parametrize("dtype,rtol", [("float64", 1e-12),
+                                        ("float32", 2e-5)])
+def test_p3_fused_cellwise_matches_plain(monkeypatch, dtype, rtol):
+    """The fused Pallas execution of the per-cell phases (MWML_P3_FUSED=1,
+    interpret mode on CPU) must match the plain XLA path: both run the
+    SAME physics functions, the flag only changes the schedule."""
+    st, micro = _seeded_mixed_state(dtype)
+    dt = 2.0
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MWML_P3_FUSED", mode)
+        outs[mode] = jax.jit(lambda s: micro.time_step(s, dt))(st)
+    for name in list(st.fields):
+        a = np.asarray(outs["0"][name])
+        b = np.asarray(outs["1"][name])
+        scale = max(float(np.abs(a).max()), 1e-30)
+        np.testing.assert_allclose(b / scale, a / scale, rtol=0,
+                                   atol=rtol, err_msg=name)
