@@ -313,6 +313,161 @@ def _conserve(avail, dt, *sinks):
     return [s * ratio for s in sinks]
 
 
+_CONS1 = jnp.pi / 6.0 * RHO_H2O
+
+
+def _cap_ni(ni_, inv_rho):
+    """Cap total ice number at MAX_TOTAL_NI m^-3 (impose_max_total_ni,
+    micro_p3.F90:1947-1969; cld_frac_i = 1 in the wrapper)."""
+    dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
+    return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
+
+
+def _rain_dsd2(qr_, nr_):
+    """get_rain_dsd2's lambda-limiter adjustment of nr (micro_p3.F90:
+    1841-1893, mu_r = 1 constant): keeps the mean drop size within
+    [10 um, 2 mm] so process rates (notably the Verlinde-Cotton breakup
+    exponential, :2725-2737) never see absurd DSDs.  Returns
+    (nr adjusted, lamr after the clip) -- lamr feeds the part3 rain
+    reflectivity diagnostic (:1046-1048)."""
+    nr1 = jnp.maximum(nr_, NSMALL)
+    lamr = jnp.cbrt(_CONS1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
+    lamr_cl = jnp.clip(lamr, 2.0 * 500.0, 2.0 * 1.0e5)
+    nr_lim = jnp.where(lamr != lamr_cl,
+                       lamr_cl ** 3 * qr_ / (24.0 * _CONS1), nr1)
+    return jnp.where(qr_ >= QSMALL, nr_lim, nr_), lamr_cl
+
+
+def _cloud_mu(nc_, rho):
+    s_ = 0.0005714 * (nc_ * 1.0e-6 * rho) + 0.2714
+    return jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
+
+
+def _cloud_dsd2(qc_, nc_, rho):
+    """get_cloud_dsd2's lambda-limiter adjustment of nc
+    (micro_p3.F90:1774-1837).  Returns (nc adjusted, mu_c, lamc after
+    the clip); mu_c/lamc feed the part3 effective-radius diagnostic
+    (:1026 -- the reference does NOT recompute mu from the adjusted
+    nc, so mu here is the pre-limiter value)."""
+    nc1 = jnp.maximum(nc_, NSMALL)
+    mu_ = _cloud_mu(nc1, rho)
+    mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
+    lamc = jnp.cbrt(_CONS1 * nc1 * mval_ / jnp.maximum(qc_, QSMALL))
+    lamc_cl = jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
+    nc_lim = jnp.where(lamc != lamc_cl,
+                       lamc_cl ** 3 * qc_ / (_CONS1 * mval_), nc1)
+    return jnp.where(qc_ >= QSMALL, nc_lim, nc_), mu_, lamc_cl
+
+
+def _p3_part1_cellwise(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
+                       pres, rho, *, do_predict_nc: bool):
+    """p3_main_part1 + in-cloud mixing ratios + part2's pre-process DSD
+    writebacks, per cell (micro_p3.F90:363-481, :588-595, :626-637 +
+    calculate_incloud_mixingratios, micro_p3_utils.F90:238-292).  Pure
+    elementwise; runs as plain XLA ops or inside the fused Pallas pass.
+    Returns (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, temp, skip_mask,
+    qc_in, qr_in, qi_in, qm_in, bm_in, nc_in, nr_in, ni_in, mu_cd)."""
+    Lv = LATVAP
+    Ls = LATVAP + LATICE
+    Lf = LATICE
+    cp = CP_D
+    inv_rho = 1.0 / rho
+    temp = theta * exner
+
+    # -- p3_main_part1 (:363-481): initial tiny-mass clipping (all mass
+    # expected to evaporate/sublimate within one step returns to vapor
+    # with latent cooling), droplet-number prescription, and the
+    # tiny-warm-ice instant melt; temperature is refreshed after the
+    # clips (:477), so everything downstream uses the post-clip state.
+    # (The reference computes qv_sat from the pre-clip temperature; the
+    # clipped masses are < 1e-8 so the difference is sub-microkelvin.)
+    # scheme-internal saturation is Murphy-Koop qv_sat(t, p) (wv_sat_scream
+    # qv_sat; the wrapper's Magnus svp is used only for the saturation
+    # pre-adjustment, microphysics_p3.h:446-449)
+    qv_si0 = p3_qv_sat_ice(temp, pres)
+    sup_i0 = qv / jnp.maximum(qv_si0, QSMALL) - 1.0
+    small_c1 = qc < QSMALL
+    qv = qv + jnp.where(small_c1, qc, 0.0)
+    theta = theta - jnp.where(small_c1, qc, 0.0) * Lv / (cp * exner)
+    qc = jnp.where(small_c1, 0.0, qc)
+    if do_predict_nc:
+        # predicted droplet number: activation input nc_nuceat_tend is zero
+        # in the reference wrapper (microphysics_p3.h:291-293), so nc just
+        # evolves by the process tendencies below (p3_main_part1:433-434).
+        nc = jnp.where(small_c1, 0.0, jnp.maximum(nc, 0.0))
+    else:
+        # prescribed droplet number (do_predict_nc = false,
+        # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436; prescribed
+        # only where cloud exists, zero where the clip fired :424)
+        nc = jnp.where(small_c1, 0.0, NCCNST * inv_rho)
+    small_r1 = qr < QSMALL
+    qv = qv + jnp.where(small_r1, qr, 0.0)
+    theta = theta - jnp.where(small_r1, qr, 0.0) * Lv / (cp * exner)
+    qr = jnp.where(small_r1, 0.0, qr)
+    nr = jnp.where(small_r1, 0.0, nr)
+    # ice clip: tiny qi OR small qi in strongly ice-subsaturated air
+    # sublimates entirely (:445-455)
+    small_i1 = (qi < QSMALL) | ((qi < 1.0e-8) & (sup_i0 < -0.1))
+    qv = qv + jnp.where(small_i1, qi, 0.0)
+    theta = theta - jnp.where(small_i1, qi, 0.0) * Ls / (cp * exner)
+    qi = jnp.where(small_i1, 0.0, qi)
+    ni = jnp.where(small_i1, 0.0, ni)
+    qm = jnp.where(small_i1, 0.0, qm)
+    bm = jnp.where(small_i1, 0.0, bm)
+    # tiny warm ice melts instantly to RAIN with latent cooling (:457-465)
+    melt1 = (qi >= QSMALL) & (qi < 1.0e-8) & (temp >= TMELT)
+    qr = qr + jnp.where(melt1, qi, 0.0)
+    theta = theta - jnp.where(melt1, qi, 0.0) * Lf / (cp * exner)
+    qi = jnp.where(melt1, 0.0, qi)
+    ni = jnp.where(melt1, 0.0, ni)
+    qm = jnp.where(melt1, 0.0, qm)
+    bm = jnp.where(melt1, 0.0, bm)
+    temp = theta * exner       # t_atm refresh (:477)
+
+    # part2's level skip (:588-595): dry, hydrometeor-free, cold and
+    # ice-subsaturated levels never reach the prognostic update.  All
+    # process rates are zero there by their own gates; the mask matters
+    # only for the prescribed-nc reset in the update section.
+    skip_mask = ((qc < QSMALL) & (qr < QSMALL) & (qi < QSMALL)
+                 & (temp < TMELT) & (sup_i0 < -0.05)).astype(qc.dtype)
+
+    # -- in-cloud mixing ratios (calculate_incloud_mixingratios,
+    #    micro_p3_utils.F90:238-292; cld_frac = 1 in the wrapper so
+    #    in-cloud = cell values gated on qsmall, WITH the reference's
+    #    in-cloud magnitude caps: 5.1 g/kg cloud/ice/rime-volume,
+    #    10 g/kg rain).  Process rates and sedimentation speeds see these
+    #    capped values; the prognostic updates apply to the cell values.
+    _INCLD_LIM, _PRECIP_LIM = 5.1e-3, 1.0e-2
+    qc_in = jnp.where(qc >= QSMALL, jnp.minimum(qc, _INCLD_LIM), 0.0)
+    qr_in = jnp.where(qr >= QSMALL, jnp.minimum(qr, _PRECIP_LIM), 0.0)
+    qi_in = jnp.where(qi >= QSMALL, jnp.minimum(qi, _INCLD_LIM), 0.0)
+    has_qm = (qm >= QSMALL) & (qi >= QSMALL)
+    qm_in = jnp.where(has_qm, qm, 0.0)
+    bm_in = jnp.where(has_qm,
+                      jnp.minimum(jnp.maximum(bm, 0.0), _INCLD_LIM), 0.0)
+
+    # part2's pre-process DSD limiting, in the reference order
+    # (get_cloud_dsd2 :626, get_rain_dsd2 :630): the nc/nr adjustments
+    # persist to the cell values (nc(k) = nc_incld, :630/:634).
+    nc = _cloud_dsd2(qc_in, nc, rho)[0]
+    nr = _rain_dsd2(qr_in, nr)[0]
+    nc_in = jnp.where(qc >= QSMALL, jnp.maximum(nc, 0.0), 0.0)
+    nr_in = jnp.where(qr >= QSMALL, jnp.maximum(nr, 0.0), 0.0)
+    # impose_max_total_ni (:637) operates on the IN-CLOUD ni only -- the
+    # prognostic ni is capped later, at end-of-part2 (:921-925) and in
+    # part3 (:1073).
+    ni_in = _cap_ni(jnp.where(qi >= QSMALL, jnp.maximum(ni, 0.0), 0.0),
+                    inv_rho)
+
+    # part2-time cloud DSD shape (from the post-DSD-limit nc): used by the
+    # freezing rates and calc_rime_density, exactly as the Fortran's
+    # part2 get_cloud_dsd2 outputs feed those subroutines
+    mu_cd = _cloud_mu(jnp.maximum(nc, NSMALL), rho)
+
+    return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, temp, skip_mask,
+            qc_in, qr_in, qi_in, qm_in, bm_in, nc_in, nr_in, ni_in, mu_cd)
+
+
 def _fused_enabled(dtype) -> bool:
     """Whether the per-cell phases run as one-pass Pallas megakernels
     (ops/elementwise.fused_cellwise).  MWML_P3_FUSED=1/0 forces; the
@@ -640,89 +795,27 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         idx[z_axis] = sl
         return a[tuple(idx)]
 
-    # -- p3_main_part1 (:363-481): initial tiny-mass clipping (all mass
-    # expected to evaporate/sublimate within one step returns to vapor
-    # with latent cooling), droplet-number prescription, and the
-    # tiny-warm-ice instant melt; temperature is refreshed after the
-    # clips (:477), so everything downstream uses the post-clip state.
-    # (The reference computes qv_sat from the pre-clip temperature; the
-    # clipped masses are < 1e-8 so the difference is sub-microkelvin.)
-    # scheme-internal saturation is Murphy-Koop qv_sat(t, p) (wv_sat_scream
-    # qv_sat; the wrapper's Magnus svp is used only for the saturation
-    # pre-adjustment, microphysics_p3.h:446-449)
-    qv_si0 = p3_qv_sat_ice(temp, pres)
-    sup_i0 = qv / jnp.maximum(qv_si0, QSMALL) - 1.0
-    small_c1 = qc < QSMALL
-    qv = qv + jnp.where(small_c1, qc, 0.0)
-    theta = theta - jnp.where(small_c1, qc, 0.0) * Lv / (cp * exner)
-    qc = jnp.where(small_c1, 0.0, qc)
-    if do_predict_nc:
-        # predicted droplet number: activation input nc_nuceat_tend is zero
-        # in the reference wrapper (microphysics_p3.h:291-293), so nc just
-        # evolves by the process tendencies below (p3_main_part1:433-434).
-        nc = jnp.where(small_c1, 0.0, jnp.maximum(nc, 0.0))
+    # -- p3_main_part1 + in-cloud mixing ratios + part2's pre-process DSD
+    #    writebacks: one pure per-cell function (_p3_part1_cellwise, where
+    #    the per-section reference citations live).  On TPU f32 it runs as
+    #    ONE fused Pallas pass (ops/elementwise.py) -- every array is
+    #    streamed HBM->VMEM exactly once -- elsewhere as plain XLA ops.
+    #    Same physics function either way.
+    import functools
+
+    part1_fn = functools.partial(_p3_part1_cellwise,
+                                 do_predict_nc=do_predict_nc)
+    part1_args = (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
+                  rho)
+    if _fused_enabled(qc.dtype):
+        from ..ops.elementwise import fused_cellwise
+        part1_out = fused_cellwise(part1_fn, (), part1_args, n_out=21)
     else:
-        # prescribed droplet number (do_predict_nc = false,
-        # microphysics_p3.h:314; nccnst/rho, p3_main_part1:436; prescribed
-        # only where cloud exists, zero where the clip fired :424)
-        nc = jnp.where(small_c1, 0.0, NCCNST * inv_rho)
-    small_r1 = qr < QSMALL
-    qv = qv + jnp.where(small_r1, qr, 0.0)
-    theta = theta - jnp.where(small_r1, qr, 0.0) * Lv / (cp * exner)
-    qr = jnp.where(small_r1, 0.0, qr)
-    nr = jnp.where(small_r1, 0.0, nr)
-    # ice clip: tiny qi OR small qi in strongly ice-subsaturated air
-    # sublimates entirely (:445-455)
-    small_i1 = (qi < QSMALL) | ((qi < 1.0e-8) & (sup_i0 < -0.1))
-    qv = qv + jnp.where(small_i1, qi, 0.0)
-    theta = theta - jnp.where(small_i1, qi, 0.0) * Ls / (cp * exner)
-    qi = jnp.where(small_i1, 0.0, qi)
-    ni = jnp.where(small_i1, 0.0, ni)
-    qm = jnp.where(small_i1, 0.0, qm)
-    bm = jnp.where(small_i1, 0.0, bm)
-    # tiny warm ice melts instantly to RAIN with latent cooling (:457-465)
-    melt1 = (qi >= QSMALL) & (qi < 1.0e-8) & (temp >= TMELT)
-    qr = qr + jnp.where(melt1, qi, 0.0)
-    theta = theta - jnp.where(melt1, qi, 0.0) * Lf / (cp * exner)
-    qi = jnp.where(melt1, 0.0, qi)
-    ni = jnp.where(melt1, 0.0, ni)
-    qm = jnp.where(melt1, 0.0, qm)
-    bm = jnp.where(melt1, 0.0, bm)
-    temp = theta * exner       # t_atm refresh (:477)
-
-    # part2's level skip (:588-595): dry, hydrometeor-free, cold and
-    # ice-subsaturated levels never reach the prognostic update.  All
-    # process rates are zero there by their own gates; the mask matters
-    # only for the prescribed-nc reset in the update section.
-    skip_lvl = ((qc < QSMALL) & (qr < QSMALL) & (qi < QSMALL)
-                & (temp < TMELT) & (sup_i0 < -0.05))
-
-    # -- in-cloud mixing ratios (calculate_incloud_mixingratios,
-    #    micro_p3_utils.F90:238-292; cld_frac = 1 in the wrapper so
-    #    in-cloud = cell values gated on qsmall, WITH the reference's
-    #    in-cloud magnitude caps: 5.1 g/kg cloud/ice/rime-volume,
-    #    10 g/kg rain).  Process rates and sedimentation speeds see these
-    #    capped values; the prognostic updates apply to the cell values.
-    _INCLD_LIM, _PRECIP_LIM = 5.1e-3, 1.0e-2
-    qc_in = jnp.where(qc >= QSMALL, jnp.minimum(qc, _INCLD_LIM), 0.0)
-    qr_in = jnp.where(qr >= QSMALL, jnp.minimum(qr, _PRECIP_LIM), 0.0)
-    qi_in = jnp.where(qi >= QSMALL, jnp.minimum(qi, _INCLD_LIM), 0.0)
-    has_qm = (qm >= QSMALL) & (qi >= QSMALL)
-    qm_in = jnp.where(has_qm, qm, 0.0)
-    bm_in = jnp.where(has_qm,
-                      jnp.minimum(jnp.maximum(bm, 0.0), _INCLD_LIM), 0.0)
-
-    # part2's pre-process DSD limiting, in the reference order
-    # (get_cloud_dsd2 :626, get_rain_dsd2 :630): the nc/nr adjustments
-    # persist to the cell values (nc(k) = nc_incld, :630/:634).
-    nc = cloud_dsd_nc(qc_in, nc)
-    nr = rain_dsd_nr(qr_in, nr)
-    nc_in = jnp.where(qc >= QSMALL, jnp.maximum(nc, 0.0), 0.0)
-    nr_in = jnp.where(qr >= QSMALL, jnp.maximum(nr, 0.0), 0.0)
-    # impose_max_total_ni (:637) operates on the IN-CLOUD ni only -- the
-    # prognostic ni is capped later, at end-of-part2 (:921-925) and in
-    # part3 (:1073).
-    ni_in = cap_ni(jnp.where(qi >= QSMALL, jnp.maximum(ni, 0.0), 0.0))
+        part1_out = part1_fn(*part1_args)
+    (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, temp, skip_f,
+     qc_in, qr_in, qi_in, qm_in, bm_in, nc_in, nr_in, ni_in,
+     _mu_cd) = part1_out
+    skip_lvl = skip_f > 0.5
 
     # cloud gamma-DSD shape/slope and Stokes mass-weighted droplet fall
     # speed, shared by sedimentation and rime density
@@ -749,11 +842,6 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         v = _acn * jnp.exp(gammaln(mu_ + 6.0)
                            - gammaln(mu_ + 4.0)) / (lamc * lamc)
         return jnp.where(qc_ >= QSMALL, v, 0.0), lamc, mu_
-
-    # part2-time cloud DSD shape (from the post-DSD-limit nc): used by the
-    # freezing rates and calc_rime_density, exactly as the Fortran's
-    # part2 get_cloud_dsd2 outputs feed those subroutines
-    _mu_cd = cloud_mu(nc)
 
     if profile_stop == "part1":
         return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta)
@@ -1436,22 +1524,11 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
             precip_liq, precip_ice, diag)
 
 
-def p3_wrapper_inputs(state):
-    """The wrapper's pre-scheme work (microphysics_p3.h:273-301): saturation
-    pre-adjustment on densities, density -> mixing-ratio conversion,
-    pressure/exner/theta, and the qv_prev/t_prev supersaturation history
-    with its first-step sentinel.  Returns
-    (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure, dz,
-    qv_prev, t_prev).  Shared by MicrophysicsP3.time_step and
-    scripts/profile_p3.py (which times p3_scheme prefixes from exactly
-    these inputs)."""
-    g = state.grid
-    rho_d = state["density_dry"]
-    temp = state["temp"]
-    names = [t[0] for t in MicrophysicsP3.TRACERS]
-    rho_c, rho_nc, rho_r, rho_nr, rho_i, rho_ni, rho_m, rho_bm, rho_v = (
-        state[n] for n in names)
-
+def _p3_wrapper_inputs_cellwise(rho_d, temp, rho_c, rho_nc, rho_r, rho_nr,
+                                rho_i, rho_ni, rho_m, rho_bm, rho_v,
+                                qv_prev_f, t_prev_f):
+    """Per-cell body of p3_wrapper_inputs (saturation Newton included --
+    inside the fused pass its iterates never touch HBM)."""
     # saturation pre-adjustment on densities (microphysics_p3.h:273-276)
     rho = rho_d + rho_c + rho_r + rho_i + rho_v
     rho_v, rho_c, temp = compute_adjusted_state(
@@ -1466,7 +1543,6 @@ def p3_wrapper_inputs(state):
     pressure = R_D * rho_d * temp + R_V * rho_v * temp
     exner = (pressure / P0) ** (R_D / CP_D)
     theta = temp / exner
-    dz = jnp.full_like(temp, g.dz)
 
     # Supersaturation history for evaporate_rain: the previous call's
     # post-micro qv/T (reference persistent fields,
@@ -1474,11 +1550,36 @@ def p3_wrapper_inputs(state):
     # starts at 0 (the reference zero-allocates both), which serves as
     # the first-step sentinel: use the current qv/T then, exactly the
     # reference's first_step branch.
-    first = state["t_prev"] <= 0.0
-    qv_prev = jnp.where(first, qv, state["qv_prev"])
-    t_prev = jnp.where(first, temp, state["t_prev"])
+    first = t_prev_f <= 0.0
+    qv_prev = jnp.where(first, qv, qv_prev_f)
+    t_prev = jnp.where(first, temp, t_prev_f)
     return (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure,
-            dz, qv_prev, t_prev)
+            qv_prev, t_prev)
+
+
+def p3_wrapper_inputs(state):
+    """The wrapper's pre-scheme work (microphysics_p3.h:273-301): saturation
+    pre-adjustment on densities, density -> mixing-ratio conversion,
+    pressure/exner/theta, and the qv_prev/t_prev supersaturation history
+    with its first-step sentinel.  Returns
+    (qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pressure, dz,
+    qv_prev, t_prev).  Shared by MicrophysicsP3.time_step and
+    scripts/profile_p3.py (which times p3_scheme prefixes from exactly
+    these inputs).  On TPU f32 the whole phase -- including the Newton
+    saturation iteration, whose loop carries otherwise round-trip HBM
+    every iteration -- runs as one fused Pallas pass."""
+    names = [t[0] for t in MicrophysicsP3.TRACERS]
+    arrays = (state["density_dry"], state["temp"],
+              *(state[n] for n in names),
+              state["qv_prev"], state["t_prev"])
+    if _fused_enabled(state["temp"].dtype):
+        from ..ops.elementwise import fused_cellwise
+        out = fused_cellwise(_p3_wrapper_inputs_cellwise, (), arrays,
+                             n_out=14)
+    else:
+        out = _p3_wrapper_inputs_cellwise(*arrays)
+    dz = jnp.full_like(out[9], state.grid.dz)
+    return (*out[:12], dz, out[12], out[13])
 
 
 def _p3_scheme_native_callback(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta,
