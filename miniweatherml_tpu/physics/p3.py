@@ -316,6 +316,14 @@ def _conserve(avail, dt, *sinks):
 _CONS1 = jnp.pi / 6.0 * RHO_H2O
 
 
+def _cbrt_pos(x):
+    """Cube root of a strictly-positive argument via pow.  jnp.cbrt has no
+    Mosaic TPU lowering (NotImplementedError inside pallas_call); every
+    call here takes max()-floored positive arguments, so pow is exact
+    enough (<=1 ulp off cbrt) and lowers everywhere."""
+    return x ** (1.0 / 3.0)
+
+
 def _cap_ni(ni_, inv_rho):
     """Cap total ice number at MAX_TOTAL_NI m^-3 (impose_max_total_ni,
     micro_p3.F90:1947-1969; cld_frac_i = 1 in the wrapper)."""
@@ -331,7 +339,7 @@ def _rain_dsd2(qr_, nr_):
     (nr adjusted, lamr after the clip) -- lamr feeds the part3 rain
     reflectivity diagnostic (:1046-1048)."""
     nr1 = jnp.maximum(nr_, NSMALL)
-    lamr = jnp.cbrt(_CONS1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
+    lamr = _cbrt_pos(_CONS1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
     lamr_cl = jnp.clip(lamr, 2.0 * 500.0, 2.0 * 1.0e5)
     nr_lim = jnp.where(lamr != lamr_cl,
                        lamr_cl ** 3 * qr_ / (24.0 * _CONS1), nr1)
@@ -352,7 +360,7 @@ def _cloud_dsd2(qc_, nc_, rho):
     nc1 = jnp.maximum(nc_, NSMALL)
     mu_ = _cloud_mu(nc1, rho)
     mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
-    lamc = jnp.cbrt(_CONS1 * nc1 * mval_ / jnp.maximum(qc_, QSMALL))
+    lamc = _cbrt_pos(_CONS1 * nc1 * mval_ / jnp.maximum(qc_, QSMALL))
     lamc_cl = jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
     nc_lim = jnp.where(lamc != lamc_cl,
                        lamc_cl ** 3 * qc_ / (_CONS1 * mval_), nc1)
