@@ -136,10 +136,30 @@ def main() -> None:
     # reference microphysics_p3.h -- which stages state through the HOST
     # and calls serial Fortran per rank, where this chain stays fused
     # on-device).
+    # MWML_BENCH_MICRO=surrogate swaps Kessler for the inline MLP micro
+    # deployed online (reference microphysics_kessler_ponni.h:189 with the
+    # ponni override active), using the shipped example model.
     micro_kind = os.environ.get("MWML_BENCH_MICRO", "kessler")
     if micro_kind == "p3":
         from miniweatherml_tpu.experiments.supercell_p3 import build as build_p3
         state, mods, dycore = build_p3(config)
+    elif micro_kind == "surrogate":
+        from miniweatherml_tpu.experiments.inference_surrogate import (
+            build as build_sur)
+        from miniweatherml_tpu.ml.mlp import load_keras_h5, load_scaling
+        from miniweatherml_tpu.physics.kessler_surrogate import (
+            MicrophysicsKesslerSurrogate)
+        here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "inputs", "examples")
+        micro = MicrophysicsKesslerSurrogate(
+            load_keras_h5(os.path.join(
+                here, "supercell_kessler_singlecell_model_weights.h5")),
+            load_scaling(os.path.join(
+                here, "supercell_kessler_input_scaling.txt"), 5),
+            load_scaling(os.path.join(
+                here, "supercell_kessler_output_scaling.txt"), 4),
+            online=True, compare=False)
+        state, mods, dycore = build_sur(config, micro=micro)
     else:
         state, mods, dycore = build(config)
     # MWML_BENCH_ORD=3 matches the reference's own benchmark builds

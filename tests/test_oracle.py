@@ -91,28 +91,55 @@ def test_conversions_match_oracle():
 
 def _run_vs_oracle(st, dy, steps, dt=None,
                    keys=("density_dry", "uvel", "vvel", "wvel", "temp",
-                         "water_vapor")):
+                         "water_vapor"),
+                   record_every=None, tight_atol=1e-8):
+    """Advance production and oracle in lockstep and compare at the end.
+
+    ``record_every=k`` additionally snapshots the max relative
+    difference across ``keys`` every k steps and returns the curve as a
+    list of (step, drift) -- the long-horizon parity-drift instrument
+    (BASELINE.md drift table)."""
     fields, names, adds, idWV, pos, hy, consts, grid = _oracle_inputs(st, dy)
     weno = O.WenoOracle(ord_=dy.ord)
     dt = dy.compute_time_step(st) if dt is None else dt
     step = jax.jit(lambda s: dy.time_step(s, dt))
     s_o, tr_o = O.oracle_coupler_to_dynamics(fields, names, adds, idWV,
                                              hy, consts)
-    for _ in range(steps):
+
+    def drift(st_now, s_o_now, tr_o_now):
+        out_o = O.oracle_dynamics_to_coupler(s_o_now, tr_o_now, names, adds,
+                                             idWV, hy, consts)
+        worst = 0.0
+        for k in keys:
+            a = np.asarray(st_now[k], np.float64)
+            b = out_o[k]
+            # floor the per-field scale at 1 SI unit: a field that is
+            # (near-)zero in both runs (e.g. wvel in a z-uniform
+            # gravity-off config) is compared absolutely, not against
+            # its own rounding noise
+            scale = max(np.abs(b).max(), 1.0)
+            worst = max(worst, float(np.abs(a - b).max() / scale))
+        return worst
+
+    curve = []
+    for i in range(steps):
         st = step(st)
         s_o, tr_o = O.oracle_step(weno, s_o, tr_o, hy, grid, consts, dt)
+        if record_every and (i + 1) % record_every == 0:
+            curve.append((i + 1, drift(st, s_o, tr_o)))
     out_o = O.oracle_dynamics_to_coupler(s_o, tr_o, names, adds, idWV, hy,
                                          consts)
     for k in keys:
         a = np.asarray(st[k], np.float64)
         b = out_o[k]
-        scale = np.abs(b).max() + 1e-300
+        scale = max(np.abs(b).max(), 1.0)   # see drift(): zero-field floor
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-6,
                                    err_msg=k)
         # and report-the-truth check: the agreement should actually be far
         # tighter than the north star in f64
-        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-8,
-                                   err_msg=f"{k} (tight)")
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0,
+                                   atol=tight_atol, err_msg=f"{k} (tight)")
+    return curve
 
 
 @pytest.mark.slow
@@ -171,3 +198,43 @@ def test_dycore_city_wall_bc_matches_oracle():
     st = st.set_options(bc_x=BC_WALL)
     assert bool(st.options["use_immersed_boundaries"])
     _run_vs_oracle(st, dy, steps=3)
+
+
+def _print_drift_table(name, curve):
+    print(f"\n[drift] {name}: step, max relative drift")
+    for s, d in curve:
+        print(f"[drift]   {s:4d}  {d:.3e}")
+
+
+@pytest.mark.xslow
+def test_dycore_long_horizon_drift_supercell_3d():
+    """Long-horizon parity drift: 100 full time_step compositions
+    (dynamics...h:81-198) of the production dycore vs the independent
+    oracle on a 3-D supercell, f64.  Asserts the 1e-6 north star AT THE
+    HORIZON (not just after a few steps) and records the per-decade
+    drift curve -- the BASELINE.md drift table comes from this run."""
+    st, dy, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                       xlen=100000.0, ylen=100000.0, zlen=20000.0)
+    curve = _run_vs_oracle(st, dy, steps=100, record_every=10,
+                           tight_atol=1e-6)
+    _print_drift_table("supercell 16x8x10 ord-5 f64", curve)
+    assert curve[-1][0] == 100 and curve[-1][1] <= 1e-6
+
+
+@pytest.mark.xslow
+def test_dycore_long_horizon_drift_city_wall_immersed_coriolis():
+    """Long-horizon drift on the hard-BC composition: wall-x + immersed
+    city buildings + Coriolis, 100 steps f64 (wall BC normal-momentum
+    zeroing dynamics...h:757-767,:1012-1019; immersed blending :534-550;
+    fcor :213,:525-526)."""
+    from miniweatherml_tpu.ops.stencil import BC_WALL
+
+    st, dy, _ = _setup("city", nx=24, ny=8, nz=10, xlen=2000.0,
+                       ylen=800.0, zlen=500.0, enable_gravity=False)
+    st = st.set_options(bc_x=BC_WALL, latitude=0.7)
+    assert bool(st.options["use_immersed_boundaries"])
+    assert dy._consts(st).fcor != 0.0
+    curve = _run_vs_oracle(st, dy, steps=100, record_every=10,
+                           tight_atol=1e-6)
+    _print_drift_table("city wall-x immersed Coriolis 24x8x10 f64", curve)
+    assert curve[-1][0] == 100 and curve[-1][1] <= 1e-6
