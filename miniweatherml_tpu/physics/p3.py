@@ -91,7 +91,12 @@ QSMALL = 1.0e-14      # micro_p3_utils.F90:18
 NSMALL = 1.0e-16      # micro_p3_utils.F90:19
 NCCNST = 200.0e6      # prescribed droplet number (micro_p3_utils.F90:115)
 # 1/(pi/6*rho_h2o*(25um)^3): new raindrops are 25 um (micro_p3_utils.F90:175)
-CONS3 = 1.0 / (jnp.pi / 6.0 * RHO_H2O * 25.0e-6 ** 3)
+# 1/(cons2 * (25e-6)^3) with cons2 = 4*pi/3*rho_h2o
+# (micro_p3_utils.F90:174-175): the new-raindrop mass uses the SPHERE
+# VOLUME with 25e-6 as the radius-form factor 4pi/3 r^3, exactly as
+# KK2000 Eq. 32's r0 = 25 um -- NOT pi/6 d^3 (the in-code comment at
+# micro_p3.F90:2776 says "diameter" but the formula is cons2-based).
+CONS3 = 1.0 / (4.0 * jnp.pi / 3.0 * RHO_H2O * 25.0e-6 ** 3)
 T_HOMOGFRZ = TMELT - 40.0   # homogeneous freezing (micro_p3_utils.F90:123)
 MAX_TOTAL_NI = 500.0e3      # max ice number, m^-3 (micro_p3_utils.F90:112)
 RHO_RIMEMIN = 50.0          # bulk rime density bounds

@@ -45,7 +45,9 @@ constexpr double MAX_TOTAL_NI = 500.0e3;     // micro_p3_utils.F90:112
 constexpr double RHO_RIMEMIN = 50.0;         // micro_p3_utils.F90:151
 constexpr double RHO_RIMEMAX = 900.0;        // micro_p3_utils.F90:152
 constexpr double PI = 3.14159265358979323846;
-const double CONS3 = 1.0 / (PI / 6.0 * RHO_H2O * 25.0e-6 * 25.0e-6 * 25.0e-6);
+// 1/(cons2 * (25e-6)^3), cons2 = 4 pi/3 rho_h2o (micro_p3_utils.F90:174-175)
+const double CONS3 =
+    1.0 / (4.0 * PI / 3.0 * RHO_H2O * 25.0e-6 * 25.0e-6 * 25.0e-6);
 
 // table dims (micro_p3_utils.F90:43-46) and index constant
 // 1/(0.1*log10(261.7)) (micro_p3_utils.F90:34)

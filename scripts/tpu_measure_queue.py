@@ -65,20 +65,19 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# 3. headline re-verify (dycore untouched; expect ~108.9)
-run("headline-ord5-512", {})
+# 3. P3 headline at 512^2 post-Newton-seed (round-3: 36.5; round-4 pre-seed: 43.7)
+run("p3-chain-512-seed", {"MWML_BENCH_MICRO": "p3", "MWML_BENCH_STEPS": "4",
+                          "MWML_BENCH_INNER": "5"})
 
-# 4. P3 chain at 256^2 (matmul lookups) post-fidelity-fixes
-run("p3-chain-256-matmul", {"MWML_BENCH_MICRO": "p3", "MWML_BENCH_NX": "256",
-                            "MWML_BENCH_NY": "256", "MWML_BENCH_STEPS": "4",
-                            "MWML_BENCH_INNER": "5"})
+# 4. P3 at 256^2 (pre-seed: 46.4) for phase comparison
+run("p3-chain-256-seed", {"MWML_BENCH_MICRO": "p3", "MWML_BENCH_NX": "256",
+                          "MWML_BENCH_NY": "256", "MWML_BENCH_STEPS": "4",
+                          "MWML_BENCH_INNER": "5"})
 
-# 5. lookup-level A/B: matmul vs pallas kernels (256^2 grid)
-run("profile-p3-lookups", {"MWML_P3_IMPLS": "matmul,pallas"},
-    args=["scripts/profile_p3.py"])
+# 5. phase attribution post-seed (wrapper+part1 prefix was 9.1 ms)
+run("profile-p3-phases", {}, args=["scripts/profile_p3.py"])
 
-# 6. P3 chain with the Pallas lookup kernels
-run("p3-chain-256-pallas", {"MWML_BENCH_MICRO": "p3", "MWML_P3_TABLES": "pallas",
-                            "MWML_BENCH_NX": "256", "MWML_BENCH_NY": "256",
-                            "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+# 6. surrogate micro on-chip datapoint (the one bench mode without one)
+run("surrogate-512", {"MWML_BENCH_MICRO": "surrogate", "MWML_BENCH_STEPS": "4",
+                      "MWML_BENCH_INNER": "5"})
 log("QUEUE DONE")

@@ -44,7 +44,8 @@ CPW = 4188.0              # cpliq passed by the wrapper (microphysics_p3.h)
 CP = 1004.64
 INV_CP = 1.0 / CP
 CONS1 = PI / 6.0 * RHO_H2O                # :173
-CONS3 = 1.0 / (CONS1 * 25.0e-6 ** 3)      # :175 (25 um drops)
+CONS2 = 4.0 * PI / 3.0 * RHO_H2O          # :174
+CONS3 = 1.0 / (CONS2 * 25.0e-6 ** 3)      # :175 (cons2-based: 4pi/3 r^3)
 CONS5 = PI / 6.0 * BIMM                   # :177
 CONS6 = (PI / 6.0) ** 2 * RHO_H2O * BIMM  # :178
 DROPMASS = 5.2e-7                         # :57
