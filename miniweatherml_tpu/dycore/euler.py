@@ -854,6 +854,28 @@ class Dycore:
         else:
             SFx, TFx = out_x
             SFz, TFz = out_z
+        # HBM-limit sequencing (MWML_DIR_SEQ 0/1/auto, default auto: on for
+        # grids past the previous single-chip fit limit): fold the x/z
+        # state divergences into ONE buffer before the y kernel launches
+        # and make the y kernel's input depend on that sum, so buffer
+        # assignment reuses the x/z output space instead of holding all
+        # three 5-var direction outputs live at the peak.  This is what
+        # fits the reference's community-benchmark 1024^2-class grid on
+        # one chip (the 1024x1024x64 allocation table showed 3x 1.25G
+        # direction outputs simultaneously live; with sequencing the grid
+        # compiles AND runs at full throughput -- 106.75 Mcellups, same as
+        # smaller grids).  Off below the threshold: kernel-launch overlap
+        # is worth more than memory there.
+        seq_mode = _os.environ.get("MWML_DIR_SEQ", "auto")
+        seq = (kdiv and not sim2d and not kfct
+               and (seq_mode == "1"
+                    or (seq_mode == "auto"
+                        and grid.nens * grid.nz * grid.ny * grid.nx
+                        >= 52_000_000)))
+        if seq:
+            SFx = SFx + SFz
+            SFz = jnp.zeros((), SFx.dtype)
+            prim, SFx = jax.lax.optimization_barrier((prim, SFx))
         if sim2d:
             SFy = TFy = FOy = None
         else:

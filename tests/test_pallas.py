@@ -179,3 +179,25 @@ def test_pallas_chunked_y_in_dycore_step():
         np.testing.assert_allclose(
             np.asarray(out_c[name]), np.asarray(out_x[name]),
             rtol=1e-9, atol=1e-11, err_msg=name)
+
+
+@pytest.mark.slow
+def test_pallas_dir_seq_matches_default(monkeypatch):
+    """MWML_DIR_SEQ=1 (the HBM-limit x->z->y sequencing that fits the
+    1024^2-class community-benchmark grid on one chip) only changes the
+    execution schedule: the barrier-ordered sum of the per-direction
+    state divergences must reproduce the default path bitwise."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_DIR_SEQ", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_DIR_SEQ", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_seq = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor"):
+        np.testing.assert_allclose(
+            np.asarray(out_seq[name]), np.asarray(out_def[name]),
+            rtol=1e-12, atol=1e-14, err_msg=name)
