@@ -104,13 +104,25 @@ def run_main_loop(
                     for mod in step_modules:
                         s = mod(s, dt)
                     return s
-                compiled[dt] = jax.jit(whole_step)
+                # Donate the carried state so the in/out buffers alias --
+                # the same policy as bench.py's fused loop.  Required for
+                # the HBM-limit grids (the 1024^2-class community
+                # benchmark) to fit through the per-step driver path; the
+                # loop below rebinds `state` each step and nothing holds
+                # device references to the previous step's buffers.
+                compiled[dt] = jax.jit(whole_step, donate_argnums=0)
                 # Warm the jit cache with a discarded call so compilation
                 # never lands inside the timed loop.  (AOT lower().compile()
                 # executables are pathologically slow on the axon TPU
                 # platform, so warm-up goes through the traced wrapper.)
-                out = compiled[dt](state)
-                float(jnp.max(out["temp"]))  # value fetch = real sync on axon
+                # The warm-up input is a COPY so donation cannot invalidate
+                # the caller's state; on HBM-limit grids (where copy + step
+                # working set would not fit) skip the warm-up and let the
+                # first loop step carry the compile instead.
+                if state["density_dry"].size < 52_000_000:
+                    out = compiled[dt](
+                        jax.tree_util.tree_map(jnp.copy, state))
+                    float(jnp.max(out["temp"]))  # value fetch = axon sync
             else:
                 jitted = [
                     (lambda s, _m=mod: _m(s, dt))
