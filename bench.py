@@ -143,6 +143,20 @@ def main() -> None:
     if micro_kind == "p3":
         from miniweatherml_tpu.experiments.supercell_p3 import build as build_p3
         state, mods, dycore = build_p3(config)
+        if os.environ.get("MWML_BENCH_P3_ACTIVE", "0") == "1":
+            # All-cells-active worst case: seed every cell with small
+            # cloud, rain, and (rimed) ice so every hydrometeor-presence
+            # gate fires on every step -- the vectorized analog of the
+            # reference's log_hydrometeorsPresent = true everywhere
+            # (micro_p3.F90 p3_main section skips).  The default bench
+            # init is the presence-gated early-storm best case.
+            import jax.numpy as _jnp
+            seeds = {"cloud_water": 1.0e-4, "cloud_water_num": 1.0e7,
+                     "rain": 1.0e-4, "rain_num": 1.0e5,
+                     "ice": 1.0e-4, "ice_num": 1.0e5,
+                     "ice_rime": 5.0e-5, "ice_rime_vol": 1.0e-7}
+            state = state.replace_fields(**{
+                k: _jnp.maximum(state[k], v) for k, v in seeds.items()})
     elif micro_kind == "surrogate":
         from miniweatherml_tpu.experiments.inference_surrogate import (
             build as build_sur)
