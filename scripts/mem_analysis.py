@@ -33,7 +33,12 @@ def main():
         init_data="supercell", out_prefix="mem", dt_phys=0.0, out_freq=-1.0,
         dtype="float32",
     ))
-    state, mods, dycore = build(config)
+    if os.environ.get("MWML_BENCH_MICRO", "kessler") == "p3":
+        from miniweatherml_tpu.experiments.supercell_p3 import (
+            build as build_p3)
+        state, mods, dycore = build_p3(config)
+    else:
+        state, mods, dycore = build(config)
     ordv = int(os.environ.get("MWML_BENCH_ORD", 5))
     use_pallas = os.environ.get("MWML_BENCH_PALLAS", "1") == "1"
     if ordv != 5 or use_pallas:
