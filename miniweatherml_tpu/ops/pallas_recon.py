@@ -422,6 +422,14 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     tv_terms, edge_terms, idl = _sparse_terms(ord_, 0)
 
     Bt = min(block_rows, B)
+    # Scoped-VMEM fit guard: the 16-row default was tuned for the 8-var
+    # Kessler stack.  The kernel's scoped VMEM (input + output blocks +
+    # Mosaic temp stack) grows with nvar * n * Bt; the measured envelope
+    # is 8 vars x 1024 lanes x 16 rows (fits) while 14 vars x 1024 x 16
+    # (the P3 chain at the 1024^2-class grid) exceeds the 16M scoped
+    # limit by 0.5%.  Halve rows until back inside the envelope.
+    while Bt > 1 and nvar * n * Bt > 140_000:
+        Bt = (Bt + 1) // 2
     grid = (math.ceil(B / Bt),)
     n_s_out = n if div_scale is not None else n + 1
 
