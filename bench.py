@@ -150,6 +150,12 @@ def main() -> None:
             # reference's log_hydrometeorsPresent = true everywhere
             # (micro_p3.F90 p3_main section skips).  The default bench
             # init is the presence-gated early-storm best case.
+            # NOTE: this mutates tracer masses WITHOUT re-deriving the dry
+            # density, so rho_d + sum(mass tracers) no longer equals the
+            # rho the dycore was initialized with (off by <= ~4.5e-4
+            # kg/kg).  Deliberate: this is a THROUGHPUT mode measuring the
+            # ungated instruction stream, not a physics run -- do not use
+            # its output fields for anything but timing.
             import jax.numpy as _jnp
             seeds = {"cloud_water": 1.0e-4, "cloud_water_num": 1.0e7,
                      "rain": 1.0e-4, "rain_num": 1.0e5,

@@ -33,17 +33,27 @@ def run_benchmark(config, warmup_steps: int = 2, quiet: bool = False):
         quiet=quiet,
     )
     elapsed = timers.acc["simulation_loop"]
+    # On HBM-limit grids the warm-up is skipped and each executable's first
+    # (compiling) step runs under "first_step_compile" instead; subtract
+    # those steps so mcellups is a steady-state number at every grid size.
+    n_compile = timers.counts.get("first_step_compile", 0)
+    warm_steps = nsteps[0] - n_compile
     cells = g.nx * g.ny * g.nz * g.nens
-    cu_per_s = cells * nsteps[0] / max(elapsed, 1e-12)
+    cu_per_s = cells * warm_steps / max(elapsed, 1e-12)
     result = {
         "steps": nsteps[0],
+        "warm_steps": warm_steps,
         "elapsed_s": elapsed,
-        "steps_per_s": nsteps[0] / max(elapsed, 1e-12),
+        "compile_s": timers.acc.get("first_step_compile", 0.0),
+        "steps_per_s": warm_steps / max(elapsed, 1e-12),
         "mcellups": cu_per_s / 1e6,
     }
     if not quiet:
-        print(f"simulation_loop: {elapsed:.3f} s, {nsteps[0]} steps, "
-              f"{result['mcellups']:.2f} Mcell-updates/s")
+        extra = (f" (+{n_compile} compiling step(s), "
+                 f"{result['compile_s']:.3f} s, excluded)" if n_compile
+                 else "")
+        print(f"simulation_loop: {elapsed:.3f} s, {warm_steps} steps, "
+              f"{result['mcellups']:.2f} Mcell-updates/s{extra}")
     return state, result
 
 

@@ -26,6 +26,11 @@ from ..io.netcdf import StateWriter
 
 __all__ = ["setup_state", "run_main_loop", "Timers"]
 
+# Grids at/above this many cells skip the jit warm-up call (the warm-up
+# copy + step working set would exceed HBM); their first, compiling step is
+# timed under "first_step_compile" instead of "simulation_loop".
+_WARMUP_SKIP_CELLS = 52_000_000
+
 
 class Timers:
     """Wall-clock section timers (the reference uses yakl::timer_start/stop,
@@ -33,6 +38,7 @@ class Timers:
 
     def __init__(self):
         self.acc: dict[str, float] = {}
+        self.counts: dict[str, int] = {}  # e.g. steps timed per section
         self._open: dict[str, float] = {}
 
     def start(self, name: str):
@@ -82,6 +88,11 @@ def run_main_loop(
     fast path).  ``jit_chain=False`` jits each module separately and runs
     modules marked with ``_host_side = True`` eagerly -- needed by the
     surrogate data-harvesting drivers whose hooks accumulate on host.
+
+    ``on_step`` contract: the carried state is DONATED into the next step
+    (jit_chain path), so the callback must not retain device references to
+    the state it receives past its own return -- fetch scalars/host copies
+    (``float(...)``, ``np.asarray(...)``) instead.  All in-tree callers do.
     """
     timers = timers or Timers()
     etime = etime0
@@ -91,13 +102,14 @@ def run_main_loop(
     num_chk = int(etime0 / checkpoint_freq) if checkpoint_freq > 0 else 0
 
     compiled: dict[float, Callable] = {}
+    warmed: set[float] = set()  # dts whose executable has already run once
 
     def get_step(dt: float):
         # Snap to an existing key: float accumulation of etime can make the
         # final partial dt differ from the predicted one by roundoff.
         for k in compiled:
             if abs(dt - k) < 1e-9 * max(abs(dt), abs(k), 1e-30):
-                return compiled[k]
+                return k, compiled[k]
         if dt not in compiled:
             if jit_chain:
                 def whole_step(s):
@@ -118,11 +130,15 @@ def run_main_loop(
                 # The warm-up input is a COPY so donation cannot invalidate
                 # the caller's state; on HBM-limit grids (where copy + step
                 # working set would not fit) skip the warm-up and let the
-                # first loop step carry the compile instead.
-                if state["density_dry"].size < 52_000_000:
+                # first loop step carry the compile instead -- that step is
+                # then timed under "first_step_compile", NOT inside
+                # "simulation_loop", so the benchmark's compile-outside-
+                # the-timer invariant holds at every grid size.
+                if state["density_dry"].size < _WARMUP_SKIP_CELLS:
                     out = compiled[dt](
                         jax.tree_util.tree_map(jnp.copy, state))
                     float(jnp.max(out["temp"]))  # value fetch = axon sync
+                    warmed.add(dt)
             else:
                 jitted = [
                     (lambda s, _m=mod: _m(s, dt))
@@ -136,7 +152,8 @@ def run_main_loop(
                         s = mod(s)
                     return s
                 compiled[dt] = whole_step
-        return compiled[dt]
+                warmed.add(dt)  # per-module jit path has no donation hazard
+        return dt, compiled[dt]
 
     # Pre-compile outside the timed loop.  dt is constant across the run
     # (compute_time_step is static), so the two distinct dts -- the main one
@@ -156,7 +173,22 @@ def run_main_loop(
         dtphys = dycore.compute_time_step(state) if dtphys_in <= 0.0 else dtphys_in
         if etime + dtphys > config.sim_time:
             dtphys = config.sim_time - etime
-        state = get_step(dtphys)(state)
+        key, step_fn = get_step(dtphys)
+        if key not in warmed:
+            # First execution of this executable (warm-up was skipped on an
+            # HBM-limit grid): carry the compile in its own timer section so
+            # simulation_loop stays a steady-state measurement.
+            timers.stop("simulation_loop")
+            timers.start("first_step_compile")
+            state = step_fn(state)
+            float(jnp.max(state["temp"]))  # value fetch = axon sync
+            timers.stop("first_step_compile")
+            timers.start("simulation_loop")
+            warmed.add(key)
+            timers.counts["first_step_compile"] = (
+                timers.counts.get("first_step_compile", 0) + 1)
+        else:
+            state = step_fn(state)
         etime += dtphys
         if on_step is not None:
             on_step(state, dtphys, etime)

@@ -70,6 +70,19 @@ def fused_cellwise(f, scalars, arrays, n_out: int, row_block: int = 128,
     out_abs = jax.eval_shape(lambda *a: f(*a), *scalars, *arrays)
     assert len(out_abs) == n_out, (len(out_abs), n_out)
 
+    if pad and n >= 1 << 20:
+        # jnp.pad materializes a full extra copy of EVERY input before the
+        # kernel -- silently doubled HBM traffic on exactly the pass this
+        # exists to optimize.  Production grids are lane-multiples (nx is a
+        # multiple of 128 in every shipped config); only small test shapes
+        # should ever take the pad path.
+        import warnings
+        warnings.warn(
+            f"fused_cellwise: total cells {n} is not a multiple of "
+            f"{_LANES}; padding copies all {len(arrays)} inputs "
+            "(use a lane-multiple grid for production runs)",
+            stacklevel=2)
+
     flat = []
     for a in arrays:
         v = a.reshape(-1)

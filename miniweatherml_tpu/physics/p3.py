@@ -103,13 +103,29 @@ RHO_RIMEMIN = 50.0          # bulk rime density bounds
 RHO_RIMEMAX = 900.0         # (micro_p3_utils.F90:151-153)
 
 
+# Magnus liquid-svp constants, defined ONCE: saturation_vapor_pressure and
+# the Newton solver's analytic dsvp/dT derivative must stay in lockstep
+# (a mismatched derivative degrades the fixed-trip-count Newton whose
+# iteration budget was validated against this exact svp form).
+_MAGNUS_A = 17.625
+_MAGNUS_B = 243.04
+
+
 def saturation_vapor_pressure(temp):
     """Liquid svp, Magnus form -- the WRAPPER's own svp, used by the
     saturation pre-adjustment only (reference microphysics_p3.h:446-449).
     The scheme proper uses the Murphy-Koop forms below, as the Fortran
     p3_main does (wv_sat_scream.F90)."""
     tc = temp - 273.15
-    return 610.94 * jnp.exp(17.625 * tc / (243.04 + tc))
+    return 610.94 * jnp.exp(_MAGNUS_A * tc / (_MAGNUS_B + tc))
+
+
+def _magnus_dsvp_dT(svp, temp):
+    """d(svp)/dT of the Magnus form above, evaluated from its own output
+    (svp' = svp * a*b / (b + tc)^2)."""
+    tc = temp - 273.15
+    return svp * (_MAGNUS_A * _MAGNUS_B) / ((_MAGNUS_B + tc)
+                                            * (_MAGNUS_B + tc))
 
 
 def saturation_vapor_pressure_ice(temp):
@@ -234,7 +250,6 @@ def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
         rho_t = rho_d + rho_v + rho_c
         cp0 = (rho_d * CP_D + rho_v * CP_V + rho_c * CP_L) / rho_t
         dcp = (CP_L - CP_V) / rho_t
-        _MAGNUS_AB = 17.625 * 243.04
 
         def body(_, carry):
             x, lo, hi, xb, fb = carry
@@ -258,8 +273,7 @@ def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
             hi = jnp.where(f > 0.0, hi, x)
             # d/dx [temp + x*Lv/(rho*(cp0+x*dcp))]
             dtdx = dtdx_lin * (1.0 - x * dcp / cp)
-            tc = t_loc - 273.15
-            dsvp = svp_loc * _MAGNUS_AB / ((243.04 + tc) * (243.04 + tc))
+            dsvp = _magnus_dsvp_dT(svp_loc, t_loc)
             fp = -R_V * t_loc + rv * R_V * dtdx - dsvp * dtdx
             xn = x - f / fp
             inb = (xn >= lo) & (xn <= hi)
@@ -274,8 +288,7 @@ def compute_adjusted_state(rho, rho_d, rho_v, rho_c, temp,
         # same verified agreement with the reference-form bisection.
         f0 = pv - svp
         dtdx0 = Lv / (rho * cp0)
-        tc0 = temp - 273.15
-        dsvp0 = svp * _MAGNUS_AB / ((243.04 + tc0) * (243.04 + tc0))
+        dsvp0 = _magnus_dsvp_dT(svp, temp)
         fp0 = -R_V * temp + rho_v * R_V * dtdx0 - dsvp0 * dtdx0
         x1 = -f0 / jnp.minimum(fp0, -1e-30)
         x0 = jnp.where((fp0 < 0.0) & (x1 >= lo) & (x1 <= hi),
@@ -517,7 +530,7 @@ def _p3_update_cellwise(dt, au, ac, qc_frz, nc_frz, qr_frz, nr_frz, rim,
                         ninuc, qrcol, nr_col, nr_self, ni_self, nr_shed_wg,
                         rho_rime, wg_mask, qc_in, nc_in, qr_in, nr_in,
                         qi_in, ni_rate, qc, nc, qr, nr, qi, ni, qm, bm,
-                        qv, theta, exner, inv_rho, temp, qv_si, qsl, pres,
+                        qv, theta, exner, inv_rho, temp, qv_si, pres,
                         skip_mask, *, do_predict_nc: bool):
     """Conservation rescaling -> prognostic update -> end-of-part2 clip,
     per cell (micro_p3.F90:2957-3266 + :893-925).  Pure elementwise: runs
@@ -532,8 +545,7 @@ def _p3_update_cellwise(dt, au, ac, qc_frz, nc_frz, qr_frz, nr_frz, rim,
     skip_lvl = skip_mask > 0.5
 
     def cap_ni(ni_):
-        dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
-        return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
+        return _cap_ni(ni_, inv_rho)
 
     # -- droplet-number tendencies (all iparam=3/KK2000 forms; droplet
     #    self-collection is identically zero at iparam=3,
@@ -772,50 +784,16 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     cp = CP_D
     nz = qc.shape[z_axis]
 
-    def cap_ni(ni_):
-        """Cap total ice number at MAX_TOTAL_NI m^-3 (impose_max_total_ni,
-        micro_p3.F90:1947-1969; cld_frac_i = 1 in the wrapper)."""
-        dum = MAX_TOTAL_NI * inv_rho / jnp.maximum(ni_, 1e-20)
-        return jnp.where(ni_ >= 1e-20, ni_ * jnp.minimum(dum, 1.0), ni_)
-
-    _cons1 = jnp.pi / 6.0 * RHO_H2O
-
+    # DSD lambda-limiters and the ice-number cap live at module level
+    # (_rain_dsd2/_cloud_dsd2/_cap_ni, all on _cbrt_pos) so part1, the
+    # update pass, sedimentation, and part3 share ONE formulation -- a
+    # pow-vs-cbrt 1-ulp drift between phases could otherwise flip the
+    # lam != lam_clipped limiter boundary inconsistently.
     def rain_dsd2(qr_, nr_):
-        """get_rain_dsd2's lambda-limiter adjustment of nr (micro_p3.F90:
-        1841-1893, mu_r = 1 constant): keeps the mean drop size within
-        [10 um, 2 mm] so process rates (notably the Verlinde-Cotton breakup
-        exponential, :2725-2737) never see absurd DSDs.  Returns
-        (nr adjusted, lamr after the clip) -- lamr feeds the part3 rain
-        reflectivity diagnostic (:1046-1048)."""
-        nr1 = jnp.maximum(nr_, NSMALL)
-        lamr = jnp.cbrt(_cons1 * nr1 * 24.0 / jnp.maximum(qr_, QSMALL))
-        lamr_cl = jnp.clip(lamr, 2.0 * 500.0, 2.0 * 1.0e5)
-        nr_lim = jnp.where(lamr != lamr_cl,
-                           lamr_cl ** 3 * qr_ / (24.0 * _cons1), nr1)
-        return jnp.where(qr_ >= QSMALL, nr_lim, nr_), lamr_cl
-
-    def rain_dsd_nr(qr_, nr_):
-        return rain_dsd2(qr_, nr_)[0]
+        return _rain_dsd2(qr_, nr_)
 
     def cloud_dsd2(qc_, nc_):
-        """get_cloud_dsd2's lambda-limiter adjustment of nc
-        (micro_p3.F90:1774-1837).  Returns (nc adjusted, mu_c, lamc after
-        the clip); mu_c/lamc feed the part3 effective-radius diagnostic
-        (:1026 -- the reference does NOT recompute mu from the adjusted
-        nc, so mu here is the pre-limiter value)."""
-        nc1 = jnp.maximum(nc_, NSMALL)
-        s_ = 0.0005714 * (nc1 * 1.0e-6 * rho) + 0.2714
-        mu_ = jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
-        mval_ = (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
-        lamc = jnp.cbrt(_cons1 * nc1 * mval_ / jnp.maximum(qc_, QSMALL))
-        lamc_cl = jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
-        nc_lim = jnp.where(lamc != lamc_cl,
-                           lamc_cl ** 3 * qc_ / (_cons1 * mval_), nc1)
-        return jnp.where(qc_ >= QSMALL, nc_lim, nc_), mu_, lamc_cl
-
-    def cloud_dsd_nc(qc_, nc_):
-        return cloud_dsd2(qc_, nc_)[0]
-
+        return _cloud_dsd2(qc_, nc_, rho)
 
     def ax(a, sl):
         idx = [slice(None)] * a.ndim
@@ -850,21 +828,17 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     from jax.scipy.special import gammaln
     _mu_visc0 = 1.496e-6 * temp ** 1.5 / (temp + 120.0)
     _acn = 9.80616 * RHO_H2O / (18.0 * _mu_visc0)
-    def cloud_mu(nc_):
-        s_ = 0.0005714 * (nc_ * 1.0e-6 * rho) + 0.2714
-        return jnp.clip(1.0 / (s_ * s_) - 1.0, 2.0, 15.0)
-
     def cloud_dsd_lamc_mu(qc_, nc_, mu_):
-        lamc = jnp.cbrt(jnp.pi / 6.0 * RHO_H2O * jnp.maximum(nc_, NSMALL)
-                        * (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
-                        / jnp.maximum(qc_, QSMALL))
+        lamc = _cbrt_pos(_CONS1 * jnp.maximum(nc_, NSMALL)
+                         * (mu_ + 3.0) * (mu_ + 2.0) * (mu_ + 1.0)
+                         / jnp.maximum(qc_, QSMALL))
         return jnp.clip(lamc, (mu_ + 1.0) * 2.5e4, (mu_ + 1.0) * 1.0e6)
 
     def cloud_vt(qc_, nc_):
         """Mass-weighted Stokes droplet fall speed from the gamma DSD of
         the CURRENT (qc, nc) (cloud_sedimentation, micro_p3.F90:3685-3688,
         bcn = 2).  Returns (V_qc, lamc, mu_c)."""
-        mu_ = cloud_mu(nc_)
+        mu_ = _cloud_mu(nc_, rho)
         lamc = cloud_dsd_lamc_mu(qc_, nc_, mu_)
         v = _acn * jnp.exp(gammaln(mu_ + 6.0)
                            - gammaln(mu_ + 4.0)) / (lamc * lamc)
@@ -1266,7 +1240,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
                 jnp.broadcast_to(jnp.asarray(rho_rime, dtype), qc.shape),
                 log_wg.astype(dtype), qc_in, nc_in, qr_in, nr_in, qi_in,
                 ni_rate, qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner,
-                inv_rho, temp, qv_si, qsl, pres, skip_lvl.astype(dtype))
+                inv_rho, temp, qv_si, pres, skip_lvl.astype(dtype))
     upd_fn = functools.partial(_p3_update_cellwise,
                                do_predict_nc=do_predict_nc)
     dt_s = jnp.asarray(dt, dtype)
@@ -1299,8 +1273,8 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         Returns (V_qc, nc)."""
         gate = qc_ >= QSMALL
         qc_c = jnp.where(gate, jnp.minimum(qc_, 5.1e-3), 0.0)
-        nc_l = cloud_dsd_nc(qc_c, jnp.where(gate, jnp.maximum(nc_, 0.0),
-                                            0.0))
+        nc_l = cloud_dsd2(qc_c, jnp.where(gate, jnp.maximum(nc_, 0.0),
+                                          0.0))[0]
         v, _, _ = cloud_vt(qc_c, nc_l)
         return v, jnp.where(gate, nc_l, nc_)
 
@@ -1349,7 +1323,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
         gate = qr_ >= QSMALL
         qr_c = jnp.where(gate, jnp.minimum(qr_, 1.0e-2), 0.0)
         nr_c = jnp.where(gate, jnp.maximum(nr_, 0.0), 0.0)
-        nr_l = rain_dsd_nr(qr_c, nr_c)
+        nr_l = rain_dsd2(qr_c, nr_c)[0]
         v_q, v_n = rain_fallspeeds(qr_c, nr_l)
         return v_q, v_n, jnp.where(gate, nr_l, nr_)
 
@@ -1484,7 +1458,7 @@ def p3_scheme(qc, nc, qr, nr, qi, ni, qm, bm, qv, theta, exner, pres,
     theta = theta - jnp.where(small_i, qi, 0.0) * Ls / (cp * exner)
     ni = jnp.maximum(ni, NSMALL)
     qm, bm, _ = _bulk_rho_rime(qi, qm, bm)
-    ni = cap_ni(ni)
+    ni = _cap_ni(ni, inv_rho)
     ice_diag = None
     if tables is not None:
         from .p3_tables import (ice_table_indices, interp_ice_multi,
