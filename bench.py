@@ -139,8 +139,36 @@ def main() -> None:
     # MWML_BENCH_MICRO=surrogate swaps Kessler for the inline MLP micro
     # deployed online (reference microphysics_kessler_ponni.h:189 with the
     # ponni override active), using the shipped example model.
+    # MWML_BENCH_CASE=city: the simple_city chain (wall-x immersed-building
+    # flow + horizontal/top sponges + time averager, reference
+    # experiments/simple_city/driver.cpp:8-88) at the city resolution class
+    # (5 m cells) -- the one chain whose BC/immersed path is otherwise only
+    # CPU-tested.  The dycore order/impl knobs are honored through the
+    # config extras; the generic override below is skipped (the dycore is
+    # not the first module in this chain).
+    case = os.environ.get("MWML_BENCH_CASE", "supercell")
     micro_kind = os.environ.get("MWML_BENCH_MICRO", "kessler")
-    if micro_kind == "p3":
+    if case == "city":
+        from miniweatherml_tpu.experiments.simple_city import (
+            build as build_city)
+        ordv = int(os.environ.get("MWML_BENCH_ORD", 5))
+        use_pallas = os.environ.get(
+            "MWML_BENCH_PALLAS", "1" if on_tpu else "0") == "1"
+        # the reference city DOMAIN (2000 x 2000 x 300 m, input_city.yaml)
+        # at whatever resolution the bench grid implies -- the building
+        # grid needs >= ~1.3 km of fetch, so the domain stays fixed
+        config = config_from_dict(dict(
+            sim_time=1.0e9, nens=nens, nx_glob=nx, ny_glob=ny, nz=nz,
+            xlen=2000.0, ylen=2000.0, zlen=300.0,
+            init_data="city", out_prefix="bench", dt_phys=0.0,
+            out_freq=-1.0, enable_gravity=False, dtype=dtype,
+            dyn_order=ordv, riemann_impl="pallas" if use_pallas else "xla",
+            fast_weights=use_pallas and os.environ.get(
+                "MWML_BENCH_FASTW", "1") == "1",
+        ))
+        state, mods, dycore, _ = build_city(config)
+        micro_kind = "city"
+    elif micro_kind == "p3":
         from miniweatherml_tpu.experiments.supercell_p3 import build as build_p3
         state, mods, dycore = build_p3(config)
         if os.environ.get("MWML_BENCH_P3_ACTIVE", "0") == "1":
@@ -199,7 +227,7 @@ def main() -> None:
     # Mosaic TPU kernels are f32-only; the f64 datapoint runs the XLA path.
     if dtype == "float64":
         use_pallas = False
-    if ordv != 5 or use_pallas:
+    if case != "city" and (ordv != 5 or use_pallas):
         from miniweatherml_tpu.dycore.euler import Dycore
         dy = Dycore(ord=ordv,
                     riemann_impl="pallas" if use_pallas else "xla",

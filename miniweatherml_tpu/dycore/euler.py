@@ -470,7 +470,7 @@ class Dycore:
 
     def _direction_fluxes(self, grid, consts, hy, prim, axis, n, bc,
                           normal_id, spmd=None, div_scale=None,
-                          emit_fo=False):
+                          emit_fo=False, acc=None, prim_parts=None):
         """Per-direction pipeline on the shared de-densitized variables
         (computed once per RHS in _tendencies): pad/BC -> WENO ->
         backgrounds/density at faces -> face BCs -> Riemann.
@@ -478,7 +478,9 @@ class Dycore:
         ``div_scale`` (pallas path only): the state output is the per-cell
         divergence contribution instead of face fluxes (see
         ops/pallas_recon._riemann_block).  ``emit_fo`` (pallas path only):
-        additionally return the per-cell FCT outflow partial."""
+        additionally return the per-cell FCT outflow partial.  ``acc``
+        (pallas path, requires div_scale): running state tendency in state
+        layout, added in-kernel with its HBM buffer donated to the output."""
         hyc, hyt, hye, hyte = hy
         # The Pallas megakernels run single-device AND inside shard_map
         # (halos then come from ring ppermute exchanges); physical edge BCs
@@ -488,8 +490,9 @@ class Dycore:
         if self.riemann_impl == "pallas":
             return self._direction_fluxes_pallas(
                 grid, consts, hy, prim, axis, n, bc, normal_id, spmd,
-                div_scale=div_scale, emit_fo=emit_fo)
-        assert not emit_fo
+                div_scale=div_scale, emit_fo=emit_fo, acc=acc,
+                prim_parts=prim_parts)
+        assert not emit_fo and acc is None
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -512,7 +515,7 @@ class Dycore:
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
                                  normal_id, spmd=None, div_scale=None,
-                                 emit_fo=False):
+                                 emit_fo=False, acc=None, prim_parts=None):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
@@ -573,8 +576,30 @@ class Dycore:
 
         kw["bc"] = (bc_lo, bc_hi)
 
+        if acc is not None:
+            assert div_scale is not None
+        # Direction-local prim assembly (MWML_PRIM_SPLIT, big grids): build
+        # this direction's kernel operand as its OWN concat of the shared
+        # de-densitized parts -- bitwise-identical values (concat of
+        # reshapes == reshape of the concat), but each direction's concat
+        # fuses into its kernel's operand read (allow_input_fusion)
+        # instead of relaying-out one shared 5-D prim buffer per operand
+        # layout.  The 1024x1024x100 OOM table showed a 3.25G relayout
+        # COPY of prim feeding the z kernel on top of the 3.12G concat
+        # itself; direction-local assembly removes the copy class.  Only
+        # strip-free (whole-axis self_bc) directions qualify -- strip
+        # slicing still reads the 5-D prim.
+        def _local(shape_tail):
+            return jnp.concatenate(
+                [p.reshape((p.shape[0],) + shape_tail) for p in prim_parts])
+
         if axis == _AX_X:
-            flat = prim.reshape(nvar, nens * nz * ny, n)
+            if prim_parts is not None and self_bc is not None:
+                flat = _local((nens * nz * ny, n))
+            else:
+                flat = prim.reshape(nvar, nens * nz * ny, n)
+            if acc is not None:
+                kw["acc"] = acc.reshape(NUM_STATE, nens * nz * ny, n)
             lo_f = hi_f = None
             if self_bc is None:
                 lo_f = lo.reshape(nvar, nens * nz * ny, hw)
@@ -592,7 +617,12 @@ class Dycore:
             # stencil on the sublane axis; x stays on lanes (no transpose).
             # Only viable while the whole stencil axis fits in the VMEM
             # working set (Np*128 lanes within the Mosaic temp stack).
-            resh = prim.reshape(nvar, nens * nz, n, nx)
+            if prim_parts is not None and self_bc is not None:
+                resh = _local((nens * nz, n, nx))
+            else:
+                resh = prim.reshape(nvar, nens * nz, n, nx)
+            if acc is not None:
+                kw["acc"] = acc.reshape(NUM_STATE, nens * nz, n, nx)
             lo_r = hi_r = None
             if self_bc is None:
                 lo_r = lo.reshape(nvar, nens * nz, hw, nx)
@@ -610,7 +640,15 @@ class Dycore:
             # is computed identically in both chunks (same stencil inputs)
             # and _stitch_chunk_faces drops the duplicates.
             C = n // cn
-            resh = prim.reshape(nvar, nens * nz * C, cn, nx)
+            if prim_parts is not None:
+                # direction-local assembly (see the x branch): the strip
+                # slices below still read the 5-D prim, but slice-of-concat
+                # simplifies through, so the 5-D concat itself goes dead.
+                resh = _local((nens * nz * C, cn, nx))
+            else:
+                resh = prim.reshape(nvar, nens * nz * C, cn, nx)
+            if acc is not None:
+                kw["acc"] = acc.reshape(NUM_STATE, nens * nz * C, cn, nx)
             los = [lo] + [
                 jax.lax.slice_in_dim(prim, c * cn - hp, c * cn, axis=3)
                 for c in range(1, C)]
@@ -633,9 +671,15 @@ class Dycore:
                 SF = _stitch_chunk_faces(SF, nens, nz, C, cn, nx)
             TF = _stitch_chunk_faces(TF, nens, nz, C, cn, nx)
         elif axis == _AX_Y:
-            # no usable chunk size: transpose y onto lanes, lane kernel
+            # no usable chunk size: transpose y onto lanes, lane kernel.
+            # acc rides along via the same transpose (a real copy -- this
+            # branch only fires when no chunk size divides ny, where the
+            # transposes already dominate; correctness over memory there).
             moved = jnp.moveaxis(prim, -2, -1)     # (nvar, E, Z, X, n)
             flat = moved.reshape(nvar, nens * nz * nx, n)
+            if acc is not None:
+                kw["acc"] = jnp.moveaxis(acc, -2, -1).reshape(
+                    NUM_STATE, nens * nz * nx, n)
             lo_f = hi_f = None
             if self_bc is None:
                 lo_f = jnp.moveaxis(lo, -2, -1).reshape(
@@ -652,7 +696,12 @@ class Dycore:
                                              *args, **kw))
             y_lane_layout = True
         else:  # _AX_Z
-            resh = prim.reshape(nvar, nens, n, ny * nx)
+            if prim_parts is not None and self_bc is not None:
+                resh = _local((nens, n, ny * nx))
+            else:
+                resh = prim.reshape(nvar, nens, n, ny * nx)
+            if acc is not None:
+                kw["acc"] = acc.reshape(NUM_STATE, nens, n, ny * nx)
             lo_r = hi_r = None
             if self_bc is None:
                 lo_r = lo.reshape(nvar, nens, hw, ny * nx)
@@ -816,9 +865,9 @@ class Dycore:
         # De-densitized variables (dynamics...h:248-255): rho', u, v, w,
         # (rho theta)', tracer concentrations -- computed ONCE, shared by
         # all three direction pipelines.
-        prim = jnp.concatenate(
-            [s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT:IDT + 1], tr / full_r]
-        )
+        prim_parts = (s[IDR:IDU], s[IDU:IDT] / full_r, s[IDT:IDT + 1],
+                      tr / full_r)
+        prim = jnp.concatenate(prim_parts)
 
         # Pallas kernels emit the state divergence contribution directly
         # (state fluxes are never FCT-limited, so their faces need not
@@ -842,32 +891,55 @@ class Dycore:
         ds_y = (1.0 / grid.dy) if kdiv else None
         ds_z = (1.0 / grid.dz) if kdiv else None
 
+        # In-kernel state-divergence accumulation (MWML_DIV_ACC 0/1/auto,
+        # default auto = on whenever the megakernels emit divergences):
+        # chain the directions x -> z -> y, each kernel ADDING its
+        # contribution to the running tendency with the accumulator's HBM
+        # buffer donated to the kernel output (input_output_aliases).  One
+        # state-tendency buffer stays live instead of three, the XLA
+        # s_tend = SFx+SFz+SFy add temps disappear (the 1024^2x100
+        # single-chip HBM-fit lever), and the adds themselves ride the
+        # kernels.  The sum keeps the same association order but runs in
+        # strict f32 inside the kernel, where the XLA-add form may fuse
+        # with excess precision -- measured difference is a few ulp
+        # (tests/test_pallas.py pins it at 1e-5 relative).  Auto-gated to
+        # big grids: at 512^2x64 the chained kernels measured 107.7 vs
+        # 108.7 Mcellups (lost x/z launch overlap), so small grids keep
+        # the XLA adds.
+        n_cells = grid.nens * grid.nz * grid.ny * grid.nx
+        acc_env = _os.environ.get("MWML_DIV_ACC", "auto")
+        use_acc = kdiv and (acc_env == "1"
+                            or (acc_env == "auto" and n_cells >= 52_000_000))
+        split_env = _os.environ.get("MWML_PRIM_SPLIT", "auto")
+        parts = prim_parts if (kdiv and (split_env == "1" or (
+            split_env == "auto" and n_cells >= 52_000_000))) else None
         out_x = self._direction_fluxes(
             grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd,
-            div_scale=ds_x, emit_fo=kfct)
-        out_z = self._direction_fluxes(
-            grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd,
-            div_scale=ds_z, emit_fo=kfct)
+            div_scale=ds_x, emit_fo=kfct, prim_parts=parts)
         if kfct:
             SFx, TFx, FOx = out_x
-            SFz, TFz, FOz = out_z
         else:
             SFx, TFx = out_x
+        out_z = self._direction_fluxes(
+            grid, consts, hy, prim, _AX_Z, grid.nz, consts.bc_z, IDW, spmd,
+            div_scale=ds_z, emit_fo=kfct, acc=SFx if use_acc else None,
+            prim_parts=parts)
+        if kfct:
+            SFz, TFz, FOz = out_z
+        else:
             SFz, TFz = out_z
+        if use_acc:
+            SFx = jnp.zeros((), SFz.dtype)  # folded into SFz by the kernel
         # HBM-limit sequencing (MWML_DIR_SEQ 0/1/auto, default auto: on for
         # grids past the previous single-chip fit limit): fold the x/z
         # state divergences into ONE buffer before the y kernel launches
         # and make the y kernel's input depend on that sum, so buffer
         # assignment reuses the x/z output space instead of holding all
-        # three 5-var direction outputs live at the peak.  This is what
-        # fits the reference's community-benchmark 1024^2-class grid on
-        # one chip (the 1024x1024x64 allocation table showed 3x 1.25G
-        # direction outputs simultaneously live; with sequencing the grid
-        # compiles AND runs at full throughput -- 106.75 Mcellups, same as
-        # smaller grids).  Off below the threshold: kernel-launch overlap
-        # is worth more than memory there.
+        # three 5-var direction outputs live at the peak.  Subsumed by the
+        # in-kernel accumulation above (aliasing makes the dependency
+        # real); kept for the MWML_DIV_ACC=0 fallback.
         seq_mode = _os.environ.get("MWML_DIR_SEQ", "auto")
-        seq = (kdiv and not sim2d and not kfct
+        seq = (kdiv and not use_acc and not sim2d and not kfct
                and (seq_mode == "1"
                     or (seq_mode == "auto"
                         and grid.nens * grid.nz * grid.ny * grid.nx
@@ -881,11 +953,14 @@ class Dycore:
         else:
             out_y = self._direction_fluxes(
                 grid, consts, hy, prim, _AX_Y, grid.ny, consts.bc_y, IDV,
-                spmd, div_scale=ds_y, emit_fo=kfct)
+                spmd, div_scale=ds_y, emit_fo=kfct,
+                acc=SFz if use_acc else None, prim_parts=parts)
             if kfct:
                 SFy, TFy, FOy = out_y
             else:
                 SFy, TFy = out_y
+            if use_acc:
+                SFz = jnp.zeros((), SFy.dtype)  # folded into SFy
 
         def div(F, axis, n, dxi):
             return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi

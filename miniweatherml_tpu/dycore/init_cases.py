@@ -363,6 +363,11 @@ def init_city(state: CouplerState):
     buildings_pad = 20
     nblocks_x = (int(g.xlen) // building_length - 2 * buildings_pad) // 3
     nblocks_y = (int(g.ylen) // building_length - 2 * buildings_pad) // 9
+    if nblocks_x <= 0 or nblocks_y <= 0:
+        raise ValueError(
+            "city init needs a domain of at least ~1.3 km per horizontal "
+            f"side to fit the building grid (got {g.xlen} x {g.ylen} m; "
+            "the reference city domain is 2000 x 2000 m, input_city.yaml)")
     nbuildings_x = nblocks_x * 3
     nbuildings_y = nblocks_y * 9
 

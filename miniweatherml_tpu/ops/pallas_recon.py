@@ -286,11 +286,11 @@ def _self_halo(xb, hs, self_bc, normal_id, axis):
     return jnp.concatenate([lo, xb, hi], axis=ax)
 
 
-def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
-            fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl, cutoff,
-            normal_id, ntracers, C0, gamma, fast_weights=False, opt=True,
-            local_edges=False, div_scale=None, self_bc=None,
-            use_roll=False, aligned_tf=False, interpret=False):
+def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, *rest, n, ord_,
+            tv_terms, edge_terms, idl, cutoff, normal_id, ntracers, C0,
+            gamma, fast_weights=False, opt=True, local_edges=False,
+            div_scale=None, self_bc=None, use_roll=False, aligned_tf=False,
+            has_acc=False, interpret=False):
     """Lane-stencil variant: unpadded prim (nvar, Bt, n) with the stencil on
     the last (lane) axis -- the natural layout for the x direction -- plus
     halo strips assembled in VMEM (the full-array HBM pad copy never
@@ -304,7 +304,20 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
     and for wall/open the exterior limits are overwritten by the BC rules
     (reference dynamics...h:1005-1081) regardless.  Strips are hs wide.
     Sharded/chunked axes use local_edges=False with hp-wide strips (the
-    halo cells there belong to a neighbor and must be reconstructed)."""
+    halo cells there belong to a neighbor and must be reconstructed).
+
+    ``has_acc``: the first entry of ``rest`` is a running state-tendency
+    accumulator (same block as the state output, HBM-aliased to it via
+    input_output_aliases); the kernel ADDS its divergence contribution,
+    so the per-direction state tendencies never exist as separate HBM
+    buffers (the single-chip HBM-fit lever for the 1024^2-class grids,
+    and the fused form of the s_tend = SFx+SFz+SFy glue adds)."""
+    if has_acc:
+        acc_ref, sf_ref, tf_ref, *more = rest
+    else:
+        acc_ref = None
+        sf_ref, tf_ref, *more = rest
+    fo_ref = more[0] if more else None
     hs_ = (ord_ - 1) // 2
     if use_roll and self_bc == 0 and div_scale is not None:
         # Periodic whole-axis fast path: every operation stays on the
@@ -333,7 +346,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
                        sf_ref, tf_ref, normal_id, ntracers, C0, gamma,
                        div_scale=div_scale, face_axis=-1, fo_ref=fo_ref,
                        periodic_roll=True, aligned_tf=aligned_tf,
-                       interpret=interpret)
+                       acc_ref=acc_ref, interpret=interpret)
         return
     if self_bc is not None:
         x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -1)
@@ -359,7 +372,7 @@ def _kernel(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref, tf_ref,
     L, R = _apply_bc_limits(L, R, bc_ref[0], bc_ref[1], n, normal_id, -1)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma, div_scale=div_scale,
-                   face_axis=-1, fo_ref=fo_ref)
+                   face_axis=-1, fo_ref=fo_ref, acc_ref=acc_ref)
 
 
 
@@ -384,7 +397,8 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                             div_scale: float | None = None,
                             self_bc: int | None = None,
                             emit_fo: bool = False,
-                            aligned_tf: bool = False):
+                            aligned_tf: bool = False,
+                            acc=None):
     """Fused recon+Riemann over the LAST axis.
 
     Args:
@@ -397,6 +411,12 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         rho*theta) at the faces of each row.
       n: number of interior cells along the direction.
       normal_id: index of the normal-momentum variable (IDU/IDV/IDW).
+
+    ``acc`` (requires div_scale): a (5, B, n) running state-tendency
+    accumulator; the kernel adds its divergence contribution and the
+    accumulator's HBM buffer is donated to the state output
+    (input_output_aliases), so chaining directions x->z->y keeps ONE
+    state-tendency buffer live instead of three plus XLA add temps.
 
     Returns:
       (state_flux (5, B, n+1), tracer_flux (ntracers, B, n+1)).
@@ -446,12 +466,16 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     # the returned last-dim (n vs n+1).
     aligned_tf = aligned_tf and use_roll and not emit_fo
     n_t_out = n if aligned_tf else n + 1
+    has_acc = acc is not None
+    if has_acc:
+        assert div_scale is not None and acc.shape == (NUM_STATE, B, n)
     kernel = functools.partial(
         _kernel, n=n, ord_=ord_, tv_terms=tv_terms, edge_terms=edge_terms,
         idl=idl, cutoff=cutoff, normal_id=normal_id, ntracers=ntracers,
         C0=C0, gamma=gamma, fast_weights=fast_weights, opt=opt,
         local_edges=local_edges, div_scale=div_scale, self_bc=self_bc,
-        use_roll=use_roll, aligned_tf=aligned_tf, interpret=interpret)
+        use_roll=use_roll, aligned_tf=aligned_tf, has_acc=has_acc,
+        interpret=interpret)
     if self_bc is not None:
         base = kernel
 
@@ -481,6 +505,13 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
                      memory_space=pltpu.VMEM),
     ]
     operands += [hy_r_faces, hy_t_faces]
+    aliases = {}
+    if has_acc:
+        in_specs.append(pl.BlockSpec((NUM_STATE, Bt, n),
+                                     lambda b: (0, b, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(acc)
+        aliases[len(operands) - 1] = 0  # donate acc's HBM to the state out
     out_specs = [
         pl.BlockSpec((NUM_STATE, Bt, n_s_out), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
@@ -496,16 +527,20 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
         out_specs.append(pl.BlockSpec((ntracers, Bt, n), lambda b: (0, b, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((ntracers, B, n), prim.dtype))
+    # let XLA fuse input producers (the de-densitize pass, broadcasts)
+    # into the kernel's input reads instead of materializing them; the
+    # donated accumulator must NOT be fused (its buffer aliases the out).
+    fuse = [False] + [True] * (len(in_specs) - 1)
+    if has_acc:
+        fuse[-1] = False
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        # let XLA fuse input producers (the de-densitize pass, broadcasts)
-        # into the kernel's input reads instead of materializing them
-        compiler_params=_compiler_params(
-            [False] + [True] * (len(in_specs) - 1)),
+        compiler_params=_compiler_params(fuse),
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         # Pallas has no native CPU lowering; tests run interpreted.
         interpret=interpret,
     )(*operands)
@@ -516,11 +551,11 @@ def direction_fluxes_pallas(prim, lo, hi, hy_r_faces, hy_t_faces, n: int,
     return sf, tf[:ntracers]
 
 
-def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
-                tf_ref, fo_ref=None, *, n, ord_, tv_terms, edge_terms, idl,
-                cutoff, normal_id, ntracers, C0, gamma, fast_weights=False,
-                opt=True, nchunk=1, local_edges=False, div_scale=None,
-                self_bc=None):
+def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, *rest, n,
+                ord_, tv_terms, edge_terms, idl, cutoff, normal_id, ntracers,
+                C0, gamma, fast_weights=False, opt=True, nchunk=1,
+                local_edges=False, div_scale=None, self_bc=None,
+                has_acc=False):
     """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
     stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
     layout for the y and z directions, avoiding any transpose -- plus
@@ -532,9 +567,15 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
     physical row (rows-major, chunks minor), each with its own neighbor
     strips; the physical boundary faces exist only in the first/last
     chunk, so the BC modes are gated on the chunk index of this block
-    (requires row blocks of 1)."""
+    (requires row blocks of 1).  ``has_acc`` as in _kernel."""
     from jax.experimental import pallas as pl
 
+    if has_acc:
+        acc_ref, sf_ref, tf_ref, *more = rest
+    else:
+        acc_ref = None
+        sf_ref, tf_ref, *more = rest
+    fo_ref = more[0] if more else None
     hs_ = (ord_ - 1) // 2
     if self_bc is not None:
         x = _self_halo(p_ref[...], hs_, self_bc, normal_id, -2)
@@ -565,7 +606,7 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, sf_ref,
     L, R = _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma, div_scale=div_scale,
-                   face_axis=-2, fo_ref=fo_ref)
+                   face_axis=-2, fo_ref=fo_ref, acc_ref=acc_ref)
 
 
 def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
@@ -599,7 +640,8 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
                    gamma, div_scale=None, face_axis=-1, fo_ref=None,
-                   periodic_roll=False, aligned_tf=False, interpret=False):
+                   periodic_roll=False, aligned_tf=False, acc_ref=None,
+                   interpret=False):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
     arrays broadcast against the per-var face blocks.
 
@@ -642,7 +684,8 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
         # wrapping -- one circular roll closes the divergence ring
         fa = sflux.ndim - 1
         nl = sflux.shape[fa]
-        sf_ref[...] = (sflux - _roll(sflux, nl - 1, fa, interpret)) * div_scale
+        contrib = (sflux - _roll(sflux, nl - 1, fa, interpret)) * div_scale
+        sf_ref[...] = contrib if acc_ref is None else acc_ref[...] + contrib
         if ntracers:
             trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers,
                                        axis=0)
@@ -675,7 +718,8 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
         nf = sflux.shape[fa]
         a = jax.lax.slice_in_dim(sflux, 0, nf - 1, axis=fa)
         b = jax.lax.slice_in_dim(sflux, 1, nf, axis=fa)
-        sf_ref[...] = (a - b) * div_scale
+        contrib = (a - b) * div_scale
+        sf_ref[...] = contrib if acc_ref is None else acc_ref[...] + contrib
     if ntracers:
         trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
         trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
@@ -698,7 +742,8 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 bc=(0, 0), nchunk: int = 1,
                                 div_scale: float | None = None,
                                 self_bc: int | None = None,
-                                emit_fo: bool = False):
+                                emit_fo: bool = False,
+                                acc=None):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -713,6 +758,10 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
         only in the first/last chunk.  Callers chunk a long stencil axis
         (VMEM cap) and stitch the per-chunk faces back
         (euler._direction_fluxes_pallas).
+
+    ``acc`` (requires div_scale): (5, R, n, L) running state-tendency
+    accumulator, added in-kernel and HBM-aliased to the state output
+    (see direction_fluxes_pallas).
 
     Returns (state_flux (5, R, n+1, L), tracer_flux (nt, R, n+1, L)).
     """
@@ -752,12 +801,15 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     Lt = min(lane_block, Ll, budget)
     grid = (math.ceil(Rr / Rt), math.ceil(Ll / Lt))
 
+    has_acc = acc is not None
+    if has_acc:
+        assert div_scale is not None and acc.shape == (NUM_STATE, Rr, n, Ll)
     kernel = functools.partial(
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
         ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
         opt=opt, nchunk=nchunk, local_edges=local_edges,
-        div_scale=div_scale, self_bc=self_bc)
+        div_scale=div_scale, self_bc=self_bc, has_acc=has_acc)
     if self_bc is not None:
         base = kernel
 
@@ -787,6 +839,13 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                      memory_space=pltpu.VMEM),
     ]
     operands += [hy3, hyt3]
+    aliases = {}
+    if has_acc:
+        in_specs.append(pl.BlockSpec((NUM_STATE, Rt, n, Lt),
+                                     lambda r, l: (0, r, 0, l),
+                                     memory_space=pltpu.VMEM))
+        operands.append(acc)
+        aliases[len(operands) - 1] = 0
     out_specs = [
         pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
                      lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
@@ -805,14 +864,17 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((ntracers, Rr, n, Ll),
                                               prim.dtype))
+    fuse = [False] + [True] * (len(in_specs) - 1)
+    if has_acc:
+        fuse[-1] = False      # donated accumulator: never fuse its producer
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        compiler_params=_compiler_params(
-            [False] + [True] * (len(in_specs) - 1)),
+        compiler_params=_compiler_params(fuse),
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
     if emit_fo:

@@ -210,6 +210,167 @@ def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
     return tuple(out[..., k] for k in range(K))
 
 
+# -- round-5 lane-blocked kernels ------------------------------------------
+#
+# The round-3 kernels above lose because each (cells, 1) column operand
+# acquires a 128x-padded T(8,128) HBM copy at the custom-call boundary,
+# and their corner weights are built at full K*P lane width (~20 VPU ops
+# x 1200 lanes per cell for collect).  The round-5 formulation fixes both
+# by TRANSPOSING the matmul -- cells ride the LANE axis in their natural
+# (rows, 128) layout (zero padding, zero copies, the fused_cellwise
+# operand discipline), the one-hot interpolation weights are built with
+# the table axis on SUBLANES, and the contraction runs as
+# ``T^T (K*P, isize) @ W^T (isize, 128)`` per 128-cell lane group with
+# the table VMEM-resident.  Corner weights live at (P, 128) -- 20 lanes
+# of sublanes, not 1200 lanes -- and the (jj, ii) reduction is a
+# sublane-axis sum.  The A = Wk @ T intermediate (126 MB/chunk in the
+# XLA matmul path -- its measured HBM wall) never exists outside VMEM.
+#
+# Rain rows use the Mosaic lane-gather (tpu.dynamic_gather along lanes,
+# measured 22.5 Ggather/s on this chip -- scripts/probe_gather.py): the
+# 300-entry row splits into 3 x 128-lane chunks selected by the index
+# high bits.  The ice-rain COLLECT table stays on the XLA matmul: its
+# contraction is measured MXU-flop-bound at ~23 Tflop/s (60k MACs/cell
+# is invariant under one-hot factorization order), so a kernel cannot
+# beat it -- only a true 2-D dynamic gather could, and Mosaic's
+# dynamic_gather is 1-D over <=128 lanes.
+
+
+def _lane_blocks(arrays, dtype_map):
+    """Flatten same-shape arrays to (rows, 128) lane blocks (pad tail)."""
+    shape = arrays[0].shape
+    n = int(np.prod(shape)) if shape else 1
+    rows = -(-n // 128)
+    pad = rows * 128 - n
+    out = []
+    for a, dt in zip(arrays, dtype_map):
+        v = a.astype(dt).reshape(-1)
+        if pad:
+            v = jnp.pad(v, (0, pad))
+        out.append(v.reshape(rows, 128))
+    return out, shape, n, rows
+
+
+def _ice_lane_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
+                     t_ref, out_ref, *, R, K):
+    P = DENSIZE * RIMSIZE
+    t = t_ref[...]                                        # (K*P, ISIZE)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ISIZE, 128), 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    pj = iota_p // RIMSIZE
+    pi = iota_p - pj * RIMSIZE
+    for s in range(R):
+        i0r = i0_ref[s:s + 1, :]
+        fir = fi_ref[s:s + 1, :]
+        wk = (jnp.where(iota_i == i0r, 1.0 - fir, 0.0)
+              + jnp.where(iota_i == i0r + 1, fir, 0.0))  # (ISIZE, 128)
+        a = jnp.dot(t, wk, preferred_element_type=jnp.float32)  # (K*P, 128)
+        jj0r, fjjr = jj0_ref[s:s + 1, :], fjj_ref[s:s + 1, :]
+        ii0r, fiir = ii0_ref[s:s + 1, :], fii_ref[s:s + 1, :]
+        w = ((jnp.where(pj == jj0r, 1.0 - fjjr, 0.0)
+              + jnp.where(pj == jj0r + 1, fjjr, 0.0))
+             * (jnp.where(pi == ii0r, 1.0 - fiir, 0.0)
+                + jnp.where(pi == ii0r + 1, fiir, 0.0)))  # (P, 128)
+        out_ref[:, s, :] = jnp.sum(a.reshape(K, P, 128) * w[None], axis=1)
+
+
+def interp_ice_lane(tables, cols, i0, fi, ii0, fii, jj0, fjj,
+                    interpret: bool = False):
+    """Trilinear ice-table interpolation, lane-blocked transposed-matmul
+    kernel; same contract as p3_tables.interp_ice_multi (f32)."""
+    K = len(cols)
+    P = DENSIZE * RIMSIZE
+    # row k*P + p, p = jj*RIMSIZE + ii; columns = the isize axis
+    tsel = np.moveaxis(tables.ice[..., [c - 1 for c in cols]], 3, 0)
+    T = jnp.asarray(np.ascontiguousarray(tsel).reshape(K * P, ISIZE),
+                    jnp.float32)
+    blks, shape, n, rows = _lane_blocks(
+        [i0, fi, ii0, fii, jj0, fjj],
+        [jnp.int32, jnp.float32, jnp.int32, jnp.float32, jnp.int32,
+         jnp.float32])
+    R = 8
+    rpad = (-rows) % R
+    if rpad:
+        blks = [jnp.pad(b, ((0, rpad), (0, 0))) for b in blks]
+    nrows = rows + rpad
+    kernel = functools.partial(_ice_lane_kernel, R=R, K=K)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nrows // R,),
+        in_specs=[pl.BlockSpec((R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((K * P, ISIZE), lambda b: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((K, R, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, nrows, 128), jnp.float32),
+        interpret=interpret,
+    )(*blks, T)
+    flat = out.reshape(K, -1)[:, :n]
+    return tuple(flat[k].reshape(shape) for k in range(K))
+
+
+def _rain_lane_kernel(i0_ref, fi_ref, t_ref, out_ref, *, R, K, nchunks,
+                      size):
+    idx = i0_ref[...]                                    # (R, 128) int32
+    fi = fi_ref[...]
+    idx0 = jnp.minimum(idx, size - 2)
+    vals = []
+    for corner in range(2):
+        ic = idx0 + corner
+        hi = ic // 128
+        lo = ic - hi * 128
+        acc = [jnp.zeros((R, 128), jnp.float32) for _ in range(K)]
+        for h in range(nchunks):
+            mask = hi == h
+            for k in range(K):
+                tab = jnp.broadcast_to(t_ref[k * nchunks + h:
+                                             k * nchunks + h + 1, :],
+                                       (R, 128))
+                g = jnp.take_along_axis(tab, lo, axis=1)
+                acc[k] = acc[k] + jnp.where(mask, g, 0.0)
+        vals.append(acc)
+    for k in range(K):
+        out_ref[k, :, :] = vals[0][k] + fi * (vals[1][k] - vals[0][k])
+
+
+def interp_rain_lane(rows_in, i0, fi, interpret: bool = False):
+    """1-D rain-row linear interpolation via Mosaic lane-gathers; same
+    contract as p3_tables.interp_rain_multi (f32)."""
+    K = len(rows_in)
+    T0 = np.stack([np.asarray(r, np.float32) for r in rows_in])  # (K, size)
+    size = T0.shape[1]
+    nchunks = -(-size // 128)
+    Tp = np.zeros((K * nchunks, 128), np.float32)
+    for k in range(K):
+        for h in range(nchunks):
+            seg = T0[k, h * 128:(h + 1) * 128]
+            Tp[k * nchunks + h, :seg.size] = seg
+    T = jnp.asarray(Tp)
+    blks, shape, n, rows = _lane_blocks([i0, fi], [jnp.int32, jnp.float32])
+    R = 8
+    rpad = (-rows) % R
+    if rpad:
+        blks = [jnp.pad(b, ((0, rpad), (0, 0))) for b in blks]
+    nrows = rows + rpad
+    kernel = functools.partial(_rain_lane_kernel, R=R, K=K,
+                               nchunks=nchunks, size=size)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nrows // R,),
+        in_specs=[pl.BlockSpec((R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((K * nchunks, 128), lambda b: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((K, R, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, nrows, 128), jnp.float32),
+        interpret=interpret,
+    )(*blks, T)
+    flat = out.reshape(K, -1)[:, :n]
+    return tuple(flat[k].reshape(shape) for k in range(K))
+
+
 def interp_rain_pallas(rows, i0, fi, interpret: bool = False):
     """1-D rain-table linear interpolation for several equal-length rows
     sharing one index set; returns a tuple in ``rows`` order.  The row

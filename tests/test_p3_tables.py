@@ -264,3 +264,51 @@ def test_pallas_rain_kernel_derives_row_length(monkeypatch):
     for g, p in zip(ref, out):
         np.testing.assert_allclose(np.asarray(p), np.asarray(g),
                                    rtol=3e-5, atol=0)
+
+
+def test_lane_ice_kernel_matches_gather(tables, monkeypatch):
+    """The round-5 lane-blocked transposed-matmul ice kernel
+    (MWML_P3_TABLES=lane; interpret mode on CPU) reproduces the gather
+    trilinear interpolation to f32 rounding, incl. the lane-padding tail
+    and a 7-column pack (the part2 call-site shape)."""
+    from miniweatherml_tpu.physics.p3_tables import interp_ice_multi
+
+    rng = np.random.default_rng(17)
+    n = 2500  # not a multiple of 128 or of the 8-row block
+    i0 = jnp.asarray(rng.integers(0, ISIZE - 1, n), jnp.int32)
+    ii0 = jnp.asarray(rng.integers(0, RIMSIZE - 1, n), jnp.int32)
+    jj0 = jnp.asarray(rng.integers(0, DENSIZE - 1, n), jnp.int32)
+    fi, fii, fjj = (jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+                    for _ in range(3))
+    idx = (i0, fi, ii0, fii, jj0, fjj)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_ice_multi(tables, (7, 8, 4, 2, 3, 5, 10), *idx)
+    monkeypatch.setenv("MWML_P3_TABLES", "lane")
+    out = interp_ice_multi(tables, (7, 8, 4, 2, 3, 5, 10), *idx)
+    for g, p in zip(ref, out):
+        # atol floor: the two corner-sum orders differ at DENORMAL
+        # magnitudes (~1e-37, 30+ orders below each column's scale)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=3e-5, atol=1e-30)
+
+
+def test_lane_rain_kernel_matches_gather(tables, monkeypatch):
+    """The round-5 lane-gather rain kernel (Mosaic dynamic_gather chunks)
+    matches the gather lerp, including the i0 clip at the table top."""
+    from miniweatherml_tpu.physics.p3_tables import (generate_rain_tables,
+                                                     interp_rain_multi)
+
+    vn_row, vm_row, revap_row = generate_rain_tables()
+    rng = np.random.default_rng(19)
+    n = 2100
+    i0 = jnp.asarray(rng.integers(0, 301, n), jnp.int32)
+    fi = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_rain_multi((vm_row, vn_row, revap_row), i0, fi)
+    monkeypatch.setenv("MWML_P3_TABLES", "lane")
+    out = interp_rain_multi((vm_row, vn_row, revap_row), i0, fi)
+    for g, p in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                   rtol=3e-5, atol=0)

@@ -201,3 +201,39 @@ def test_pallas_dir_seq_matches_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out_seq[name]), np.asarray(out_def[name]),
             rtol=1e-12, atol=1e-14, err_msg=name)
+
+
+def test_pallas_div_acc_and_prim_split_match_default(monkeypatch):
+    """MWML_DIV_ACC=1 (in-kernel x->z->y state-divergence accumulation
+    with the accumulator HBM-aliased to the kernel output) and
+    MWML_PRIM_SPLIT=1 (direction-local prim assembly) -- the round-5
+    1024^2x100 HBM-fit levers -- reproduce the default path.  Split is a
+    pure re-association of concat/reshape (bitwise); the acc adds run in
+    strict f32 in-kernel where the XLA-add form may fuse with excess
+    precision, so the combined bound is a few-ulp rtol."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_DIV_ACC", "0")
+    monkeypatch.setenv("MWML_PRIM_SPLIT", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+
+    monkeypatch.setenv("MWML_DIV_ACC", "0")
+    monkeypatch.setenv("MWML_PRIM_SPLIT", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_split = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "wvel", "temp", "water_vapor"):
+        np.testing.assert_array_equal(
+            np.asarray(out_split[name]), np.asarray(out_def[name]),
+            err_msg=f"prim-split must be bitwise: {name}")
+
+    monkeypatch.setenv("MWML_DIV_ACC", "1")
+    monkeypatch.setenv("MWML_PRIM_SPLIT", "1")
+    jax.clear_caches()
+    out_acc = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor"):
+        np.testing.assert_allclose(
+            np.asarray(out_acc[name]), np.asarray(out_def[name]),
+            rtol=1e-5, atol=1e-7, err_msg=name)
