@@ -58,6 +58,12 @@ def main():
     nx = int(os.environ.get("MWML_P3_NX", 256 if on_tpu else 48))
     ny = int(os.environ.get("MWML_P3_NY", 256 if on_tpu else 48))
     nz = int(os.environ.get("MWML_P3_NZ", 64 if on_tpu else 24))
+    if os.environ.get("MWML_P3_LOOKUPS_ONLY", "0") == "1":
+        # standalone lookup micro-bench only (skips the chain/phase
+        # compiles -- minutes of tunnel time when only the table
+        # implementations are being A/B'd)
+        _lookups_only(nx, ny, nz)
+        return
     cfg = config_from_dict(dict(
         sim_time=1e9, nens=1, nx_glob=nx, ny_glob=ny, nz=nz,
         xlen=400.0 * nx, ylen=400.0 * ny, zlen=200.0 * nz,
@@ -111,6 +117,10 @@ def main():
            jax.jit(lambda *a: compute_adjusted_state(*a)),
            rho, rho_d, rho_v, rho_c, temp)
 
+    _lookups_only(nx, ny, nz)
+
+
+def _lookups_only(nx, ny, nz):
     tables = load_p3_tables(default_table_path())
     n = nx * ny * nz
     key = jax.random.PRNGKey(0)
