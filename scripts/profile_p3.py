@@ -74,6 +74,19 @@ def main():
     micro = [m for m in mods]
     print(f"grid {nx}x{ny}x{nz} = {nx*ny*nz/1e6:.1f}M cells, dt={dt:.3f}")
 
+    if os.environ.get("MWML_P3_PROFILE_ACTIVE", "0") == "1":
+        # all-cells-active attribution: the same hydrometeor seeding as
+        # bench.py's MWML_BENCH_P3_ACTIVE mode, so every presence gate and
+        # lookup family fires in the phases below (throughput analysis
+        # only -- see the bench.py NOTE on the seeded state's physics)
+        seeds = {"cloud_water": 1.0e-4, "cloud_water_num": 1.0e7,
+                 "rain": 1.0e-4, "rain_num": 1.0e5,
+                 "ice": 1.0e-4, "ice_num": 1.0e5,
+                 "ice_rime": 5.0e-5, "ice_rime_vol": 1.0e-7}
+        state = state.replace_fields(**{
+            k: jnp.maximum(state[k], v) for k, v in seeds.items()})
+        print("all-cells-active seeding ON")
+
     # one dycore step first so the micro sees a realistic state
     state = jax.jit(lambda s: mods[0](s, dt))(state)
 

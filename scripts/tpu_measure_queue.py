@@ -35,6 +35,8 @@ def run(name, env_extra, args=None, timeout=None):
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
     log(f"END {name} rc={p.returncode} wall={time.time()-t0:.0f}s")
+    with open(os.path.join(os.path.dirname(LOG), f"{name}.out"), "w") as f:
+        f.write(p.stdout + "\n=== STDERR ===\n" + p.stderr)
     for ln in p.stdout.strip().splitlines()[-8:]:
         log(f"  out: {ln}")
     for ln in p.stderr.strip().splitlines()[-4:]:
@@ -65,19 +67,44 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# 3. P3 headline at 512^2 post-Newton-seed (round-3: 36.5; round-4 pre-seed: 43.7)
-run("p3-chain-512-seed", {"MWML_BENCH_MICRO": "p3", "MWML_BENCH_STEPS": "4",
-                          "MWML_BENCH_INNER": "5"})
+# --- round-5 queue 2 ------------------------------------------------------
+# 1. driver steady-state failure repro (queue-1 rc 1 with a truncated
+#    traceback) -- full traceback this time
+run("driver-1024x64-repro", {"JAX_TRACEBACK_FILTERING": "off"},
+    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
+          "inputs/community_benchmark_1024x64.yaml"])
 
-# 4. P3 at 256^2 (pre-seed: 46.4) for phase comparison
-run("p3-chain-256-seed", {"MWML_BENCH_MICRO": "p3", "MWML_BENCH_NX": "256",
-                          "MWML_BENCH_NY": "256", "MWML_BENCH_STEPS": "4",
-                          "MWML_BENCH_INNER": "5"})
+# 2. 1024x1024x64 flag A/B: queue-1 regression (99.7 under auto
+#    DIV_ACC+PRIM_SPLIT vs round-4's 106.75 under DIR_SEQ) -- attribute it
+GRID = {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
+        "MWML_BENCH_NZ": "64"}
+run("1024x64-dirseq-r4", {**GRID, "MWML_DIV_ACC": "0",
+                          "MWML_PRIM_SPLIT": "0", "MWML_DIR_SEQ": "1"})
+run("1024x64-acc-only", {**GRID, "MWML_DIV_ACC": "1",
+                         "MWML_PRIM_SPLIT": "0"})
+run("1024x64-split-only", {**GRID, "MWML_DIV_ACC": "0",
+                           "MWML_PRIM_SPLIT": "1", "MWML_DIR_SEQ": "1"})
 
-# 5. phase attribution post-seed (wrapper+part1 prefix was 9.1 ms)
-run("profile-p3-phases", {}, args=["scripts/profile_p3.py"])
+# 3. collect-lookup layout A/B: joint (densize,isize) contraction (92%
+#    MXU tile fill) vs queue-1's isize-only form (22.14 ms at 256^2)
+run("lookups-joint-256", {"MWML_P3_LOOKUPS_ONLY": "1",
+                          "MWML_P3_IMPLS": "matmul,lane"},
+    args=["scripts/profile_p3.py"])
 
-# 6. surrogate micro on-chip datapoint (the one bench mode without one)
-run("surrogate-512", {"MWML_BENCH_MICRO": "surrogate", "MWML_BENCH_STEPS": "4",
-                      "MWML_BENCH_INNER": "5"})
+# 4. all-cells-active with lane ice + joint collect (queue-1: 32.1 lane,
+#    27.9 matmul; target >= 40)
+run("p3-allactive-512-joint", {"MWML_BENCH_MICRO": "p3",
+                               "MWML_BENCH_P3_ACTIVE": "1",
+                               "MWML_BENCH_STEPS": "4",
+                               "MWML_BENCH_INNER": "5"})
+
+# 5. all-active phase attribution at 256^2 (where does the non-lookup
+#    part of the 140 ms early-storm -> all-active delta go?)
+run("profile-p3-active", {"MWML_P3_PROFILE_ACTIVE": "1"},
+    args=["scripts/profile_p3.py"])
+
+# 6. kernel-FCT A/B under the 9-tracer P3 chain (the round-3 negative was
+#    3-tracer Kessler economics; queue-1 early-storm auto = 43.88)
+run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
+                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
 log("QUEUE DONE")

@@ -237,3 +237,29 @@ def test_pallas_div_acc_and_prim_split_match_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out_acc[name]), np.asarray(out_def[name]),
             rtol=1e-5, atol=1e-7, err_msg=name)
+
+
+@pytest.mark.slow
+def test_pallas_kernel_fct_matches_default(monkeypatch):
+    """MWML_FCT_PALLAS=1 (megakernels emit per-cell FCT outflow partials;
+    scale+divergence runs in fused kernels, ops/pallas_recon.
+    fct_scale_div_pallas{,_sub}) must reproduce the default XLA fct+div
+    path.  Recorded as a step-level throughput LOSS on the 3-tracer
+    Kessler chain (BASELINE.md round 3) but a live candidate for
+    tracer-heavy chains (the P3 chain advects 9 tracers), so the flag
+    needs standing correctness coverage.  Same math to f32 rounding;
+    measured bitwise on this grid."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_FCT_PALLAS", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_FCT_PALLAS", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_k = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor", "cloud_liquid", "precip_liquid"):
+        np.testing.assert_allclose(
+            np.asarray(out_k[name]), np.asarray(out_def[name]),
+            rtol=1e-6, atol=1e-9, err_msg=name)
