@@ -80,6 +80,15 @@ _AX_X, _AX_Y, _AX_Z = -1, -2, -3
 # Mosaic VMEM temp stack overflows; longer axes use the overlapped-chunk
 # path).  Module constant so tests can force the chunked branch.
 _SUB_WHOLE_NP_CAP = 192
+# HBM-pressure auto-gate thresholds (cells/chip).  >= _SEQ_CELLS: the
+# free DIR_SEQ sequencing (fits 1024x1024x64 at full throughput,
+# BASELINE.md round 4).  >= _ACC_CELLS: the stronger in-kernel
+# accumulation levers (DIV_ACC / PRIM_SPLIT / RK_FUSE) -- each costs
+# ~3.5% in lost kernel-launch overlap (measured 106.9 -> 103.3 -> 99.7
+# at 1024x1024x64, round-5 queue 2), so they only turn on where DIR_SEQ
+# alone no longer fits (the 1024^2x100-class grids).
+_SEQ_CELLS = 52_000_000
+_ACC_CELLS = 80_000_000
 
 # Lane-block width for the z-direction sublane kernel (the short 64-cell
 # stencil axis leaves VMEM headroom for wider lane tiles; A/B via env).
@@ -161,14 +170,31 @@ class Dycore:
     -DMW_ORD, dynamics...h:24-28)."""
 
     def __init__(self, ord: int = 5, cutoff: float = 0.0,
-                 recon_impl: str = "fused", riemann_impl: str = "xla",
-                 fast_weights: bool = False, opt_algebra: bool = True):
+                 recon_impl: str = "fused", riemann_impl: str = "auto",
+                 fast_weights: bool | None = None, opt_algebra: bool = True):
         if ord not in (3, 5, 7, 9):
             raise ValueError("ord must be 3, 5, 7 or 9")
         if recon_impl not in ("fused", "dense"):
             raise ValueError("recon_impl must be 'fused' or 'dense'")
+        if riemann_impl == "auto":
+            # Production default: the fused VMEM megakernels on a
+            # SINGLE-device TPU (the XLA recon path needs ~1.6x the HBM at
+            # 1024^2-class grids -- measured 24.4G vs a fitting Pallas
+            # step at 1024x1024x64 -- and is slower); the XLA path
+            # elsewhere: interpret-mode Pallas is test-only on CPU, and
+            # XLA's auto-SPMD partitioner cannot shard a pallas_call, so
+            # multi-device meshes default to the partitionable XLA form
+            # (the explicit shard_map path passes riemann_impl="pallas"
+            # itself -- that is the multi-chip fast path).  fast_weights
+            # follows unless pinned.
+            import jax
+            riemann_impl = ("pallas" if jax.default_backend() == "tpu"
+                            and jax.device_count() == 1 else "xla")
         if riemann_impl not in ("xla", "pallas"):
-            raise ValueError("riemann_impl must be 'xla' or 'pallas'")
+            raise ValueError("riemann_impl must be 'xla', 'pallas' or "
+                             "'auto'")
+        if fast_weights is None:
+            fast_weights = riemann_impl == "pallas"
         self.ord = ord
         self.hs = (ord - 1) // 2
         self.cutoff = cutoff
@@ -349,6 +375,31 @@ class Dycore:
             state["hy_dens_edges"], state["hy_dens_theta_edges"],
         )
 
+    def _rk_fuse_on(self, grid, consts, spmd) -> bool:
+        """MWML_RK_FUSE 0/1/auto (default auto: big single-device 3-D
+        grids): run each SSPRK3 stage's state update in the final (y)
+        direction kernel's epilogue -- out = c0*s [+ c1*s_prev] +
+        cdt*(s_tend + sources) -- so the stage's state-sized XLA add
+        temps and the separate tendency buffer disappear (the
+        1024^2x100 single-chip HBM-fit lever, on top of MWML_DIV_ACC).
+        Needs the in-kernel gravity/Coriolis sources, so gated to the
+        un-immersed 3-D single-device pallas path where y takes the
+        sublane kernel."""
+        import os as _os
+
+        if self.riemann_impl != "pallas" or spmd is not None:
+            return False
+        if grid.sim2d or consts.use_immersed:
+            return False
+        mode = _os.environ.get("MWML_RK_FUSE", "auto")
+        n_cells = grid.nens * grid.nz * grid.ny * grid.nx
+        if not (mode == "1" or (mode == "auto"
+                                and n_cells >= _ACC_CELLS)):
+            return False
+        Np = grid.ny + 2 + 2 * self.hs
+        return (Np <= _SUB_WHOLE_NP_CAP
+                or _chunk_size(grid.ny) is not None)
+
     def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt,
                 spmd=None):
         """Three-stage SSPRK3 with per-stage tracer positivity clamp
@@ -360,6 +411,24 @@ class Dycore:
         def clamp(tr_new):
             pos = jnp.asarray(positive, bool)[:, None, None, None, None]
             return jnp.where(pos, jnp.maximum(tr_new, 0.0), tr_new)
+
+        if self._rk_fuse_on(grid, consts, spmd):
+            def coefs(c0, c1, cdt):
+                return jnp.stack([jnp.asarray(c0, s.dtype),
+                                  jnp.asarray(c1, s.dtype),
+                                  jnp.asarray(cdt, s.dtype)])
+
+            s1, tt = tend(s, tr, dt, rk=(coefs(1.0, 0.0, dt), s, None))
+            t1 = clamp(tr + dt * tt)
+            s2, tt = tend(s1, t1, dt / 4.0,
+                          rk=(coefs(0.75, 0.25, 0.25 * dt), s, s1))
+            t2 = clamp(0.75 * tr + 0.25 * t1 + 0.25 * dt * tt)
+            s3, tt = tend(s2, t2, 2.0 * dt / 3.0,
+                          rk=(coefs(1.0 / 3.0, 2.0 / 3.0, 2.0 * dt / 3.0),
+                              s, s2))
+            t3 = clamp((1.0 / 3.0) * tr + (2.0 / 3.0) * t2
+                       + (2.0 / 3.0) * dt * tt)
+            return s3, t3
 
         st, tt = tend(s, tr, dt)
         s1 = s + dt * st
@@ -470,7 +539,8 @@ class Dycore:
 
     def _direction_fluxes(self, grid, consts, hy, prim, axis, n, bc,
                           normal_id, spmd=None, div_scale=None,
-                          emit_fo=False, acc=None, prim_parts=None):
+                          emit_fo=False, acc=None, prim_parts=None,
+                          rk=None):
         """Per-direction pipeline on the shared de-densitized variables
         (computed once per RHS in _tendencies): pad/BC -> WENO ->
         backgrounds/density at faces -> face BCs -> Riemann.
@@ -491,8 +561,8 @@ class Dycore:
             return self._direction_fluxes_pallas(
                 grid, consts, hy, prim, axis, n, bc, normal_id, spmd,
                 div_scale=div_scale, emit_fo=emit_fo, acc=acc,
-                prim_parts=prim_parts)
-        assert not emit_fo and acc is None
+                prim_parts=prim_parts, rk=rk)
+        assert not emit_fo and acc is None and rk is None
         L, R = self._recon_direction(prim, axis, n, bc, normal_id, spmd)
 
         # Background state at faces (dynamics...h:286-295 for x, :368-377 z).
@@ -515,7 +585,8 @@ class Dycore:
 
     def _direction_fluxes_pallas(self, grid, consts, hy, prim, axis, n, bc,
                                  normal_id, spmd=None, div_scale=None,
-                                 emit_fo=False, acc=None, prim_parts=None):
+                                 emit_fo=False, acc=None, prim_parts=None,
+                                 rk=None):
         """Route one direction through the fused VMEM megakernels
         (ops/pallas_recon.py) in the direction's NATIVE layout: x uses the
         lane-stencil kernel; y and z use the sublane-stencil kernel, so no
@@ -623,6 +694,13 @@ class Dycore:
                 resh = prim.reshape(nvar, nens * nz, n, nx)
             if acc is not None:
                 kw["acc"] = acc.reshape(NUM_STATE, nens * nz, n, nx)
+            if rk is not None:
+                coefs, b0, b1, grav_f, fcor_f = rk
+                kw["rk"] = (coefs,
+                            b0.reshape(NUM_STATE, nens * nz, n, nx),
+                            None if b1 is None else
+                            b1.reshape(NUM_STATE, nens * nz, n, nx),
+                            grav_f, fcor_f)
             lo_r = hi_r = None
             if self_bc is None:
                 lo_r = lo.reshape(nvar, nens * nz, hw, nx)
@@ -649,6 +727,13 @@ class Dycore:
                 resh = prim.reshape(nvar, nens * nz * C, cn, nx)
             if acc is not None:
                 kw["acc"] = acc.reshape(NUM_STATE, nens * nz * C, cn, nx)
+            if rk is not None:
+                coefs, b0, b1, grav_f, fcor_f = rk
+                kw["rk"] = (coefs,
+                            b0.reshape(NUM_STATE, nens * nz * C, cn, nx),
+                            None if b1 is None else
+                            b1.reshape(NUM_STATE, nens * nz * C, cn, nx),
+                            grav_f, fcor_f)
             los = [lo] + [
                 jax.lax.slice_in_dim(prim, c * cn - hp, c * cn, axis=3)
                 for c in range(1, C)]
@@ -856,8 +941,13 @@ class Dycore:
         return Fx, Fy, Fz
 
     def _tendencies(self, grid, consts, hy, immersed, positive, spmd, s, tr,
-                    dt):
-        """One semi-discrete RHS evaluation (dynamics...h:204-552)."""
+                    dt, rk=None):
+        """One semi-discrete RHS evaluation (dynamics...h:204-552).
+
+        ``rk`` (from _ssprk3 under _rk_fuse_on): (coefs, b0, b1) -- the
+        final direction kernel emits the SSPRK3 stage update (including
+        the gravity/Coriolis sources) instead of the tendency, and the
+        STATE part of the return value is the updated state."""
         hyc = hy[0][:, :, None, None]
         full_r = s[IDR] + hyc
         sim2d = grid.sim2d
@@ -909,10 +999,13 @@ class Dycore:
         n_cells = grid.nens * grid.nz * grid.ny * grid.nx
         acc_env = _os.environ.get("MWML_DIV_ACC", "auto")
         use_acc = kdiv and (acc_env == "1"
-                            or (acc_env == "auto" and n_cells >= 52_000_000))
+                            or (acc_env == "auto" and n_cells >= _ACC_CELLS))
+        if rk is not None:
+            assert kdiv and not sim2d and not consts.use_immersed
+            use_acc = True  # the rk epilogue rides the accumulator chain
         split_env = _os.environ.get("MWML_PRIM_SPLIT", "auto")
         parts = prim_parts if (kdiv and (split_env == "1" or (
-            split_env == "auto" and n_cells >= 52_000_000))) else None
+            split_env == "auto" and n_cells >= _ACC_CELLS))) else None
         out_x = self._direction_fluxes(
             grid, consts, hy, prim, _AX_X, grid.nx, consts.bc_x, IDU, spmd,
             div_scale=ds_x, emit_fo=kfct, prim_parts=parts)
@@ -943,7 +1036,7 @@ class Dycore:
                and (seq_mode == "1"
                     or (seq_mode == "auto"
                         and grid.nens * grid.nz * grid.ny * grid.nx
-                        >= 52_000_000)))
+                        >= _SEQ_CELLS)))
         if seq:
             SFx = SFx + SFz
             SFz = jnp.zeros((), SFx.dtype)
@@ -951,10 +1044,16 @@ class Dycore:
         if sim2d:
             SFy = TFy = FOy = None
         else:
+            rk_full = None
+            if rk is not None:
+                coefs, b0, b1 = rk
+                grav_f = consts.grav if consts.enable_gravity else 0.0
+                rk_full = (coefs, b0, b1, grav_f, consts.fcor)
             out_y = self._direction_fluxes(
                 grid, consts, hy, prim, _AX_Y, grid.ny, consts.bc_y, IDV,
                 spmd, div_scale=ds_y, emit_fo=kfct,
-                acc=SFz if use_acc else None, prim_parts=parts)
+                acc=SFz if use_acc else None, prim_parts=parts,
+                rk=rk_full)
             if kfct:
                 SFy, TFy, FOy = out_y
             else:
@@ -985,6 +1084,10 @@ class Dycore:
             t_tend = t_tend + div(TFz, _AX_Z, grid.nz, grid.dz)
             if not sim2d:
                 t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
+
+        if rk is not None:
+            # SFy IS the updated stage state (sources applied in-kernel)
+            return SFy, t_tend
 
         if kdiv:
             s_tend = SFx + SFz

@@ -364,10 +364,19 @@ def init_city(state: CouplerState):
     nblocks_x = (int(g.xlen) // building_length - 2 * buildings_pad) // 3
     nblocks_y = (int(g.ylen) // building_length - 2 * buildings_pad) // 9
     if nblocks_x <= 0 or nblocks_y <= 0:
-        raise ValueError(
-            "city init needs a domain of at least ~1.3 km per horizontal "
-            f"side to fit the building grid (got {g.xlen} x {g.ylen} m; "
-            "the reference city domain is 2000 x 2000 m, input_city.yaml)")
+        # The reference's building loops simply place nothing when the
+        # block counts come out non-positive (driver.cpp's for loops run
+        # zero iterations) -- small test domains run building-free.  Warn
+        # rather than raise so bench/driver misconfigurations are visible
+        # without breaking reference parity.
+        import warnings
+        warnings.warn(
+            "city domain smaller than the building grid (~1.3 km/side "
+            f"needed, got {g.xlen} x {g.ylen} m); proceeding with no "
+            "buildings like the reference's zero-iteration loops "
+            "(reference city domain: 2000 x 2000 m, input_city.yaml)")
+        nblocks_x = max(nblocks_x, 0)
+        nblocks_y = max(nblocks_y, 0)
     nbuildings_x = nblocks_x * 3
     nbuildings_y = nblocks_y * 9
 

@@ -30,8 +30,9 @@ def build(config: SimConfig):
     state = setup_state(config)
     dycore = Dycore(
         ord=int(config.extras.get("dyn_order", 5)),
-        riemann_impl=str(config.extras.get("riemann_impl", "xla")),
-        fast_weights=bool(config.extras.get("fast_weights", False)))
+        riemann_impl=str(config.extras.get("riemann_impl", "auto")),
+        fast_weights=(bool(config.extras["fast_weights"])
+                      if "fast_weights" in config.extras else None))
     horiz_sponge = HorizontalSponge(sponge_cells=10, time_scale=1.0)
     time_averager = TimeAverager()
 

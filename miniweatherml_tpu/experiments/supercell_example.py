@@ -37,8 +37,9 @@ def build(config: SimConfig):
     # (this framework's kernel backends).
     dycore = Dycore(
         ord=int(config.extras.get("dyn_order", 5)),
-        riemann_impl=str(config.extras.get("riemann_impl", "xla")),
-        fast_weights=bool(config.extras.get("fast_weights", False)))
+        riemann_impl=str(config.extras.get("riemann_impl", "auto")),
+        fast_weights=(bool(config.extras["fast_weights"])
+                      if "fast_weights" in config.extras else None))
     nudger = ColumnNudger()
 
     state = micro.init(state)          # driver.cpp:58

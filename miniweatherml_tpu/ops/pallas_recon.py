@@ -555,7 +555,8 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, *rest, n,
                 ord_, tv_terms, edge_terms, idl, cutoff, normal_id, ntracers,
                 C0, gamma, fast_weights=False, opt=True, nchunk=1,
                 local_edges=False, div_scale=None, self_bc=None,
-                has_acc=False):
+                has_acc=False, has_rk=False, has_b1=False, grav_f=0.0,
+                fcor_f=0.0):
     """Sublane-stencil variant: unpadded block (nvar, R, n, L) with the
     stencil on axis -2 (TPU sublanes for the minor pair) -- the natural
     layout for the y and z directions, avoiding any transpose -- plus
@@ -567,14 +568,44 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, *rest, n,
     physical row (rows-major, chunks minor), each with its own neighbor
     strips; the physical boundary faces exist only in the first/last
     chunk, so the BC modes are gated on the chunk index of this block
-    (requires row blocks of 1).  ``has_acc`` as in _kernel."""
+    (requires row blocks of 1).  ``has_acc`` as in _kernel.
+
+    ``has_rk``: the final-direction SSPRK3 stage update runs in-kernel
+    (coef SMEM (3,) = [c0, c1, c*dt] plus base-state blocks b0 [, b1]):
+    the state output becomes c0*b0 [+ c1*b1] + cdt*(acc + div + src)
+    with gravity/Coriolis sources (grav_f / fcor_f statics) computed from
+    the prim block -- so the stage's XLA-side state-sized add temps and
+    the tendency's HBM round-trip disappear (the 1024^2x100 HBM lever).
+    Requires has_acc + div_scale (the y kernel closes the x->z->y chain).
+    """
     from jax.experimental import pallas as pl
 
     if has_acc:
-        acc_ref, sf_ref, tf_ref, *more = rest
+        acc_ref, *rest = rest
     else:
         acc_ref = None
-        sf_ref, tf_ref, *more = rest
+    rk = None
+    if has_rk:
+        coef_ref, b0_ref, *rest = rest
+        b1_ref = None
+        if has_b1:
+            b1_ref, *rest = rest
+        # gravity + Coriolis sources (dynamics...h:524-527), cell-local
+        # from the prim block: rho = rho' + hy_dens (the y/x hy blocks are
+        # cell profiles, F == 1)
+        src = None
+        if grav_f != 0.0 or fcor_f != 0.0:
+            p = p_ref[...]
+            rho = p[IDR] + hyr_ref[...]
+            zero = jnp.zeros_like(rho)
+            su = sv = zero
+            sw = -grav_f * rho if grav_f != 0.0 else zero
+            if fcor_f != 0.0:
+                su = fcor_f * (rho * p[IDV])
+                sv = -fcor_f * (rho * p[IDU])
+            src = jnp.stack([zero, su, sv, sw, zero])
+        rk = (coef_ref, b0_ref, b1_ref, src)
+    sf_ref, tf_ref, *more = rest
     fo_ref = more[0] if more else None
     hs_ = (ord_ - 1) // 2
     if self_bc is not None:
@@ -606,7 +637,7 @@ def _kernel_sub(bc_ref, p_ref, lo_ref, hi_ref, hyr_ref, hyt_ref, *rest, n,
     L, R = _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, -2)
     _riemann_block(L, R, hyr_ref[...], hyt_ref[...], sf_ref, tf_ref,
                    normal_id, ntracers, C0, gamma, div_scale=div_scale,
-                   face_axis=-2, fo_ref=fo_ref, acc_ref=acc_ref)
+                   face_axis=-2, fo_ref=fo_ref, acc_ref=acc_ref, rk=rk)
 
 
 def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
@@ -641,7 +672,7 @@ def _apply_bc_limits(L, R, bc_lo, bc_hi, n, normal_id, face_axis):
 def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
                    gamma, div_scale=None, face_axis=-1, fo_ref=None,
                    periodic_roll=False, aligned_tf=False, acc_ref=None,
-                   interpret=False):
+                   rk=None, interpret=False):
     """Shared upwind Riemann on face limits (dynamics...h:395-474); hy
     arrays broadcast against the per-var face blocks.
 
@@ -719,7 +750,18 @@ def _riemann_block(L, R, hyr, hyt, sf_ref, tf_ref, normal_id, ntracers, C0,
         a = jax.lax.slice_in_dim(sflux, 0, nf - 1, axis=fa)
         b = jax.lax.slice_in_dim(sflux, 1, nf, axis=fa)
         contrib = (a - b) * div_scale
-        sf_ref[...] = contrib if acc_ref is None else acc_ref[...] + contrib
+        st = contrib if acc_ref is None else acc_ref[...] + contrib
+        if rk is not None:
+            # in-kernel SSPRK3 stage update (mirrors euler._ssprk3's
+            # operation order: (c0*b0 [+ c1*b1]) + cdt*s_tend)
+            coef_ref, b0_ref, b1_ref, src = rk
+            if src is not None:
+                st = st + src
+            out = coef_ref[0] * b0_ref[...]
+            if b1_ref is not None:
+                out = out + coef_ref[1] * b1_ref[...]
+            st = out + coef_ref[2] * st
+        sf_ref[...] = st
     if ntracers:
         trL = jax.lax.slice_in_dim(L, NUM_STATE, NUM_STATE + ntracers, axis=0)
         trR = jax.lax.slice_in_dim(R, NUM_STATE, NUM_STATE + ntracers, axis=0)
@@ -743,7 +785,7 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                 div_scale: float | None = None,
                                 self_bc: int | None = None,
                                 emit_fo: bool = False,
-                                acc=None):
+                                acc=None, rk=None):
     """Fused recon+Riemann with the stencil on axis -2.
 
     Args:
@@ -762,6 +804,13 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     ``acc`` (requires div_scale): (5, R, n, L) running state-tendency
     accumulator, added in-kernel and HBM-aliased to the state output
     (see direction_fluxes_pallas).
+
+    ``rk`` (requires acc): (coefs, b0, b1, grav, fcor) -- coefs a (3,)
+    f32 [c0, c1, c*dt], b0/b1 (5, R, n, L) base-state stacks (b1 None
+    for stage 1) -- the state output becomes the SSPRK3 stage update
+    c0*b0 [+ c1*b1] + cdt*(s_tend + gravity/Coriolis sources) instead of
+    the tendency, eliminating the stage's state-sized XLA add temps
+    (euler._ssprk3; the 1024^2x100 single-chip HBM-fit lever).
 
     Returns (state_flux (5, R, n+1, L), tracer_flux (nt, R, n+1, L)).
     """
@@ -804,12 +853,21 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     has_acc = acc is not None
     if has_acc:
         assert div_scale is not None and acc.shape == (NUM_STATE, Rr, n, Ll)
+    has_rk = rk is not None
+    has_b1 = has_rk and rk[2] is not None
+    grav_f = fcor_f = 0.0
+    if has_rk:
+        assert has_acc, "rk update requires the accumulator chain"
+        coefs, b0, b1, grav_f, fcor_f = rk
+        assert b0.shape == (NUM_STATE, Rr, n, Ll)
     kernel = functools.partial(
         _kernel_sub, n=n, ord_=ord_, tv_terms=tv_terms,
         edge_terms=edge_terms, idl=idl, cutoff=cutoff, normal_id=normal_id,
         ntracers=ntracers, C0=C0, gamma=gamma, fast_weights=fast_weights,
         opt=opt, nchunk=nchunk, local_edges=local_edges,
-        div_scale=div_scale, self_bc=self_bc, has_acc=has_acc)
+        div_scale=div_scale, self_bc=self_bc, has_acc=has_acc,
+        has_rk=has_rk, has_b1=has_b1, grav_f=float(grav_f),
+        fcor_f=float(fcor_f))
     if self_bc is not None:
         base = kernel
 
@@ -846,6 +904,14 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                      memory_space=pltpu.VMEM))
         operands.append(acc)
         aliases[len(operands) - 1] = 0
+    if has_rk:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(coefs, prim.dtype))
+        for b in ((b0, b1) if has_b1 else (b0,)):
+            in_specs.append(pl.BlockSpec((NUM_STATE, Rt, n, Lt),
+                                         lambda r, l: (0, r, 0, l),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b)
     out_specs = [
         pl.BlockSpec((NUM_STATE, Rt, n_s_out, Lt),
                      lambda r, l: (0, r, 0, l), memory_space=pltpu.VMEM),
@@ -866,7 +932,12 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
                                               prim.dtype))
     fuse = [False] + [True] * (len(in_specs) - 1)
     if has_acc:
-        fuse[-1] = False      # donated accumulator: never fuse its producer
+        # donated accumulator: never fuse its producer (its buffer aliases
+        # the state output); it sits right after the hy operands
+        acc_pos = len(operands) - 1 - (3 if has_b1 else 2 if has_rk else 0)
+        fuse[acc_pos] = False
+    if has_rk:
+        fuse[acc_pos + 1] = False  # SMEM coefs
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -929,7 +1000,13 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     ntr, B, nf = F.shape
     assert nf == n + 1 and mult.shape == (ntr, B, n)
     first = t_prev is None
-    Bt = min(block_rows, B)
+    # Scoped-VMEM fit: ~5 live arrays of ntr x Bt x (n+1) f32 plus the
+    # slice/select temps must stay inside Mosaic's 16M stack.  The 256-row
+    # default was sized for the 3-tracer Kessler chain; the 9-tracer P3
+    # chain at n=512 measured a 29.25M stack (queue-2 round 5), so size
+    # the block from a ~10M budget instead of a fixed row count.
+    fit = max(8, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 8 * 8)
+    Bt = min(block_rows, B, fit)
     grid = (math.ceil(B / Bt),)
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
                                axis=-1, first=first)
@@ -972,8 +1049,9 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     ntr, R, nf, Ll = F.shape
     assert nf == n + 1 and mult.shape == (ntr, R, n, Ll)
     first = t_prev is None
-    # keep the VMEM working set modest: 4 operands x ntr x (n+1) x Lt f32
-    budget = max(128, (60000 // (n + 1)) // 128 * 128)
+    # keep the VMEM working set modest: ~5 live arrays x ntr x (n+1) x Lt
+    # f32 + temps (same ~8M budget reasoning as the lane variant)
+    budget = max(64, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 64 * 64)
     Lt = min(lane_block, Ll, budget)
     grid = (R, math.ceil(Ll / Lt))
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,

@@ -59,10 +59,19 @@ def main():
         return s
 
     lowered = step.lower(state)
+    # MWML_COMPILER_OPTS="flag=val,flag=val": serialized into the compile
+    # request's env_option_overrides, the only channel that reaches the
+    # remote tpu_compile_helper (client-side XLA_FLAGS rejects TPU-only
+    # flag names -- measured queue-1 round 5).
+    copts = {}
+    for kv in os.environ.get("MWML_COMPILER_OPTS", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            copts[k.strip()] = v.strip()
     print(f"lowered {nx}x{ny}x{nz} inner={inner} "
-          f"ord={ordv} pallas={use_pallas}", flush=True)
+          f"ord={ordv} pallas={use_pallas} copts={copts}", flush=True)
     try:
-        compiled = lowered.compile()
+        compiled = lowered.compile(compiler_options=copts or None)
     except Exception as e:  # OOM report carries the allocation table
         txt = str(e)
         print("COMPILE FAILED; error text:")

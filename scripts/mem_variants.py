@@ -27,6 +27,14 @@ VARIANTS = {
     # identical 16.46G -- so only the sequencing flag was kept.
     "baseline": {"MWML_DIR_SEQ": "0"},
     "dir_seq": {"MWML_DIR_SEQ": "1"},
+    # round-5 levers (euler.py / pallas_recon.py): in-kernel divergence
+    # accumulation, direction-local prim, in-kernel SSPRK3 stage update
+    "acc_split": {"MWML_DIV_ACC": "1", "MWML_PRIM_SPLIT": "1",
+                  "MWML_RK_FUSE": "0"},
+    "acc_split_rk": {"MWML_DIV_ACC": "1", "MWML_PRIM_SPLIT": "1",
+                     "MWML_RK_FUSE": "1"},
+    "rk_only": {"MWML_DIV_ACC": "1", "MWML_PRIM_SPLIT": "0",
+                "MWML_RK_FUSE": "1"},
 }
 
 

@@ -67,44 +67,41 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 2 ------------------------------------------------------
-# 1. driver steady-state failure repro (queue-1 rc 1 with a truncated
-#    traceback) -- full traceback this time
-run("driver-1024x64-repro", {"JAX_TRACEBACK_FILTERING": "off"},
+# --- round-5 queue 3 ------------------------------------------------------
+# 1. steady-state DRIVER receipt at 1024x1024x64 (queue-1/2 failures were
+#    the XLA-recon default OOMing at 24.4G; riemann_impl now defaults to
+#    auto -> pallas single-device TPU)
+run("driver-1024x64-steady", {},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
 
-# 2. 1024x1024x64 flag A/B: queue-1 regression (99.7 under auto
-#    DIV_ACC+PRIM_SPLIT vs round-4's 106.75 under DIR_SEQ) -- attribute it
-GRID = {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
-        "MWML_BENCH_NZ": "64"}
-run("1024x64-dirseq-r4", {**GRID, "MWML_DIV_ACC": "0",
-                          "MWML_PRIM_SPLIT": "0", "MWML_DIR_SEQ": "1"})
-run("1024x64-acc-only", {**GRID, "MWML_DIV_ACC": "1",
-                         "MWML_PRIM_SPLIT": "0"})
-run("1024x64-split-only", {**GRID, "MWML_DIV_ACC": "0",
-                           "MWML_PRIM_SPLIT": "1", "MWML_DIR_SEQ": "1"})
+# 2. 1024x1024x100 allocation tables under the round-5 levers:
+#    fresh acc+split table, + the new in-kernel RK stage update
+run("mem-1024x100-variants", {},
+    args=["scripts/mem_variants.py", "1024", "1024", "100",
+          "--variants", "acc_split,acc_split_rk,rk_only"])
 
-# 3. collect-lookup layout A/B: joint (densize,isize) contraction (92%
-#    MXU tile fill) vs queue-1's isize-only form (22.14 ms at 256^2)
-run("lookups-joint-256", {"MWML_P3_LOOKUPS_ONLY": "1",
-                          "MWML_P3_IMPLS": "matmul,lane"},
-    args=["scripts/profile_p3.py"])
+# 3. if the rk variant fits, this is the real run (auto gates turn all
+#    levers on at 105M cells); the .out captures the OOM table otherwise
+run("bench-1024x100", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
+                       "MWML_BENCH_NZ": "100", "MWML_BENCH_STEPS": "2",
+                       "MWML_BENCH_INNER": "5"})
 
-# 4. all-cells-active with lane ice + joint collect (queue-1: 32.1 lane,
-#    27.9 matmul; target >= 40)
-run("p3-allactive-512-joint", {"MWML_BENCH_MICRO": "p3",
-                               "MWML_BENCH_P3_ACTIVE": "1",
-                               "MWML_BENCH_STEPS": "4",
-                               "MWML_BENCH_INNER": "5"})
+# 4. RK_FUSE cost check at the 512^2 headline (DIV_ACC alone measured
+#    107.7 there; the gate keeps both off below 80M cells -- this is the
+#    documentation datapoint)
+run("512-rkfuse-ab", {"MWML_DIV_ACC": "1", "MWML_RK_FUSE": "1"})
 
-# 5. all-active phase attribution at 256^2 (where does the non-lookup
-#    part of the 140 ms early-storm -> all-active delta go?)
-run("profile-p3-active", {"MWML_P3_PROFILE_ACTIVE": "1"},
-    args=["scripts/profile_p3.py"])
+# 5. ord-9 at the 512^2 headline grid (completes the like-for-like
+#    MW_ORD envelope; round-4 datapoint was 256^2)
+run("ord9-512", {"MWML_BENCH_ORD": "9"})
 
-# 6. kernel-FCT A/B under the 9-tracer P3 chain (the round-3 negative was
-#    3-tracer Kessler economics; queue-1 early-storm auto = 43.88)
-run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
-                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+# 6. compiler-options channel probe: client XLA_FLAGS rejects TPU flag
+#    names; env_option_overrides through lowered.compile() is the
+#    documented channel -- validate it and measure the scheduler's
+#    liveness contribution at the OOM grid
+run("mem-1024x100-lhs-off",
+    {"MWML_COMPILER_OPTS":
+     "xla_tpu_enable_latency_hiding_scheduler=false"},
+    args=["scripts/mem_analysis.py", "1024", "1024", "100"])
 log("QUEUE DONE")

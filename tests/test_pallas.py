@@ -263,3 +263,28 @@ def test_pallas_kernel_fct_matches_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out_k[name]), np.asarray(out_def[name]),
             rtol=1e-6, atol=1e-9, err_msg=name)
+
+
+def test_pallas_rk_fuse_matches_default(monkeypatch):
+    """MWML_RK_FUSE=1 (SSPRK3 stage update + gravity/Coriolis sources in
+    the final direction kernel's epilogue, riding the MWML_DIV_ACC
+    accumulator chain -- the 1024^2x100 HBM levers) reproduces the
+    default path.  The in-kernel update mirrors the XLA operation order;
+    the acc-chain reassociation bounds the difference at a few ulp (same
+    tolerance as the DIV_ACC test)."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_RK_FUSE", "0")
+    monkeypatch.setenv("MWML_DIV_ACC", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_RK_FUSE", "1")
+    monkeypatch.setenv("MWML_DIV_ACC", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_rk = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor"):
+        np.testing.assert_allclose(
+            np.asarray(out_rk[name]), np.asarray(out_def[name]),
+            rtol=1e-5, atol=1e-7, err_msg=name)
