@@ -238,8 +238,18 @@ def main() -> None:
     dt = dycore.compute_time_step(state)
 
     # donate the carry: the input state's buffers are reused for the
-    # output, saving one full state copy of HBM at the largest grids
-    @functools.partial(jax.jit, donate_argnums=0)
+    # output, saving one full state copy of HBM at the largest grids.
+    # MWML_COMPILER_OPTS="flag=val,..." forwards XLA:TPU compiler options
+    # (client XLA_FLAGS rejects TPU-only flag names; jit's
+    # compiler_options is the channel that reaches the remote compiler).
+    copts = {}
+    for kv in os.environ.get("MWML_COMPILER_OPTS", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            copts[k.strip()] = v.strip()
+
+    @functools.partial(jax.jit, donate_argnums=0,
+                       compiler_options=copts or None)
     def step(s):
         def body(s, _):
             for m in mods:

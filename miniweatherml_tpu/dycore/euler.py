@@ -400,6 +400,22 @@ class Dycore:
         return (Np <= _SUB_WHOLE_NP_CAP
                 or _chunk_size(grid.ny) is not None)
 
+    def _kfct_on(self, grid, spmd, ntracers) -> bool:
+        """MWML_FCT_PALLAS 0/1/auto (default auto: HBM-limit grids): FCT
+        scale+divergence in fused per-direction kernels with the running
+        tracer-tendency buffer donated through them.  A measured LOSS at
+        512^2x64 Kessler (BASELINE.md round 3) but removes the three
+        tracer-sized XLA divergence temps -- at >= _ACC_CELLS the fit
+        trumps the overlap cost, same reasoning as the other in-kernel
+        levers."""
+        import os as _os
+
+        if self.riemann_impl != "pallas" or spmd is not None                 or ntracers == 0:
+            return False
+        mode = _os.environ.get("MWML_FCT_PALLAS", "auto")
+        n_cells = grid.nens * grid.nz * grid.ny * grid.nx
+        return mode == "1" or (mode == "auto" and n_cells >= _ACC_CELLS)
+
     def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt,
                 spmd=None):
         """Three-stage SSPRK3 with per-stage tracer positivity clamp
@@ -413,21 +429,28 @@ class Dycore:
             return jnp.where(pos, jnp.maximum(tr_new, 0.0), tr_new)
 
         if self._rk_fuse_on(grid, consts, spmd):
+            # With kfct also on, the tracer stage update + clamp fuse into
+            # the final fct pass and tend() returns the UPDATED tracers.
+            tr_fused = self._kfct_on(grid, spmd, tr.shape[0])
+
             def coefs(c0, c1, cdt):
                 return jnp.stack([jnp.asarray(c0, s.dtype),
                                   jnp.asarray(c1, s.dtype),
                                   jnp.asarray(cdt, s.dtype)])
 
-            s1, tt = tend(s, tr, dt, rk=(coefs(1.0, 0.0, dt), s, None))
-            t1 = clamp(tr + dt * tt)
+            s1, tt = tend(s, tr, dt,
+                          rk=(coefs(1.0, 0.0, dt), s, None, tr, None))
+            t1 = tt if tr_fused else clamp(tr + dt * tt)
             s2, tt = tend(s1, t1, dt / 4.0,
-                          rk=(coefs(0.75, 0.25, 0.25 * dt), s, s1))
-            t2 = clamp(0.75 * tr + 0.25 * t1 + 0.25 * dt * tt)
+                          rk=(coefs(0.75, 0.25, 0.25 * dt), s, s1, tr, t1))
+            t2 = tt if tr_fused else clamp(0.75 * tr + 0.25 * t1
+                                           + 0.25 * dt * tt)
             s3, tt = tend(s2, t2, 2.0 * dt / 3.0,
                           rk=(coefs(1.0 / 3.0, 2.0 / 3.0, 2.0 * dt / 3.0),
-                              s, s2))
-            t3 = clamp((1.0 / 3.0) * tr + (2.0 / 3.0) * t2
-                       + (2.0 / 3.0) * dt * tt)
+                              s, s2, tr, t2))
+            t3 = tt if tr_fused else clamp((1.0 / 3.0) * tr
+                                           + (2.0 / 3.0) * t2
+                                           + (2.0 / 3.0) * dt * tt)
             return s3, t3
 
         st, tt = tend(s, tr, dt)
@@ -828,7 +851,7 @@ class Dycore:
         return back(SF, m_s), back(TF, m_t)
 
     def _fct_div_pallas(self, grid, tr, positive, Fx, Fy, Fz, FOx, FOy, FOz,
-                        dt):
+                        dt, rk=None):
         """FCT + tracer-flux divergence via fused kernels (single-device
         Pallas path).  The per-direction outflow partials FO* came from the
         direction megakernels (cell-shaped, aligned), so the multiplier is
@@ -852,20 +875,28 @@ class Dycore:
 
         ntr = tr.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
+        # rk (final direction): (coefs, tr0, tr1) -- the SSPRK3 tracer
+        # stage update + positivity clamp run in the last pass's epilogue
+        # (the tracer analog of the state-side MWML_RK_FUSE)
+        rk_full = None
+        if rk is not None:
+            rk_full = (*rk, tuple(bool(b) for b in positive))
         # x: lanes layout
         t = fct_scale_div_pallas(
             Fx.reshape(ntr, nens * nz * ny, nx + 1),
             mult.reshape(ntr, nens * nz * ny, nx), None, nx, 1.0 / dx)
-        # z: sublane layout, accumulating
+        # z: sublane layout, accumulating (tendency buffer donated on)
         t = fct_scale_div_pallas_sub(
             Fz.reshape(ntr, nens, nz + 1, ny * nx),
             mult.reshape(ntr, nens, nz, ny * nx),
-            t.reshape(ntr, nens, nz, ny * nx), nz, 1.0 / dz)
+            t.reshape(ntr, nens, nz, ny * nx), nz, 1.0 / dz,
+            rk=None if Fy is not None else rk_full)
         if Fy is not None:
             t = fct_scale_div_pallas_sub(
                 Fy.reshape(ntr, nens * nz, ny + 1, nx),
                 mult.reshape(ntr, nens * nz, ny, nx),
-                t.reshape(ntr, nens * nz, ny, nx), ny, 1.0 / dy)
+                t.reshape(ntr, nens * nz, ny, nx), ny, 1.0 / dy,
+                rk=rk_full)
         return t.reshape(ntr, nens, nz, ny, nx)
 
     def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None,
@@ -975,8 +1006,7 @@ class Dycore:
         kdiv = self.riemann_impl == "pallas"
         ntracers = prim.shape[0] - NUM_STATE
         import os as _os
-        kfct = (kdiv and spmd is None and ntracers > 0
-                and _os.environ.get("MWML_FCT_PALLAS", "0") == "1")
+        kfct = self._kfct_on(grid, spmd, ntracers)
         ds_x = (1.0 / grid.dx) if kdiv else None
         ds_y = (1.0 / grid.dy) if kdiv else None
         ds_z = (1.0 / grid.dz) if kdiv else None
@@ -1046,7 +1076,7 @@ class Dycore:
         else:
             rk_full = None
             if rk is not None:
-                coefs, b0, b1 = rk
+                coefs, b0, b1, _tr0, _tr1 = rk
                 grav_f = consts.grav if consts.enable_gravity else 0.0
                 rk_full = (coefs, b0, b1, grav_f, consts.fcor)
             out_y = self._direction_fluxes(
@@ -1065,8 +1095,12 @@ class Dycore:
             return -(_slice_axis(F, axis, 1, n + 1) - _slice_axis(F, axis, 0, n)) / dxi
 
         if kfct:
+            tr_rk = None
+            if rk is not None:
+                coefs_, _b0, _b1, tr0, tr1 = rk
+                tr_rk = (coefs_, tr0, tr1)
             t_tend = self._fct_div_pallas(grid, tr, positive, TFx, TFy, TFz,
-                                          FOx, FOy, FOz, dt)
+                                          FOx, FOy, FOz, dt, rk=tr_rk)
         else:
             x_aligned = ntracers > 0 and TFx.shape[-1] == grid.nx
             TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt,

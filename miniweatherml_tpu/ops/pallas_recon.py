@@ -955,19 +955,34 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
     return sf, tf[:ntracers]
 
 
-def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first):
+def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first,
+                          has_rk=False, has_b1=False, positive=()):
     """Scaled tracer-flux divergence for one direction: the FCT face
     scaling (dynamics...h:509-516, each face scaled by the upwind cell's
     multiplier -- cell f-1 where F > 0, cell f where F < 0, 1 at the
     domain edge) fused with the flux divergence, accumulating onto the
     previous directions' tendency.  Reads each array exactly once; no
     scaled-face array ever reaches HBM (the XLA formulation pays ~2.4x
-    this traffic re-slicing the (n+1)-lane face arrays)."""
+    this traffic re-slicing the (n+1)-lane face arrays).
+
+    ``has_rk`` (final direction only): the SSPRK3 tracer stage update +
+    per-tracer positivity clamp run in the epilogue -- out =
+    clamp(c0*tr0 [+ c1*tr1] + cdt*t_tend) with coefs an SMEM (3,) and
+    ``positive`` the static per-tracer clamp mask (euler._ssprk3's
+    clamp; kills the stage's tracer-sized XLA add temps the same way
+    the state-side rk epilogue does)."""
+    rk = None
     if first:
-        (out_ref,) = rest
         tprev_ref = None
     else:
-        tprev_ref, out_ref = rest
+        tprev_ref, *rest = rest
+    if has_rk:
+        coef_ref, tr0_ref, *rest = rest
+        tr1_ref = None
+        if has_b1:
+            tr1_ref, *rest = rest
+        rk = (coef_ref, tr0_ref, tr1_ref)
+    (out_ref,) = rest
     F = f_ref[...]
     m = m_ref[...]
     nd = F.ndim
@@ -986,14 +1001,38 @@ def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first):
     acc = (fs_lo - fs_hi) * dxi
     if tprev_ref is not None:
         acc = tprev_ref[...] + acc
+    if rk is not None:
+        coef_ref, tr0_ref, tr1_ref = rk
+        v = coef_ref[0] * tr0_ref[...]
+        if tr1_ref is not None:
+            v = v + coef_ref[1] * tr1_ref[...]
+        v = v + coef_ref[2] * acc
+        if all(positive):
+            acc = jnp.maximum(v, 0.0)
+        elif any(positive):
+            # per-tracer mask from an in-kernel iota (a np constant would
+            # be a captured operand, which pallas_call rejects)
+            vid = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            mask = None
+            for i, p in enumerate(positive):
+                if p:
+                    m = vid == i
+                    mask = m if mask is None else mask | m
+            acc = jnp.where(mask, jnp.maximum(v, 0.0), v)
+        else:
+            acc = v
     out_ref[...] = acc
 
 
 def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
-                         block_rows: int = 256):
+                         block_rows: int = 256, rk=None):
     """Lane variant: F (ntr, B, n+1) faces, mult (ntr, B, n) FCT
-    multipliers, t_prev (ntr, B, n) running tendency or None.
-    Returns (ntr, B, n) = t_prev - d(F_scaled)/dx."""
+    multipliers, t_prev (ntr, B, n) running tendency or None (donated to
+    the output when given, so ONE tracer-tendency buffer chains through
+    the three directions).  Returns (ntr, B, n) = t_prev - d(F_scaled)/dx,
+    or the in-kernel tracer stage update when ``rk`` is given
+    (final direction; rk = (coefs, tr0, tr1|None, positive), see
+    _fct_scale_div_kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1008,8 +1047,12 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     fit = max(8, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 8 * 8)
     Bt = min(block_rows, B, fit)
     grid = (math.ceil(B / Bt),)
+    has_rk = rk is not None
+    has_b1 = has_rk and rk[2] is not None
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
-                               axis=-1, first=first)
+                               axis=-1, first=first, has_rk=has_rk,
+                               has_b1=has_b1,
+                               positive=tuple(rk[3]) if has_rk else ())
     in_specs = [
         pl.BlockSpec((ntr, Bt, n + 1), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
@@ -1022,11 +1065,23 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     # would RE-run that chain inside every consumer kernel, so keep it
     # materialized.
     fuse = [True, False]
+    aliases = {}
     if not first:
         in_specs.append(pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(t_prev)
-        fuse.append(True)
+        fuse.append(False)  # donated: never fuse its producer
+        aliases[len(operands) - 1] = 0
+    if has_rk:
+        coefs, tr0, tr1, _pos = rk
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(coefs, F.dtype))
+        fuse.append(False)
+        for b in ((tr0, tr1) if has_b1 else (tr0,)):
+            in_specs.append(pl.BlockSpec((ntr, Bt, n), lambda b_: (0, b_, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b.reshape(ntr, B, n))
+            fuse.append(True)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1035,14 +1090,17 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
         out_specs=pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, B, n), F.dtype),
+        input_output_aliases=aliases,
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
 
 
 def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
-                             lane_block: int = 256):
+                             lane_block: int = 256, rk=None):
     """Sublane variant: F (ntr, R, n+1, L), mult/t_prev (ntr, R, n, L);
-    the direction axis (-2) stays whole per block."""
+    the direction axis (-2) stays whole per block.  ``t_prev`` is donated
+    to the output; ``rk`` as in fct_scale_div_pallas (tr bases reshaped
+    to the block layout by the caller)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1054,8 +1112,12 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     budget = max(64, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 64 * 64)
     Lt = min(lane_block, Ll, budget)
     grid = (R, math.ceil(Ll / Lt))
+    has_rk = rk is not None
+    has_b1 = has_rk and rk[2] is not None
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
-                               axis=-2, first=first)
+                               axis=-2, first=first, has_rk=has_rk,
+                               has_b1=has_b1,
+                               positive=tuple(rk[3]) if has_rk else ())
     in_specs = [
         pl.BlockSpec((ntr, 1, n + 1, Lt), lambda r, l: (0, r, 0, l),
                      memory_space=pltpu.VMEM),
@@ -1064,12 +1126,25 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     ]
     operands = [F, mult]
     fuse = [True, False]      # see fct_scale_div_pallas: never re-run mult
+    aliases = {}
     if not first:
         in_specs.append(pl.BlockSpec((ntr, 1, n, Lt),
                                      lambda r, l: (0, r, 0, l),
                                      memory_space=pltpu.VMEM))
         operands.append(t_prev)
-        fuse.append(True)
+        fuse.append(False)  # donated: never fuse its producer
+        aliases[len(operands) - 1] = 0
+    if has_rk:
+        coefs, tr0, tr1, _pos = rk
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(coefs, F.dtype))
+        fuse.append(False)
+        for b in ((tr0, tr1) if has_b1 else (tr0,)):
+            in_specs.append(pl.BlockSpec((ntr, 1, n, Lt),
+                                         lambda r, l: (0, r, 0, l),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b.reshape(ntr, R, n, Ll))
+            fuse.append(True)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1078,5 +1153,6 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
         out_specs=pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, R, n, Ll), F.dtype),
+        input_output_aliases=aliases,
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)

@@ -288,3 +288,29 @@ def test_pallas_rk_fuse_matches_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out_rk[name]), np.asarray(out_def[name]),
             rtol=1e-5, atol=1e-7, err_msg=name)
+
+
+def test_pallas_rk_fuse_with_kernel_fct_matches_default(monkeypatch):
+    """MWML_RK_FUSE=1 + MWML_FCT_PALLAS=1 (the full 1024^2x100 HBM-fit
+    stack: state stage update in the y megakernel epilogue, tracer stage
+    update + positivity clamp in the final fct_scale_div pass, all
+    tendency buffers donated through their chains) reproduces the
+    default path at the acc-chain tolerance."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_RK_FUSE", "0")
+    monkeypatch.setenv("MWML_DIV_ACC", "0")
+    monkeypatch.setenv("MWML_FCT_PALLAS", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_RK_FUSE", "1")
+    monkeypatch.setenv("MWML_DIV_ACC", "1")
+    monkeypatch.setenv("MWML_FCT_PALLAS", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_rk = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor", "cloud_liquid", "precip_liquid"):
+        np.testing.assert_allclose(
+            np.asarray(out_rk[name]), np.asarray(out_def[name]),
+            rtol=1e-5, atol=1e-7, err_msg=name)
