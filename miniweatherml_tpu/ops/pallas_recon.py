@@ -1039,12 +1039,13 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     ntr, B, nf = F.shape
     assert nf == n + 1 and mult.shape == (ntr, B, n)
     first = t_prev is None
-    # Scoped-VMEM fit: ~5 live arrays of ntr x Bt x (n+1) f32 plus the
-    # slice/select temps must stay inside Mosaic's 16M stack.  The 256-row
-    # default was sized for the 3-tracer Kessler chain; the 9-tracer P3
-    # chain at n=512 measured a 29.25M stack (queue-2 round 5), so size
-    # the block from a ~10M budget instead of a fixed row count.
-    fit = max(8, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 8 * 8)
+    # Scoped-VMEM fit: ~12 live arrays of ntr x Bt x (n+1) f32 (operands
+    # incl. the rk bases, output, and the slice/select temps: m_prev,
+    # m_next, fs_lo/hi, Flo/hi, v) must stay inside Mosaic's 16M stack.
+    # The 256-row default sized for 3 tracers measured a 29.25M stack on
+    # the 9-tracer P3 chain, and a 5-array budget still measured 22.54M
+    # at ntr=3, n=1024 with the rk bases aboard (round-5 queues 2-3).
+    fit = max(8, (8_000_000 // (ntr * (n + 1) * 4 * 12)) // 8 * 8)
     Bt = min(block_rows, B, fit)
     grid = (math.ceil(B / Bt),)
     has_rk = rk is not None
@@ -1107,9 +1108,9 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     ntr, R, nf, Ll = F.shape
     assert nf == n + 1 and mult.shape == (ntr, R, n, Ll)
     first = t_prev is None
-    # keep the VMEM working set modest: ~5 live arrays x ntr x (n+1) x Lt
-    # f32 + temps (same ~8M budget reasoning as the lane variant)
-    budget = max(64, (8_000_000 // (ntr * (n + 1) * 4 * 5)) // 64 * 64)
+    # keep the VMEM working set modest: ~12 live arrays x ntr x (n+1) x
+    # Lt f32 (same budget reasoning as the lane variant)
+    budget = max(32, (8_000_000 // (ntr * (n + 1) * 4 * 12)) // 32 * 32)
     Lt = min(lane_block, Ll, budget)
     grid = (R, math.ceil(Ll / Lt))
     has_rk = rk is not None

@@ -67,41 +67,36 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 3 ------------------------------------------------------
-# 1. steady-state DRIVER receipt at 1024x1024x64 (queue-1/2 failures were
-#    the XLA-recon default OOMing at 24.4G; riemann_impl now defaults to
-#    auto -> pallas single-device TPU)
-run("driver-1024x64-steady", {},
-    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
-          "inputs/community_benchmark_1024x64.yaml"])
+# --- round-5 queue 4 ------------------------------------------------------
+# 1. the decisive 1024x1024x100 compile probe: all HBM levers now auto
+#    (DIV_ACC + PRIM_SPLIT + RK_FUSE + kfct w/ tracer-RK + donated fct
+#    chain); queue-3 state was 16.26G of 15.75 WITHOUT the tracer side
+run("mem-1024x100-auto", {}, args=["scripts/mem_analysis.py",
+                                   "1024", "1024", "100"])
 
-# 2. 1024x1024x100 allocation tables under the round-5 levers:
-#    fresh acc+split table, + the new in-kernel RK stage update
-run("mem-1024x100-variants", {},
-    args=["scripts/mem_variants.py", "1024", "1024", "100",
-          "--variants", "acc_split,acc_split_rk,rk_only"])
-
-# 3. if the rk variant fits, this is the real run (auto gates turn all
-#    levers on at 105M cells); the .out captures the OOM table otherwise
+# 2. if it fits, the real run (the reference's exact benchmark file)
 run("bench-1024x100", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
                        "MWML_BENCH_NZ": "100", "MWML_BENCH_STEPS": "2",
                        "MWML_BENCH_INNER": "5"})
 
-# 4. RK_FUSE cost check at the 512^2 headline (DIV_ACC alone measured
-#    107.7 there; the gate keeps both off below 80M cells -- this is the
-#    documentation datapoint)
+# 3. steady-state DRIVER receipt at 1024x1024x64 (timer drain fix landed)
+run("driver-1024x64-steady", {},
+    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
+          "inputs/community_benchmark_1024x64.yaml"])
+
+# 4. kernel-FCT A/B under the 9-tracer P3 chain (queue-2 attempt hit the
+#    scoped-VMEM sizing, now budget-derived; early-storm auto = 43.88)
+run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
+                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+
+# 5. all-cells-active with kfct on top of lane+joint (queue-2: 33.4)
+run("p3-allactive-512-kfct", {"MWML_BENCH_MICRO": "p3",
+                              "MWML_BENCH_P3_ACTIVE": "1",
+                              "MWML_FCT_PALLAS": "1",
+                              "MWML_BENCH_STEPS": "4",
+                              "MWML_BENCH_INNER": "5"})
+
+# 6. RK_FUSE cost at the 512^2 headline (queue-3 attempt hit a tunnel
+#    wedge; documentation datapoint for the gate comments)
 run("512-rkfuse-ab", {"MWML_DIV_ACC": "1", "MWML_RK_FUSE": "1"})
-
-# 5. ord-9 at the 512^2 headline grid (completes the like-for-like
-#    MW_ORD envelope; round-4 datapoint was 256^2)
-run("ord9-512", {"MWML_BENCH_ORD": "9"})
-
-# 6. compiler-options channel probe: client XLA_FLAGS rejects TPU flag
-#    names; env_option_overrides through lowered.compile() is the
-#    documented channel -- validate it and measure the scheduler's
-#    liveness contribution at the OOM grid
-run("mem-1024x100-lhs-off",
-    {"MWML_COMPILER_OPTS":
-     "xla_tpu_enable_latency_hiding_scheduler=false"},
-    args=["scripts/mem_analysis.py", "1024", "1024", "100"])
 log("QUEUE DONE")
