@@ -965,63 +965,56 @@ def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first,
     scaled-face array ever reaches HBM (the XLA formulation pays ~2.4x
     this traffic re-slicing the (n+1)-lane face arrays).
 
+    The body loops over the tracer axis so the Mosaic stack holds one
+    tracer's ~12 n-sized temps at a time -- the vectorized form measured
+    a 22.54-29.25M scoped stack on tracer-heavy blocks (limit 16M), and
+    lane blocks cannot shrink below 128 to compensate.
+
     ``has_rk`` (final direction only): the SSPRK3 tracer stage update +
     per-tracer positivity clamp run in the epilogue -- out =
     clamp(c0*tr0 [+ c1*tr1] + cdt*t_tend) with coefs an SMEM (3,) and
     ``positive`` the static per-tracer clamp mask (euler._ssprk3's
     clamp; kills the stage's tracer-sized XLA add temps the same way
     the state-side rk epilogue does)."""
-    rk = None
     if first:
         tprev_ref = None
     else:
         tprev_ref, *rest = rest
+    coef_ref = tr0_ref = tr1_ref = None
     if has_rk:
         coef_ref, tr0_ref, *rest = rest
-        tr1_ref = None
         if has_b1:
             tr1_ref, *rest = rest
-        rk = (coef_ref, tr0_ref, tr1_ref)
     (out_ref,) = rest
-    F = f_ref[...]
-    m = m_ref[...]
-    nd = F.ndim
-    ax = axis % nd
-    Flo = jax.lax.slice_in_dim(F, 0, n, axis=ax)
-    Fhi = jax.lax.slice_in_dim(F, 1, n + 1, axis=ax)
-    one_shape = list(m.shape)
-    one_shape[ax] = 1
-    one = jnp.ones(one_shape, m.dtype)
-    m_prev = jnp.concatenate(
-        [one, jax.lax.slice_in_dim(m, 0, n - 1, axis=ax)], axis=ax)
-    m_next = jnp.concatenate(
-        [jax.lax.slice_in_dim(m, 1, n, axis=ax), one], axis=ax)
-    fs_lo = Flo * jnp.where(Flo > 0, m_prev, jnp.where(Flo < 0, m, 1.0))
-    fs_hi = Fhi * jnp.where(Fhi > 0, m, jnp.where(Fhi < 0, m_next, 1.0))
-    acc = (fs_lo - fs_hi) * dxi
-    if tprev_ref is not None:
-        acc = tprev_ref[...] + acc
-    if rk is not None:
-        coef_ref, tr0_ref, tr1_ref = rk
-        v = coef_ref[0] * tr0_ref[...]
-        if tr1_ref is not None:
-            v = v + coef_ref[1] * tr1_ref[...]
-        v = v + coef_ref[2] * acc
-        if all(positive):
-            acc = jnp.maximum(v, 0.0)
-        elif any(positive):
-            # per-tracer mask from an in-kernel iota (a np constant would
-            # be a captured operand, which pallas_call rejects)
-            vid = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-            mask = None
-            for i, p in enumerate(positive):
-                if p:
-                    m = vid == i
-                    mask = m if mask is None else mask | m
-            acc = jnp.where(mask, jnp.maximum(v, 0.0), v)
-        else:
-            acc = v
-    out_ref[...] = acc
+    ntr = f_ref.shape[0]
+    for t in range(ntr):
+        F = f_ref[t]
+        m = m_ref[t]
+        nd = F.ndim
+        ax = axis % nd
+        Flo = jax.lax.slice_in_dim(F, 0, n, axis=ax)
+        Fhi = jax.lax.slice_in_dim(F, 1, n + 1, axis=ax)
+        one_shape = list(m.shape)
+        one_shape[ax] = 1
+        one = jnp.ones(one_shape, m.dtype)
+        m_prev = jnp.concatenate(
+            [one, jax.lax.slice_in_dim(m, 0, n - 1, axis=ax)], axis=ax)
+        m_next = jnp.concatenate(
+            [jax.lax.slice_in_dim(m, 1, n, axis=ax), one], axis=ax)
+        fs_lo = Flo * jnp.where(Flo > 0, m_prev,
+                                jnp.where(Flo < 0, m, 1.0))
+        fs_hi = Fhi * jnp.where(Fhi > 0, m,
+                                jnp.where(Fhi < 0, m_next, 1.0))
+        acc = (fs_lo - fs_hi) * dxi
+        if tprev_ref is not None:
+            acc = tprev_ref[t] + acc
+        if has_rk:
+            v = coef_ref[0] * tr0_ref[t]
+            if tr1_ref is not None:
+                v = v + coef_ref[1] * tr1_ref[t]
+            v = v + coef_ref[2] * acc
+            acc = jnp.maximum(v, 0.0) if positive[t] else v
+        out_ref[t] = acc
 
 
 def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
@@ -1039,13 +1032,11 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     ntr, B, nf = F.shape
     assert nf == n + 1 and mult.shape == (ntr, B, n)
     first = t_prev is None
-    # Scoped-VMEM fit: ~12 live arrays of ntr x Bt x (n+1) f32 (operands
-    # incl. the rk bases, output, and the slice/select temps: m_prev,
-    # m_next, fs_lo/hi, Flo/hi, v) must stay inside Mosaic's 16M stack.
-    # The 256-row default sized for 3 tracers measured a 29.25M stack on
-    # the 9-tracer P3 chain, and a 5-array budget still measured 22.54M
-    # at ntr=3, n=1024 with the rk bases aboard (round-5 queues 2-3).
-    fit = max(8, (8_000_000 // (ntr * (n + 1) * 4 * 12)) // 8 * 8)
+    # Scoped-VMEM fit: the kernel loops over tracers, so ~12 live
+    # Bt x (n+1) f32 temps per tracer iteration must stay inside
+    # Mosaic's 16M stack (the vectorized form measured 22.54-29.25M on
+    # tracer-heavy blocks, round-5 queues 2-3).
+    fit = max(8, (8_000_000 // ((n + 1) * 4 * 12)) // 8 * 8)
     Bt = min(block_rows, B, fit)
     grid = (math.ceil(B / Bt),)
     has_rk = rk is not None
@@ -1108,9 +1099,10 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     ntr, R, nf, Ll = F.shape
     assert nf == n + 1 and mult.shape == (ntr, R, n, Ll)
     first = t_prev is None
-    # keep the VMEM working set modest: ~12 live arrays x ntr x (n+1) x
-    # Lt f32 (same budget reasoning as the lane variant)
-    budget = max(32, (8_000_000 // (ntr * (n + 1) * 4 * 12)) // 32 * 32)
+    # keep the VMEM working set modest: ~12 live (n+1) x Lt f32 temps
+    # per tracer iteration (same budget reasoning as the lane variant);
+    # lane blocks must stay 128-aligned (Mosaic last-dim constraint)
+    budget = max(128, (8_000_000 // ((n + 1) * 4 * 12)) // 128 * 128)
     Lt = min(lane_block, Ll, budget)
     grid = (R, math.ceil(Ll / Lt))
     has_rk = rk is not None
