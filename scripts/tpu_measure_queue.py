@@ -67,36 +67,43 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 4 ------------------------------------------------------
-# 1. the decisive 1024x1024x100 compile probe: all HBM levers now auto
-#    (DIV_ACC + PRIM_SPLIT + RK_FUSE + kfct w/ tracer-RK + donated fct
-#    chain); queue-3 state was 16.26G of 15.75 WITHOUT the tracer side
+# --- round-5 queue 5 (reruns on the per-tracer fct kernel) ---------------
+# 1. 1024x1024x100 compile probe with ALL levers (queue-4 attempt
+#    imported the pre-fix kernel and died on the Mosaic block constraint)
 run("mem-1024x100-auto", {}, args=["scripts/mem_analysis.py",
                                    "1024", "1024", "100"])
 
-# 2. if it fits, the real run (the reference's exact benchmark file)
+# 2. the real 1024x1024x100 run if it fits
 run("bench-1024x100", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
                        "MWML_BENCH_NZ": "100", "MWML_BENCH_STEPS": "2",
                        "MWML_BENCH_INNER": "5"})
 
-# 3. steady-state DRIVER receipt at 1024x1024x64 (timer drain fix landed)
-run("driver-1024x64-steady", {},
-    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
-          "inputs/community_benchmark_1024x64.yaml"])
-
-# 4. kernel-FCT A/B under the 9-tracer P3 chain (queue-2 attempt hit the
-#    scoped-VMEM sizing, now budget-derived; early-storm auto = 43.88)
+# 3. kernel-FCT A/B under the 9-tracer P3 chain (early-storm; auto 43.88)
 run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
                           "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
 
-# 5. all-cells-active with kfct on top of lane+joint (queue-2: 33.4)
+# 3b. all-cells-active with kfct (queue-4 attempt hit a wedged device)
 run("p3-allactive-512-kfct", {"MWML_BENCH_MICRO": "p3",
                               "MWML_BENCH_P3_ACTIVE": "1",
                               "MWML_FCT_PALLAS": "1",
                               "MWML_BENCH_STEPS": "4",
                               "MWML_BENCH_INNER": "5"})
 
-# 6. RK_FUSE cost at the 512^2 headline (queue-3 attempt hit a tunnel
-#    wedge; documentation datapoint for the gate comments)
-run("512-rkfuse-ab", {"MWML_DIV_ACC": "1", "MWML_RK_FUSE": "1"})
+# 4. driver steady-state rerun on a healthy device (queue-4 read 30.16
+#    right after an OOM'd run; bench at the same grid reads 106.9), plus
+#    a fused-loop inner=1 A/B to separate per-call dispatch cost from
+#    device throughput
+run("driver-1024x64-steady", {},
+    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
+          "inputs/community_benchmark_1024x64.yaml"])
+run("bench-1024x64-inner1", {"MWML_BENCH_NX": "1024",
+                             "MWML_BENCH_NY": "1024",
+                             "MWML_BENCH_NZ": "64",
+                             "MWML_BENCH_STEPS": "10",
+                             "MWML_BENCH_INNER": "1"})
+
+# 5. confirm the queue-4 headline surprise: DIV_ACC+RK_FUSE measured
+#    109.96 at 512^2 (vs the 108.9 plain headline) -- same-session A/B
+run("512-auto", {})
+run("512-rkfuse-confirm", {"MWML_DIV_ACC": "1", "MWML_RK_FUSE": "1"})
 log("QUEUE DONE")
