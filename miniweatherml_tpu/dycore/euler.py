@@ -376,15 +376,19 @@ class Dycore:
         )
 
     def _rk_fuse_on(self, grid, consts, spmd) -> bool:
-        """MWML_RK_FUSE 0/1/auto (default auto: big single-device 3-D
-        grids): run each SSPRK3 stage's state update in the final (y)
-        direction kernel's epilogue -- out = c0*s [+ c1*s_prev] +
-        cdt*(s_tend + sources) -- so the stage's state-sized XLA add
-        temps and the separate tendency buffer disappear (the
-        1024^2x100 single-chip HBM-fit lever, on top of MWML_DIV_ACC).
-        Needs the in-kernel gravity/Coriolis sources, so gated to the
-        un-immersed 3-D single-device pallas path where y takes the
-        sublane kernel."""
+        """MWML_RK_FUSE 0/1/auto: run each SSPRK3 stage's state update in
+        the final (y) direction kernel's epilogue -- out = c0*s
+        [+ c1*s_prev] + cdt*(s_tend + sources) -- so the stage's
+        state-sized XLA add temps and the separate tendency buffer
+        disappear (the 1024^2x100 single-chip HBM-fit lever, on top of
+        MWML_DIV_ACC, which it forces on).  Auto default: ON below the
+        DIR_SEQ band and ON at >= _ACC_CELLS -- DIV_ACC+RK_FUSE measured
+        109.96/109.99 vs the plain 108.77/108.9 at the 512^2x64 headline
+        (round-5 queues 4-5), while in the [_SEQ_CELLS, _ACC_CELLS) band
+        DIR_SEQ alone measured best (106.9 vs 103.3 DIV_ACC-only at
+        1024x1024x64, queue 2).  Needs the in-kernel gravity/Coriolis
+        sources, so gated to the un-immersed 3-D single-device pallas
+        path where y takes the sublane kernel."""
         import os as _os
 
         if self.riemann_impl != "pallas" or spmd is not None:
@@ -394,7 +398,8 @@ class Dycore:
         mode = _os.environ.get("MWML_RK_FUSE", "auto")
         n_cells = grid.nens * grid.nz * grid.ny * grid.nx
         if not (mode == "1" or (mode == "auto"
-                                and n_cells >= _ACC_CELLS)):
+                                and (n_cells < _SEQ_CELLS
+                                     or n_cells >= _ACC_CELLS))):
             return False
         Np = grid.ny + 2 + 2 * self.hs
         return (Np <= _SUB_WHOLE_NP_CAP
@@ -864,16 +869,24 @@ class Dycore:
 
         dx, dy, dz = grid.dx, grid.dy, grid.dz
         vol = dx * dy * dz
-        mass_avail = jnp.maximum(tr, 0.0) * vol
-        fo = FOx + FOz if FOy is None else FOx + FOz + FOy
+        ntr = tr.shape[0]
+        # Compute the multiplier in collapsed 2-D (ntr, cells) form: the
+        # three kfct calls below view it as three different 3-/4-D
+        # collapses, all bitcasts of one row-major buffer.  Computing it
+        # 5-D lets XLA pick a permuted layout for the fusion output and
+        # then COPY at each pallas row-major operand boundary -- two
+        # 1.17G relayouts at 1024^2x100 (r05 queue-6 allocation table).
+        mass_avail = jnp.maximum(tr.reshape(ntr, -1), 0.0) * vol
+        fo = FOx.reshape(ntr, -1) + FOz.reshape(ntr, -1)
+        if FOy is not None:
+            fo = fo + FOy.reshape(ntr, -1)
         mass_out = fo * dt * vol
         need = mass_out > mass_avail
         tiny = 1e-300 if tr.dtype == jnp.float64 else 1e-30
         mult = jnp.where(need, mass_avail / jnp.maximum(mass_out, tiny), 1.0)
-        pos = jnp.asarray(positive, bool)[:, None, None, None, None]
+        pos = jnp.asarray(positive, bool)[:, None]
         mult = jnp.where(pos, mult, 1.0)
 
-        ntr = tr.shape[0]
         nens, nz, ny, nx = grid.nens, grid.nz, grid.ny, grid.nx
         # rk (final direction): (coefs, tr0, tr1) -- the SSPRK3 tracer
         # stage update + positivity clamp run in the last pass's epilogue

@@ -14,6 +14,7 @@ main dt + the final partial step).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Sequence
 
@@ -116,13 +117,27 @@ def run_main_loop(
                     for mod in step_modules:
                         s = mod(s, dt)
                     return s
+                # Wrap the chain in a length-1 lax.scan (bench.py's fused
+                # loop structure): the scan carry forces XLA to alias the
+                # step's in/out buffers INSIDE the program, which changes
+                # buffer assignment exactly at the HBM-limit grids --
+                # measured 106.4 Mcellups (scan, bench inner=1) vs 33.5
+                # (flat driver step) at 1024x1024x64.  MWML_DRIVER_SCAN=0
+                # keeps the flat form for A/B.
+                if os.environ.get("MWML_DRIVER_SCAN", "1") == "1":
+                    def stepper(s):
+                        return jax.lax.scan(
+                            lambda c, _: (whole_step(c), None), s, None,
+                            length=1)[0]
+                else:
+                    stepper = whole_step
                 # Donate the carried state so the in/out buffers alias --
                 # the same policy as bench.py's fused loop.  Required for
                 # the HBM-limit grids (the 1024^2-class community
                 # benchmark) to fit through the per-step driver path; the
                 # loop below rebinds `state` each step and nothing holds
                 # device references to the previous step's buffers.
-                compiled[dt] = jax.jit(whole_step, donate_argnums=0)
+                compiled[dt] = jax.jit(stepper, donate_argnums=0)
                 # Warm the jit cache with a discarded call so compilation
                 # never lands inside the timed loop.  (AOT lower().compile()
                 # executables are pathologically slow on the axon TPU

@@ -956,7 +956,7 @@ def direction_fluxes_pallas_sub(prim, lo, hi, hy_r, hy_t, n: int,
 
 
 def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first,
-                          has_rk=False, has_b1=False, positive=()):
+                          has_rk=False, has_b1=False, tdim=1):
     """Scaled tracer-flux divergence for one direction: the FCT face
     scaling (dynamics...h:509-516, each face scaled by the upwind cell's
     multiplier -- cell f-1 where F > 0, cell f where F < 0, 1 at the
@@ -965,56 +965,59 @@ def _fct_scale_div_kernel(f_ref, m_ref, *rest, n, dxi, axis, first,
     scaled-face array ever reaches HBM (the XLA formulation pays ~2.4x
     this traffic re-slicing the (n+1)-lane face arrays).
 
-    The body loops over the tracer axis so the Mosaic stack holds one
-    tracer's ~12 n-sized temps at a time -- the vectorized form measured
-    a 22.54-29.25M scoped stack on tracer-heavy blocks (limit 16M), and
-    lane blocks cannot shrink below 128 to compensate.
+    The tracer axis rides the GRID (one tracer per grid step, selected
+    by ``pl.program_id(tdim)``): Mosaic does NOT reuse its scoped stack
+    across Python-unrolled loop iterations, so both the vectorized and
+    the unrolled-loop forms measured 17.03-29.25M stacks on
+    tracer-heavy blocks (limit 16M, round-5 queues 2-5) while a single
+    tracer's ~12 n-sized temps are ~6M.
 
     ``has_rk`` (final direction only): the SSPRK3 tracer stage update +
     per-tracer positivity clamp run in the epilogue -- out =
     clamp(c0*tr0 [+ c1*tr1] + cdt*t_tend) with coefs an SMEM (3,) and
-    ``positive`` the static per-tracer clamp mask (euler._ssprk3's
-    clamp; kills the stage's tracer-sized XLA add temps the same way
-    the state-side rk epilogue does)."""
+    the clamp mask an SMEM (ntr,) int32 indexed by the tracer grid dim
+    (euler._ssprk3's clamp; kills the stage's tracer-sized XLA add
+    temps the same way the state-side rk epilogue does)."""
+    from jax.experimental import pallas as pl
+
     if first:
         tprev_ref = None
     else:
         tprev_ref, *rest = rest
-    coef_ref = tr0_ref = tr1_ref = None
+    coef_ref = pos_ref = tr0_ref = tr1_ref = None
     if has_rk:
-        coef_ref, tr0_ref, *rest = rest
+        coef_ref, pos_ref, tr0_ref, *rest = rest
         if has_b1:
             tr1_ref, *rest = rest
     (out_ref,) = rest
-    ntr = f_ref.shape[0]
-    for t in range(ntr):
-        F = f_ref[t]
-        m = m_ref[t]
-        nd = F.ndim
-        ax = axis % nd
-        Flo = jax.lax.slice_in_dim(F, 0, n, axis=ax)
-        Fhi = jax.lax.slice_in_dim(F, 1, n + 1, axis=ax)
-        one_shape = list(m.shape)
-        one_shape[ax] = 1
-        one = jnp.ones(one_shape, m.dtype)
-        m_prev = jnp.concatenate(
-            [one, jax.lax.slice_in_dim(m, 0, n - 1, axis=ax)], axis=ax)
-        m_next = jnp.concatenate(
-            [jax.lax.slice_in_dim(m, 1, n, axis=ax), one], axis=ax)
-        fs_lo = Flo * jnp.where(Flo > 0, m_prev,
-                                jnp.where(Flo < 0, m, 1.0))
-        fs_hi = Fhi * jnp.where(Fhi > 0, m,
-                                jnp.where(Fhi < 0, m_next, 1.0))
-        acc = (fs_lo - fs_hi) * dxi
-        if tprev_ref is not None:
-            acc = tprev_ref[t] + acc
-        if has_rk:
-            v = coef_ref[0] * tr0_ref[t]
-            if tr1_ref is not None:
-                v = v + coef_ref[1] * tr1_ref[t]
-            v = v + coef_ref[2] * acc
-            acc = jnp.maximum(v, 0.0) if positive[t] else v
-        out_ref[t] = acc
+    F = f_ref[0]
+    m = m_ref[0]
+    nd = F.ndim
+    ax = axis % nd
+    Flo = jax.lax.slice_in_dim(F, 0, n, axis=ax)
+    Fhi = jax.lax.slice_in_dim(F, 1, n + 1, axis=ax)
+    one_shape = list(m.shape)
+    one_shape[ax] = 1
+    one = jnp.ones(one_shape, m.dtype)
+    m_prev = jnp.concatenate(
+        [one, jax.lax.slice_in_dim(m, 0, n - 1, axis=ax)], axis=ax)
+    m_next = jnp.concatenate(
+        [jax.lax.slice_in_dim(m, 1, n, axis=ax), one], axis=ax)
+    fs_lo = Flo * jnp.where(Flo > 0, m_prev,
+                            jnp.where(Flo < 0, m, 1.0))
+    fs_hi = Fhi * jnp.where(Fhi > 0, m,
+                            jnp.where(Fhi < 0, m_next, 1.0))
+    acc = (fs_lo - fs_hi) * dxi
+    if tprev_ref is not None:
+        acc = tprev_ref[0] + acc
+    if has_rk:
+        v = coef_ref[0] * tr0_ref[0]
+        if tr1_ref is not None:
+            v = v + coef_ref[1] * tr1_ref[0]
+        v = v + coef_ref[2] * acc
+        t = pl.program_id(tdim)
+        acc = jnp.where(pos_ref[t] > 0, jnp.maximum(v, 0.0), v)
+    out_ref[0] = acc
 
 
 def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
@@ -1032,23 +1035,23 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     ntr, B, nf = F.shape
     assert nf == n + 1 and mult.shape == (ntr, B, n)
     first = t_prev is None
-    # Scoped-VMEM fit: the kernel loops over tracers, so ~12 live
-    # Bt x (n+1) f32 temps per tracer iteration must stay inside
-    # Mosaic's 16M stack (the vectorized form measured 22.54-29.25M on
-    # tracer-heavy blocks, round-5 queues 2-3).
+    # Scoped-VMEM fit: one tracer per grid step, so ~12 live Bt x (n+1)
+    # f32 temps per step must stay inside Mosaic's 16M stack (both the
+    # vectorized and unrolled-tracer-loop forms measured 17-29M stacks
+    # on tracer-heavy blocks, round-5 queues 2-5 -- Mosaic does not
+    # reuse stack across unrolled iterations).
     fit = max(8, (8_000_000 // ((n + 1) * 4 * 12)) // 8 * 8)
     Bt = min(block_rows, B, fit)
-    grid = (math.ceil(B / Bt),)
+    grid = (math.ceil(B / Bt), ntr)
     has_rk = rk is not None
     has_b1 = has_rk and rk[2] is not None
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
                                axis=-1, first=first, has_rk=has_rk,
-                               has_b1=has_b1,
-                               positive=tuple(rk[3]) if has_rk else ())
+                               has_b1=has_b1, tdim=1)
     in_specs = [
-        pl.BlockSpec((ntr, Bt, n + 1), lambda b: (0, b, 0),
+        pl.BlockSpec((1, Bt, n + 1), lambda b, t: (t, b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+        pl.BlockSpec((1, Bt, n), lambda b, t: (t, b, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [F, mult]
@@ -1059,18 +1062,22 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
     fuse = [True, False]
     aliases = {}
     if not first:
-        in_specs.append(pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+        in_specs.append(pl.BlockSpec((1, Bt, n), lambda b, t: (t, b, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(t_prev)
         fuse.append(False)  # donated: never fuse its producer
         aliases[len(operands) - 1] = 0
     if has_rk:
-        coefs, tr0, tr1, _pos = rk
+        coefs, tr0, tr1, pos = rk
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(coefs, F.dtype))
         fuse.append(False)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(np.asarray(pos, np.int32)))
+        fuse.append(False)
         for b in ((tr0, tr1) if has_b1 else (tr0,)):
-            in_specs.append(pl.BlockSpec((ntr, Bt, n), lambda b_: (0, b_, 0),
+            in_specs.append(pl.BlockSpec((1, Bt, n),
+                                         lambda b_, t_: (t_, b_, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(b.reshape(ntr, B, n))
             fuse.append(True)
@@ -1079,7 +1086,7 @@ def fct_scale_div_pallas(F, mult, t_prev, n: int, dxi: float,
         grid=grid,
         in_specs=in_specs,
         compiler_params=_compiler_params(fuse),
-        out_specs=pl.BlockSpec((ntr, Bt, n), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((1, Bt, n), lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, B, n), F.dtype),
         input_output_aliases=aliases,
@@ -1100,41 +1107,44 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
     assert nf == n + 1 and mult.shape == (ntr, R, n, Ll)
     first = t_prev is None
     # keep the VMEM working set modest: ~12 live (n+1) x Lt f32 temps
-    # per tracer iteration (same budget reasoning as the lane variant);
-    # lane blocks must stay 128-aligned (Mosaic last-dim constraint)
+    # per grid step (one tracer per step, same budget reasoning as the
+    # lane variant); lane blocks must stay 128-aligned (Mosaic last-dim
+    # constraint)
     budget = max(128, (8_000_000 // ((n + 1) * 4 * 12)) // 128 * 128)
     Lt = min(lane_block, Ll, budget)
-    grid = (R, math.ceil(Ll / Lt))
+    grid = (R, math.ceil(Ll / Lt), ntr)
     has_rk = rk is not None
     has_b1 = has_rk and rk[2] is not None
     kernel = functools.partial(_fct_scale_div_kernel, n=n, dxi=dxi,
                                axis=-2, first=first, has_rk=has_rk,
-                               has_b1=has_b1,
-                               positive=tuple(rk[3]) if has_rk else ())
+                               has_b1=has_b1, tdim=2)
     in_specs = [
-        pl.BlockSpec((ntr, 1, n + 1, Lt), lambda r, l: (0, r, 0, l),
+        pl.BlockSpec((1, 1, n + 1, Lt), lambda r, l, t: (t, r, 0, l),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
+        pl.BlockSpec((1, 1, n, Lt), lambda r, l, t: (t, r, 0, l),
                      memory_space=pltpu.VMEM),
     ]
     operands = [F, mult]
     fuse = [True, False]      # see fct_scale_div_pallas: never re-run mult
     aliases = {}
     if not first:
-        in_specs.append(pl.BlockSpec((ntr, 1, n, Lt),
-                                     lambda r, l: (0, r, 0, l),
+        in_specs.append(pl.BlockSpec((1, 1, n, Lt),
+                                     lambda r, l, t: (t, r, 0, l),
                                      memory_space=pltpu.VMEM))
         operands.append(t_prev)
         fuse.append(False)  # donated: never fuse its producer
         aliases[len(operands) - 1] = 0
     if has_rk:
-        coefs, tr0, tr1, _pos = rk
+        coefs, tr0, tr1, pos = rk
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(coefs, F.dtype))
         fuse.append(False)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(np.asarray(pos, np.int32)))
+        fuse.append(False)
         for b in ((tr0, tr1) if has_b1 else (tr0,)):
-            in_specs.append(pl.BlockSpec((ntr, 1, n, Lt),
-                                         lambda r, l: (0, r, 0, l),
+            in_specs.append(pl.BlockSpec((1, 1, n, Lt),
+                                         lambda r, l, t: (t, r, 0, l),
                                          memory_space=pltpu.VMEM))
             operands.append(b.reshape(ntr, R, n, Ll))
             fuse.append(True)
@@ -1143,7 +1153,7 @@ def fct_scale_div_pallas_sub(F, mult, t_prev, n: int, dxi: float,
         grid=grid,
         in_specs=in_specs,
         compiler_params=_compiler_params(fuse),
-        out_specs=pl.BlockSpec((ntr, 1, n, Lt), lambda r, l: (0, r, 0, l),
+        out_specs=pl.BlockSpec((1, 1, n, Lt), lambda r, l, t: (t, r, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntr, R, n, Ll), F.dtype),
         input_output_aliases=aliases,

@@ -251,63 +251,182 @@ def _lane_blocks(arrays, dtype_map):
     return out, shape, n, rows
 
 
-def _ice_lane_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
-                     t_ref, out_ref, *, R, K):
+def _lane_width(default: int = 1024) -> int:
+    """Cells per grid step in the wide-lane kernels (lanes of each MXU
+    dot).  1024 keeps every kernel's live set ~2-5 MB of scoped VMEM
+    while amortizing the stationary-operand load over 8 lane-tiles."""
+    return int(os.environ.get("MWML_P3_LANE_L", 1024))
+
+
+def _pair_cols(x0, f, iota):
+    """(rows, L) one-hot-pair columns: 1-f where iota==x0, f at x0+1,
+    for (1, L) per-cell index/frac rows broadcast up the sublane axis."""
+    return (jnp.where(iota == x0, 1.0 - f, 0.0)
+            + jnp.where(iota == x0 + 1, f, 0.0))
+
+
+def _wide_call(kernel, arrays, dtypes, consts, K, L, interpret):
+    """Run a wide-lane kernel over all cells: operands are (nrows, L)
+    lane blocks of the flattened cell axis in their NATURAL T(8,128)
+    tiling (no padded operand copies at the custom-call boundary; both
+    the (cells, 1) column and (1, cells) row layouts acquire 128x / 8x
+    padded HBM copies there).  Each grid step sees an (8, L) block and
+    loops its sublane rows, so every MXU dot still covers L cells."""
+    R = 8
+    shape = arrays[0].shape
+    n = int(np.prod(shape)) if shape else 1
+    nrows = -(-n // L)
+    nrows += (-nrows) % R
+    pad = nrows * L - n
+    flat = []
+    for a, dt in zip(arrays, dtypes):
+        v = a.astype(dt).reshape(-1)
+        if pad:
+            v = jnp.pad(v, (0, pad))
+        flat.append(v.reshape(nrows, L))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nrows // R,),
+        in_specs=[pl.BlockSpec((R, L), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)] * len(flat)
+        + [pl.BlockSpec(c.shape, lambda b: (0, 0),
+                        memory_space=pltpu.VMEM) for c in consts],
+        out_specs=pl.BlockSpec((K, R, L), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, nrows, L), jnp.float32),
+        interpret=interpret,
+    )(*flat, *consts)
+    flat_out = out.reshape(K, -1)[:, :n]
+    return tuple(flat_out[k].reshape(shape) for k in range(K))
+
+
+def _ice_wide_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
+                     t_ref, out_ref, *, L, K):
     P = DENSIZE * RIMSIZE
-    t = t_ref[...]                                        # (K*P, ISIZE)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ISIZE, 128), 0)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    t = t_ref[...]                                          # (K*P, ISIZE)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ISIZE, L), 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, L), 0)
     pj = iota_p // RIMSIZE
     pi = iota_p - pj * RIMSIZE
-    for s in range(R):
-        i0r = i0_ref[s:s + 1, :]
-        fir = fi_ref[s:s + 1, :]
-        wk = (jnp.where(iota_i == i0r, 1.0 - fir, 0.0)
-              + jnp.where(iota_i == i0r + 1, fir, 0.0))  # (ISIZE, 128)
-        a = jnp.dot(t, wk, preferred_element_type=jnp.float32)  # (K*P, 128)
-        jj0r, fjjr = jj0_ref[s:s + 1, :], fjj_ref[s:s + 1, :]
-        ii0r, fiir = ii0_ref[s:s + 1, :], fii_ref[s:s + 1, :]
-        w = ((jnp.where(pj == jj0r, 1.0 - fjjr, 0.0)
-              + jnp.where(pj == jj0r + 1, fjjr, 0.0))
-             * (jnp.where(pi == ii0r, 1.0 - fiir, 0.0)
-                + jnp.where(pi == ii0r + 1, fiir, 0.0)))  # (P, 128)
-        out_ref[:, s, :] = jnp.sum(a.reshape(K, P, 128) * w[None], axis=1)
+
+    # fori_loop (NOT an unrolled Python loop) over the block's sublane
+    # rows: Mosaic does not reuse its scoped stack across unrolled
+    # iterations, and one iteration's temps are ~2.3 MB at L=1024
+    def body(s, carry):
+        wk = _pair_cols(i0_ref[pl.ds(s, 1), :], fi_ref[pl.ds(s, 1), :],
+                        iota_i)                             # (ISIZE, L)
+        a = jnp.dot(t, wk,
+                    preferred_element_type=jnp.float32)     # (K*P, L)
+        w = (_pair_cols(jj0_ref[pl.ds(s, 1), :], fjj_ref[pl.ds(s, 1), :],
+                        pj)
+             * _pair_cols(ii0_ref[pl.ds(s, 1), :],
+                          fii_ref[pl.ds(s, 1), :], pi))     # (P, L)
+        r = jnp.sum(a.reshape(K, P, L) * w[None], axis=1)   # (K, L)
+        out_ref[:, pl.ds(s, 1), :] = r[:, None, :]
+        return carry
+
+    jax.lax.fori_loop(0, 8, body, 0)
 
 
 def interp_ice_lane(tables, cols, i0, fi, ii0, fii, jj0, fjj,
                     interpret: bool = False):
     """Trilinear ice-table interpolation, lane-blocked transposed-matmul
-    kernel; same contract as p3_tables.interp_ice_multi (f32)."""
+    kernel; same contract as p3_tables.interp_ice_multi (f32).
+
+    Round-5b wide-lane form: one (1, L=1024) operand block per grid step
+    (vs the 8-sublane-loop original), so each MXU dot covers 1024 cells
+    -- the stationary (K*P, ISIZE) table load amortizes over 8 lane
+    tiles and the sublane-slice loop disappears."""
     K = len(cols)
     P = DENSIZE * RIMSIZE
+    L = _lane_width()
     # row k*P + p, p = jj*RIMSIZE + ii; columns = the isize axis
     tsel = np.moveaxis(tables.ice[..., [c - 1 for c in cols]], 3, 0)
     T = jnp.asarray(np.ascontiguousarray(tsel).reshape(K * P, ISIZE),
                     jnp.float32)
-    blks, shape, n, rows = _lane_blocks(
+    return _wide_call(
+        functools.partial(_ice_wide_kernel, L=L, K=K),
         [i0, fi, ii0, fii, jj0, fjj],
         [jnp.int32, jnp.float32, jnp.int32, jnp.float32, jnp.int32,
-         jnp.float32])
-    R = 8
-    rpad = (-rows) % R
-    if rpad:
-        blks = [jnp.pad(b, ((0, rpad), (0, 0))) for b in blks]
-    nrows = rows + rpad
-    kernel = functools.partial(_ice_lane_kernel, R=R, K=K)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nrows // R,),
-        in_specs=[pl.BlockSpec((R, 128), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM)] * 6
-        + [pl.BlockSpec((K * P, ISIZE), lambda b: (0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((K, R, 128), lambda b: (0, b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, nrows, 128), jnp.float32),
-        interpret=interpret,
-    )(*blks, T)
-    flat = out.reshape(K, -1)[:, :n]
-    return tuple(flat[k].reshape(shape) for k in range(K))
+         jnp.float32],
+        [T], K, L, interpret)
+
+
+def _coll_lane_kernel(i0_ref, fi_ref, ii0_ref, fii_ref, jj0_ref, fjj_ref,
+                      j0_ref, fj_ref, t_ref, out_ref, *, L, K, decode):
+    JOINT = DENSIZE * ISIZE
+    P2 = RIMSIZE * RCOLLSIZE
+    t = t_ref[...]                                       # (K*P2, JOINT)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (JOINT, L), 0)
+    qd = iota_q // ISIZE
+    qi = iota_q - qd * ISIZE
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (DENSIZE, L), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ISIZE, L), 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P2, L), 0)
+    pi = iota_p // RCOLLSIZE
+    pr = iota_p - pi * RCOLLSIZE
+
+    # fori_loop over sublane rows -- see _ice_wide_kernel (one
+    # iteration's temps are ~5 MB at L=1024; 8 unrolled would blow the
+    # 16M scoped-VMEM stack)
+    def body(s, carry):
+        if decode:
+            # digit-decode build: pair rows at full JOINT width (more
+            # VPU work, but only rank-2 ops -- Mosaic-conservative form)
+            W = (_pair_cols(jj0_ref[pl.ds(s, 1), :],
+                            fjj_ref[pl.ds(s, 1), :], qd)
+                 * _pair_cols(i0_ref[pl.ds(s, 1), :],
+                              fi_ref[pl.ds(s, 1), :], qi))  # (JOINT, L)
+        else:
+            # broadcast-reshape build: small per-axis pair rows
+            # outer-product up to the joint axis (5x fewer VPU ops)
+            wj = _pair_cols(jj0_ref[pl.ds(s, 1), :],
+                            fjj_ref[pl.ds(s, 1), :], iota_d)  # (5, L)
+            wk = _pair_cols(i0_ref[pl.ds(s, 1), :],
+                            fi_ref[pl.ds(s, 1), :], iota_i)   # (50, L)
+            W = (wj[:, None, :] * wk[None, :, :]).reshape(JOINT, L)
+        a = jnp.dot(t, W,
+                    preferred_element_type=jnp.float32)  # (K*P2, L)
+        w2 = (_pair_cols(ii0_ref[pl.ds(s, 1), :],
+                         fii_ref[pl.ds(s, 1), :], pi)
+              * _pair_cols(j0_ref[pl.ds(s, 1), :],
+                           fj_ref[pl.ds(s, 1), :], pr))  # (P2, L)
+        r = jnp.sum(a.reshape(K, P2, L) * w2[None], axis=1)
+        # values are stored log10 (p3_init_a); exponentiate in-kernel
+        out_ref[:, pl.ds(s, 1), :] = jnp.exp(
+            r * np.float32(np.log(10.0)))[:, None, :]
+        return carry
+
+    jax.lax.fori_loop(0, 8, body, 0)
+
+
+def interp_collect_lane(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
+                        interpret: bool = False):
+    """Quadlinear ice-rain collection interpolation, lane-blocked kernel;
+    same contract as p3_tables.interp_collect_multi (exponentiated, f32).
+
+    Contracts over the JOINT (densize, isize) = 250 axis exactly like the
+    MXU-tiling-aware XLA matmul (98%x94% tile fill), but with the table
+    VMEM-resident and the (cells, 250) joint-weight / (cells, 240)
+    corner-product intermediates never leaving VMEM -- the XLA form's
+    measured HBM wall (BASELINE.md round-5 queue 2).  Replaces the table
+    access of micro_p3.F90:1560-1773 (access_lookup_table_coll)."""
+    K = len(cols)
+    P2 = RIMSIZE * RCOLLSIZE
+    L = _lane_width()
+    decode = os.environ.get("MWML_P3_COLL_BUILD", "reshape") == "decode"
+    # rows k*P2 + ii*RCOLLSIZE + rr; columns = joint jj*ISIZE + i
+    tsel = np.transpose(tables.collect[..., [c - 1 for c in cols]],
+                        (4, 1, 3, 0, 2))   # (K, rim, rcoll, den, isize)
+    T = jnp.asarray(np.ascontiguousarray(tsel).reshape(K * P2,
+                                                       DENSIZE * ISIZE),
+                    jnp.float32)
+    return _wide_call(
+        functools.partial(_coll_lane_kernel, L=L, K=K, decode=decode),
+        [i0, fi, ii0, fii, jj0, fjj, j0, fj],
+        [jnp.int32, jnp.float32, jnp.int32, jnp.float32, jnp.int32,
+         jnp.float32, jnp.int32, jnp.float32],
+        [T], K, L, interpret)
 
 
 def _rain_lane_kernel(i0_ref, fi_ref, t_ref, out_ref, *, R, K, nchunks,

@@ -67,43 +67,64 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 5 (reruns on the per-tracer fct kernel) ---------------
-# 1. 1024x1024x100 compile probe with ALL levers (queue-4 attempt
-#    imported the pre-fix kernel and died on the Mosaic block constraint)
-run("mem-1024x100-auto", {}, args=["scripts/mem_analysis.py",
-                                   "1024", "1024", "100"])
+# --- round-5 queue 6 (grid-over-tracer fct kernel + wide-lane lookups) ---
+# 1. allocation table for the reference's exact 1024x1024x100 benchmark
+#    with the FIXED fct kernel (tracer axis on the pallas grid; queue-5
+#    attempts hit 17.03M/29.25M scoped-VMEM stacks -- Mosaic does not
+#    reuse stack across unrolled tracer iterations)
+run("mem-1024x100-all", {}, args=["scripts/mem_analysis.py",
+                                  "1024", "1024", "100"])
 
-# 2. the real 1024x1024x100 run if it fits
+# 2. the real 1024x1024x100 run if it fits (VERDICT item 3)
 run("bench-1024x100", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
                        "MWML_BENCH_NZ": "100", "MWML_BENCH_STEPS": "2",
                        "MWML_BENCH_INNER": "5"})
 
-# 3. kernel-FCT A/B under the 9-tracer P3 chain (early-storm; auto 43.88)
-run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
-                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+# 3. standalone lookup A/B: XLA joint matmul vs round-5b wide-lane
+#    kernels (ice wide + collect lane, both weight builds)
+run("lookups-256-lane", {"MWML_P3_LOOKUPS_ONLY": "1",
+                         "MWML_P3_IMPLS": "matmul,lane"},
+    args=["scripts/profile_p3.py"])
+run("lookups-256-lane-decode", {"MWML_P3_LOOKUPS_ONLY": "1",
+                                "MWML_P3_IMPLS": "lane",
+                                "MWML_P3_COLL_BUILD": "decode"},
+    args=["scripts/profile_p3.py"])
 
-# 3b. all-cells-active with kfct (queue-4 attempt hit a wedged device)
+# 4. all-cells-active chain: new defaults (wide ice + collect lane), the
+#    collect=matmul control, and the kfct combination
+run("p3-allactive-512", {"MWML_BENCH_MICRO": "p3",
+                         "MWML_BENCH_P3_ACTIVE": "1",
+                         "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+run("p3-allactive-512-collmm", {"MWML_BENCH_MICRO": "p3",
+                                "MWML_BENCH_P3_ACTIVE": "1",
+                                "MWML_P3_COLLECT": "matmul",
+                                "MWML_BENCH_STEPS": "4",
+                                "MWML_BENCH_INNER": "5"})
 run("p3-allactive-512-kfct", {"MWML_BENCH_MICRO": "p3",
                               "MWML_BENCH_P3_ACTIVE": "1",
                               "MWML_FCT_PALLAS": "1",
                               "MWML_BENCH_STEPS": "4",
                               "MWML_BENCH_INNER": "5"})
 
-# 4. driver steady-state rerun on a healthy device (queue-4 read 30.16
-#    right after an OOM'd run; bench at the same grid reads 106.9), plus
-#    a fused-loop inner=1 A/B to separate per-call dispatch cost from
-#    device throughput
-run("driver-1024x64-steady", {},
+# 5. early-storm P3 chain: kernel-FCT A/B (VERDICT item 2; queue-5
+#    attempt pre-dated the grid-over-tracer fix) + the new-default rerun
+run("p3-chain-512", {"MWML_BENCH_MICRO": "p3",
+                     "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
+                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+
+# 5b. driver steady-state at 1024x64 with the scan-wrapped step (bench
+#     inner=1 measured 106.4 at this grid vs the flat driver step's
+#     33.5, twice -- the scan carry's in-program aliasing is the only
+#     structural difference; MWML_DRIVER_SCAN=0 is the control)
+run("driver-1024x64-scan", {},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
-run("bench-1024x64-inner1", {"MWML_BENCH_NX": "1024",
-                             "MWML_BENCH_NY": "1024",
-                             "MWML_BENCH_NZ": "64",
-                             "MWML_BENCH_STEPS": "10",
-                             "MWML_BENCH_INNER": "1"})
 
-# 5. confirm the queue-4 headline surprise: DIV_ACC+RK_FUSE measured
-#    109.96 at 512^2 (vs the 108.9 plain headline) -- same-session A/B
-run("512-auto", {})
-run("512-rkfuse-confirm", {"MWML_DIV_ACC": "1", "MWML_RK_FUSE": "1"})
+# 6. RK_FUSE gate data at the 52-80M band: queue-2 tested DIV_ACC alone
+#    (103.3, a loss vs DIR_SEQ 106.9); the winning 512^2 combo was
+#    DIV_ACC+RK_FUSE -- measure that combo at 1024x1024x64
+run("1024x64-rkfuse", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
+                       "MWML_BENCH_NZ": "64", "MWML_DIV_ACC": "1",
+                       "MWML_RK_FUSE": "1"})
 log("QUEUE DONE")

@@ -312,3 +312,34 @@ def test_lane_rain_kernel_matches_gather(tables, monkeypatch):
     for g, p in zip(ref, out):
         np.testing.assert_allclose(np.asarray(p), np.asarray(g),
                                    rtol=3e-5, atol=0)
+
+
+def test_lane_collect_kernel_matches_gather(tables, monkeypatch):
+    """The round-5b lane-blocked collect kernel (joint-contraction
+    transposed matmul, MWML_P3_COLLECT=lane; interpret mode on CPU)
+    reproduces the gather quadlinear interpolation, in BOTH weight-build
+    forms (broadcast-reshape and digit-decode)."""
+    from miniweatherml_tpu.physics.p3_tables import interp_collect_multi
+
+    rng = np.random.default_rng(23)
+    n = 2500  # not a multiple of 128 or of the 8-row block
+    i0 = jnp.asarray(rng.integers(0, ISIZE - 1, n), jnp.int32)
+    ii0 = jnp.asarray(rng.integers(0, RIMSIZE - 1, n), jnp.int32)
+    jj0 = jnp.asarray(rng.integers(0, DENSIZE - 1, n), jnp.int32)
+    j0 = jnp.asarray(rng.integers(0, RCOLLSIZE - 1, n), jnp.int32)
+    fi, fii, fjj, fj = (jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+                        for _ in range(4))
+    idx = (i0, fi, ii0, fii, jj0, fjj, j0, fj)
+
+    monkeypatch.setenv("MWML_P3_TABLES", "gather")
+    ref = interp_collect_multi(tables, (2, 1), *idx)
+    for build in ("reshape", "decode"):
+        monkeypatch.setenv("MWML_P3_TABLES", "lane")
+        monkeypatch.setenv("MWML_P3_COLLECT", "lane")
+        monkeypatch.setenv("MWML_P3_COLL_BUILD", build)
+        out = interp_collect_multi(tables, (2, 1), *idx)
+        for g, p in zip(ref, out):
+            # rtol: f32 corner sums of multi-decade log10 entries are
+            # exponentiated, amplifying rounding by ~ln(10)*|log10 v|
+            np.testing.assert_allclose(np.asarray(p), np.asarray(g),
+                                       rtol=2e-4, atol=0)
