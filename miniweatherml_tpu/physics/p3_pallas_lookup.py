@@ -229,11 +229,16 @@ def interp_collect_pallas(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
 # Rain rows use the Mosaic lane-gather (tpu.dynamic_gather along lanes,
 # measured 22.5 Ggather/s on this chip -- scripts/probe_gather.py): the
 # 300-entry row splits into 3 x 128-lane chunks selected by the index
-# high bits.  The ice-rain COLLECT table stays on the XLA matmul: its
-# contraction is measured MXU-flop-bound at ~23 Tflop/s (60k MACs/cell
-# is invariant under one-hot factorization order), so a kernel cannot
-# beat it -- only a true 2-D dynamic gather could, and Mosaic's
-# dynamic_gather is 1-D over <=128 lanes.
+# high bits.  The ice-rain COLLECT table joined the lane kernels in
+# round 5b: the round-4 "MXU-flop-bound at ~23 Tflop/s" reading was a
+# 37%-tile-fill artifact (queue 2), and the joint-contraction lane
+# kernel with the table VMEM-resident measures 12.50 ms vs the XLA
+# joint matmul's 16.17 standalone at 256^2x64 (queue 6) -- the
+# (cells, 250)/(cells, 240) HBM round-trips were the remaining wall.
+#
+# Mosaic stack discipline (queues 5-6): scoped-VMEM stack is NOT reused
+# across unrolled Python-loop iterations -- every multi-iteration loop
+# in these kernels must be a fori_loop (or ride the pallas grid).
 
 
 def _lane_blocks(arrays, dtype_map):
@@ -414,7 +419,11 @@ def interp_collect_lane(tables, cols, i0, fi, ii0, fii, jj0, fjj, j0, fj,
     K = len(cols)
     P2 = RIMSIZE * RCOLLSIZE
     L = _lane_width()
-    decode = os.environ.get("MWML_P3_COLL_BUILD", "reshape") == "decode"
+    # weight-build default: digit-decode measured 12.50 ms vs the
+    # broadcast-reshape build's 13.62 standalone at 256^2x64 (r05
+    # queue 6) -- the (5,50,L)->(250,L) reshape relayout costs more
+    # than the extra pair-row VPU ops it saves
+    decode = os.environ.get("MWML_P3_COLL_BUILD", "decode") == "decode"
     # rows k*P2 + ii*RCOLLSIZE + rr; columns = joint jj*ISIZE + i
     tsel = np.transpose(tables.collect[..., [c - 1 for c in cols]],
                         (4, 1, 3, 0, 2))   # (K, rim, rcoll, den, isize)

@@ -67,64 +67,48 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 6 (grid-over-tracer fct kernel + wide-lane lookups) ---
-# 1. allocation table for the reference's exact 1024x1024x100 benchmark
-#    with the FIXED fct kernel (tracer axis on the pallas grid; queue-5
-#    attempts hit 17.03M/29.25M scoped-VMEM stacks -- Mosaic does not
-#    reuse stack across unrolled tracer iterations)
-run("mem-1024x100-all", {}, args=["scripts/mem_analysis.py",
-                                  "1024", "1024", "100"])
+# --- round-5 queue 7 (final prioritized list; ~2h round budget left) ----
+# fast + high-value first, the long P3 compiles after, the 1024x100
+# bench attempt last (it is the longest and fails fast only at compile)
 
-# 2. the real 1024x1024x100 run if it fits (VERDICT item 3)
-run("bench-1024x100", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
-                       "MWML_BENCH_NZ": "100", "MWML_BENCH_STEPS": "2",
-                       "MWML_BENCH_INNER": "5"})
-
-# 3. standalone lookup A/B: XLA joint matmul vs round-5b wide-lane
-#    kernels (ice wide + collect lane, both weight builds)
-run("lookups-256-lane", {"MWML_P3_LOOKUPS_ONLY": "1",
-                         "MWML_P3_IMPLS": "matmul,lane"},
-    args=["scripts/profile_p3.py"])
-run("lookups-256-lane-decode", {"MWML_P3_LOOKUPS_ONLY": "1",
-                                "MWML_P3_IMPLS": "lane",
-                                "MWML_P3_COLL_BUILD": "decode"},
-    args=["scripts/profile_p3.py"])
-
-# 4. all-cells-active chain: new defaults (wide ice + collect lane), the
-#    collect=matmul control, and the kfct combination
-run("p3-allactive-512", {"MWML_BENCH_MICRO": "p3",
-                         "MWML_BENCH_P3_ACTIVE": "1",
-                         "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
-run("p3-allactive-512-collmm", {"MWML_BENCH_MICRO": "p3",
-                                "MWML_BENCH_P3_ACTIVE": "1",
-                                "MWML_P3_COLLECT": "matmul",
-                                "MWML_BENCH_STEPS": "4",
-                                "MWML_BENCH_INNER": "5"})
-run("p3-allactive-512-kfct", {"MWML_BENCH_MICRO": "p3",
-                              "MWML_BENCH_P3_ACTIVE": "1",
-                              "MWML_FCT_PALLAS": "1",
-                              "MWML_BENCH_STEPS": "4",
-                              "MWML_BENCH_INNER": "5"})
-
-# 5. early-storm P3 chain: kernel-FCT A/B (VERDICT item 2; queue-5
-#    attempt pre-dated the grid-over-tracer fix) + the new-default rerun
-run("p3-chain-512", {"MWML_BENCH_MICRO": "p3",
-                     "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
-run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
-                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
-
-# 5b. driver steady-state at 1024x64 with the scan-wrapped step (bench
-#     inner=1 measured 106.4 at this grid vs the flat driver step's
-#     33.5, twice -- the scan carry's in-program aliasing is the only
-#     structural difference; MWML_DRIVER_SCAN=0 is the control)
+# 1. driver steady-state with the scan-wrapped step (the 33.5-vs-106.4
+#    diagnosis receipt)
 run("driver-1024x64-scan", {},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
 
-# 6. RK_FUSE gate data at the 52-80M band: queue-2 tested DIV_ACC alone
-#    (103.3, a loss vs DIR_SEQ 106.9); the winning 512^2 combo was
-#    DIV_ACC+RK_FUSE -- measure that combo at 1024x1024x64
+# 2. DIV_ACC+RK_FUSE at the 52-80M band (queue-2 tested DIV_ACC alone)
 run("1024x64-rkfuse", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
                        "MWML_BENCH_NZ": "64", "MWML_DIV_ACC": "1",
                        "MWML_RK_FUSE": "1"})
+
+# 3. allocation table for the reference's exact 1024x1024x100 with the
+#    2-D FCT multiplier (kills the two 1.17G relayouts of queue-6's
+#    18.26G table) -- fast AOT compile, no execution
+p = run("mem-1024x100-2dmult", {}, args=["scripts/mem_analysis.py",
+                                         "1024", "1024", "100"])
+
+# 3b. all-cells-active, new defaults (the orphaned queue-6 run's stdout
+#     was lost with its supervisor; the compile is cached so this rerun
+#     is execution-only)
+run("p3-allactive-512", {"MWML_BENCH_MICRO": "p3",
+                         "MWML_BENCH_P3_ACTIVE": "1",
+                         "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+
+# 4. early-storm P3 chain with kernel FCT (the 9-tracer A/B the
+#    round-4 verdict asked for; RK_FUSE+lane lookups are now default)
+run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
+                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
+
+# 6. the real 1024x1024x100 run, only if the allocation table fits
+import re as _re
+m = _re.search(r"hbm requirement ([0-9.]+)G", p.stdout + p.stderr)
+if m and float(m.group(1)) <= 15.75:
+    run("bench-1024x100", {"MWML_BENCH_NX": "1024",
+                           "MWML_BENCH_NY": "1024",
+                           "MWML_BENCH_NZ": "100",
+                           "MWML_BENCH_STEPS": "2",
+                           "MWML_BENCH_INNER": "5"})
+else:
+    log(f"SKIP bench-1024x100: table says {m.group(1) if m else '?'}G > 15.75G")
 log("QUEUE DONE")
