@@ -28,20 +28,34 @@ def port_open():
             s.close()
     return False
 
+class _Result:
+    def __init__(self, returncode, stdout, stderr):
+        self.returncode, self.stdout, self.stderr = returncode, stdout, stderr
+
+
 def run(name, env_extra, args=None, timeout=None):
+    """Child stdout/stderr go to FILES, never pipes: if this supervisor
+    dies while holding a pipe's read end, the TPU client gets SIGPIPE on
+    its next write and dies MID-EXECUTION -- which wedges the tunnel
+    (observed 2026-08-20: killing the supervisor killed its client ~25 s
+    later and cost a ~20-min heal window)."""
     env = dict(os.environ); env.update(env_extra)
     cmd = [sys.executable] + (args or ["bench.py"])
     log(f"START {name}: {args or 'bench.py'} env={env_extra}")
     t0 = time.time()
-    p = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
-    log(f"END {name} rc={p.returncode} wall={time.time()-t0:.0f}s")
-    with open(os.path.join(os.path.dirname(LOG), f"{name}.out"), "w") as f:
-        f.write(p.stdout + "\n=== STDERR ===\n" + p.stderr)
-    for ln in p.stdout.strip().splitlines()[-8:]:
+    out_path = os.path.join(os.path.dirname(LOG), f"{name}.out")
+    err_path = out_path + ".err"
+    with open(out_path, "w") as fo, open(err_path, "w") as fe:
+        rc = subprocess.run(cmd, stdout=fo, stderr=fe, cwd="/root/repo",
+                            env=env).returncode
+    stdout = open(out_path).read()
+    stderr = open(err_path).read()
+    log(f"END {name} rc={rc} wall={time.time()-t0:.0f}s")
+    for ln in stdout.strip().splitlines()[-8:]:
         log(f"  out: {ln}")
-    for ln in p.stderr.strip().splitlines()[-4:]:
+    for ln in stderr.strip().splitlines()[-4:]:
         log(f"  err: {ln}")
-    return p
+    return _Result(rc, stdout, stderr)
 
 # 1. wait for the relay
 t0 = time.time()

@@ -95,3 +95,24 @@ def test_bench_p3_micro_mode():
     payload = _run_bench({"MWML_BENCH_MICRO": "p3"})
     assert payload["value"] > 0
     assert "p3" in payload["metric"]
+
+
+def test_driver_scan_wrapper_matches_flat(monkeypatch):
+    """The length-1 lax.scan wrapper around the driver's jitted step
+    (bench.py's fused-loop structure; changes XLA buffer assignment at
+    HBM-limit grids) is numerically identical to the flat step."""
+    import numpy as np
+
+    from miniweatherml_tpu.experiments.supercell_example import build
+    from miniweatherml_tpu.experiments.driver import run_main_loop
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("MWML_DRIVER_SCAN", mode)
+        cfg = _tiny(sim_time=2.0)
+        state, mods, dycore = build(cfg)
+        outs[mode] = run_main_loop(state, cfg, mods, dycore, writer=None,
+                                   quiet=True)
+    for k in ("temp", "wvel", "water_vapor"):
+        np.testing.assert_array_equal(np.asarray(outs["1"][k]),
+                                      np.asarray(outs["0"][k]))
