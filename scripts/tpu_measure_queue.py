@@ -81,48 +81,17 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 7 (final prioritized list; ~2h round budget left) ----
-# fast + high-value first, the long P3 compiles after, the 1024x100
-# bench attempt last (it is the longest and fails fast only at compile)
-
-# 1. driver steady-state with the scan-wrapped step (the 33.5-vs-106.4
-#    diagnosis receipt)
-run("driver-1024x64-scan", {},
+# --- round-5 queue 8 (driver-vs-bench artifact control) ------------------
+# Every slow driver steady-state reading (30.2 / 33.5 / 11.2 Mcellups at
+# 1024x1024x64) came from the FIRST process slot after a failure or
+# tunnel heal; every healthy reading (106.4 / 103.2 bench) followed a
+# successful run.  Control: a known-good bench first, then the driver
+# twice (flat and scan forms) on a provably healthy device.
+run("512-auto-warm", {})
+run("driver-1024x64-flat", {"MWML_DRIVER_SCAN": "0"},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
-
-# 2. DIV_ACC+RK_FUSE at the 52-80M band (queue-2 tested DIV_ACC alone)
-run("1024x64-rkfuse", {"MWML_BENCH_NX": "1024", "MWML_BENCH_NY": "1024",
-                       "MWML_BENCH_NZ": "64", "MWML_DIV_ACC": "1",
-                       "MWML_RK_FUSE": "1"})
-
-# 3. allocation table for the reference's exact 1024x1024x100 with the
-#    2-D FCT multiplier (kills the two 1.17G relayouts of queue-6's
-#    18.26G table) -- fast AOT compile, no execution
-p = run("mem-1024x100-2dmult", {}, args=["scripts/mem_analysis.py",
-                                         "1024", "1024", "100"])
-
-# 3b. all-cells-active, new defaults (the orphaned queue-6 run's stdout
-#     was lost with its supervisor; the compile is cached so this rerun
-#     is execution-only)
-run("p3-allactive-512", {"MWML_BENCH_MICRO": "p3",
-                         "MWML_BENCH_P3_ACTIVE": "1",
-                         "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
-
-# 4. early-storm P3 chain with kernel FCT (the 9-tracer A/B the
-#    round-4 verdict asked for; RK_FUSE+lane lookups are now default)
-run("p3-chain-512-kfct", {"MWML_BENCH_MICRO": "p3", "MWML_FCT_PALLAS": "1",
-                          "MWML_BENCH_STEPS": "4", "MWML_BENCH_INNER": "5"})
-
-# 6. the real 1024x1024x100 run, only if the allocation table fits
-import re as _re
-m = _re.search(r"hbm requirement ([0-9.]+)G", p.stdout + p.stderr)
-if m and float(m.group(1)) <= 15.75:
-    run("bench-1024x100", {"MWML_BENCH_NX": "1024",
-                           "MWML_BENCH_NY": "1024",
-                           "MWML_BENCH_NZ": "100",
-                           "MWML_BENCH_STEPS": "2",
-                           "MWML_BENCH_INNER": "5"})
-else:
-    log(f"SKIP bench-1024x100: table says {m.group(1) if m else '?'}G > 15.75G")
+run("driver-1024x64-scan2", {},
+    args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
+          "inputs/community_benchmark_1024x64.yaml"])
 log("QUEUE DONE")
