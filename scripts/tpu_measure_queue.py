@@ -9,7 +9,7 @@ it polls the relay ports (fast TCP check), probes with a small capture,
 and only then starts the expensive runs."""
 import json, os, socket, subprocess, sys, time
 
-LOG = "/tmp/tpuq/results.log"
+LOG = os.environ.get("MWML_QUEUE_LOG", "/root/repo/measurements/r05_queue9_20260821.log")
 os.makedirs(os.path.dirname(LOG), exist_ok=True)
 def log(msg):
     line = f"[{time.strftime('%H:%M:%S')}] {msg}"
@@ -43,7 +43,8 @@ def run(name, env_extra, args=None, timeout=None):
     cmd = [sys.executable] + (args or ["bench.py"])
     log(f"START {name}: {args or 'bench.py'} env={env_extra}")
     t0 = time.time()
-    out_path = os.path.join(os.path.dirname(LOG), f"{name}.out")
+    scratch = "/tmp/tpuq"; os.makedirs(scratch, exist_ok=True)
+    out_path = os.path.join(scratch, f"{name}.out")
     err_path = out_path + ".err"
     with open(out_path, "w") as fo, open(err_path, "w") as fe:
         rc = subprocess.run(cmd, stdout=fo, stderr=fe, cwd="/root/repo",
@@ -81,17 +82,27 @@ while True:
     log("probe unhealthy; waiting 5 min")
     time.sleep(300)
 
-# --- round-5 queue 8 (driver-vs-bench artifact control) ------------------
-# Every slow driver steady-state reading (30.2 / 33.5 / 11.2 Mcellups at
-# 1024x1024x64) came from the FIRST process slot after a failure or
-# tunnel heal; every healthy reading (106.4 / 103.2 bench) followed a
-# successful run.  Control: a known-good bench first, then the driver
-# twice (flat and scan forms) on a provably healthy device.
+# --- round-5 queue 9 (machine restarted; /tmp receipts for queues 6-8
+# were lost before commit -- this queue regenerates them as committed
+# files and runs the pending queue-8 control).  Priority order:
+#   1. headline warm bench (receipt for the ~110 auto-gate number, and
+#      the known-good run the queue-8 control requires first)
+#   2. P3 all-cells-active at 512^2x64 with the round-5b wide-lane
+#      kernels now default (the verdict's >=40 target; last 33.4)
+#   3. standalone lookup A/B matmul-vs-lane (recommits queue-6 numbers)
+#   4. queue-8 driver-vs-bench control on the provably healthy device
+#   5. P3 early-storm re-verify
 run("512-auto-warm", {})
+run("p3-allactive-512", {"MWML_BENCH_MICRO": "p3",
+                         "MWML_BENCH_P3_ACTIVE": "1"})
+run("lookups-matmul-vs-lane", {"MWML_P3_LOOKUPS_ONLY": "1",
+                               "MWML_P3_IMPLS": "matmul,lane"},
+    args=["scripts/profile_p3.py"])
 run("driver-1024x64-flat", {"MWML_DRIVER_SCAN": "0"},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
 run("driver-1024x64-scan2", {},
     args=["-m", "miniweatherml_tpu.experiments.community_benchmark",
           "inputs/community_benchmark_1024x64.yaml"])
+run("p3-earlystorm-512", {"MWML_BENCH_MICRO": "p3"})
 log("QUEUE DONE")
