@@ -406,20 +406,21 @@ class Dycore:
                 or _chunk_size(grid.ny) is not None)
 
     def _kfct_on(self, grid, spmd, ntracers) -> bool:
-        """MWML_FCT_PALLAS 0/1/auto (default auto: HBM-limit grids): FCT
+        """MWML_FCT_PALLAS 0/1/auto (default auto: OFF): FCT
         scale+divergence in fused per-direction kernels with the running
         tracer-tendency buffer donated through them.  A measured LOSS at
-        512^2x64 Kessler (BASELINE.md round 3) but removes the three
-        tracer-sized XLA divergence temps -- at >= _ACC_CELLS the fit
-        trumps the overlap cost, same reasoning as the other in-kernel
-        levers."""
+        512^2x64 Kessler (BASELINE.md round 3), and a measured HBM-fit
+        LOSS at 1024^2x100 (queue 7: 18.26G vs 16.26G with kfct off --
+        XLA relayout copies at the pallas operand boundaries exceed the
+        divergence temps the kernels remove, and the 2-D multiplier
+        rewrite did not shrink them).  The XLA-side MWML_TR_SEQ
+        sequencing below replaces it as the tracer-side fit lever."""
         import os as _os
 
         if self.riemann_impl != "pallas" or spmd is not None                 or ntracers == 0:
             return False
         mode = _os.environ.get("MWML_FCT_PALLAS", "auto")
-        n_cells = grid.nens * grid.nz * grid.ny * grid.nx
-        return mode == "1" or (mode == "auto" and n_cells >= _ACC_CELLS)
+        return mode == "1"
 
     def _ssprk3(self, grid, consts, hy, immersed, positive, s, tr, dt,
                 spmd=None):
@@ -1118,6 +1119,21 @@ class Dycore:
             x_aligned = ntracers > 0 and TFx.shape[-1] == grid.nx
             TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt,
                                       spmd, x_aligned=x_aligned)
+            # MWML_TR_SEQ 0/1/auto (default auto: >= _ACC_CELLS): sequence
+            # the per-direction tracer divergences the way MWML_DIR_SEQ
+            # sequences the state side -- each barrier makes the next
+            # direction's scaled faces depend on the accumulated tendency,
+            # so buffer assignment holds ONE div temp live instead of
+            # three (~2.3G at 1024^2x100 with 3 tracers; the temps are
+            # items 2-4 of measurements/r04_oom_table_1024x100_dirseq.txt's
+            # successor table).  Replaces the kfct kernels as the
+            # tracer-side fit lever (see _kfct_on: those relayout-copy
+            # their way to a net fit LOSS).
+            trseq_env = _os.environ.get("MWML_TR_SEQ", "auto")
+            trseq = (ntracers > 0 and not sim2d
+                     and (trseq_env == "1"
+                          or (trseq_env == "auto"
+                              and n_cells >= _ACC_CELLS)))
             if x_aligned:
                 # cell i's right face is LF[i+1] (periodic roll), except
                 # cell nx-1 whose right face is the separately-scaled seam
@@ -1128,8 +1144,12 @@ class Dycore:
                 t_tend = -(right - LF) / grid.dx
             else:
                 t_tend = div(TFx, _AX_X, grid.nx, grid.dx)
+            if trseq:
+                TFz, t_tend = jax.lax.optimization_barrier((TFz, t_tend))
             t_tend = t_tend + div(TFz, _AX_Z, grid.nz, grid.dz)
             if not sim2d:
+                if trseq:
+                    TFy, t_tend = jax.lax.optimization_barrier((TFy, t_tend))
                 t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 
         if rk is not None:

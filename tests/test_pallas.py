@@ -203,6 +203,27 @@ def test_pallas_dir_seq_matches_default(monkeypatch):
             rtol=1e-12, atol=1e-14, err_msg=name)
 
 
+def test_tracer_div_seq_matches_default(monkeypatch):
+    """MWML_TR_SEQ=1 (barrier-sequenced per-direction tracer-divergence
+    accumulation on the XLA fct path -- the tracer-side 1024^2x100
+    HBM-fit lever that replaced the kfct kernels) is a pure scheduling
+    constraint: same adds, same order, so it must be bitwise."""
+    st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
+                         xlen=40000.0, ylen=40000.0, zlen=10000.0)
+    dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
+    dt = dy_x.compute_time_step(st)
+    monkeypatch.setenv("MWML_TR_SEQ", "0")
+    out_def = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    monkeypatch.setenv("MWML_TR_SEQ", "1")
+    jax.clear_caches()  # env is read at trace time
+    out_seq = jax.jit(lambda s: dy_p.time_step(s, dt))(st)
+    for name in ("density_dry", "uvel", "vvel", "wvel", "temp",
+                 "water_vapor", "cloud_liquid", "precip_liquid"):
+        np.testing.assert_array_equal(
+            np.asarray(out_seq[name]), np.asarray(out_def[name]),
+            err_msg=f"tr-seq must be bitwise: {name}")
+
+
 def test_pallas_div_acc_and_prim_split_match_default(monkeypatch):
     """MWML_DIV_ACC=1 (in-kernel x->z->y state-divergence accumulation
     with the accumulator HBM-aliased to the kernel output) and
@@ -291,11 +312,12 @@ def test_pallas_rk_fuse_matches_default(monkeypatch):
 
 
 def test_pallas_rk_fuse_with_kernel_fct_matches_default(monkeypatch):
-    """MWML_RK_FUSE=1 + MWML_FCT_PALLAS=1 (the full 1024^2x100 HBM-fit
-    stack: state stage update in the y megakernel epilogue, tracer stage
-    update + positivity clamp in the final fct_scale_div pass, all
-    tendency buffers donated through their chains) reproduces the
-    default path at the acc-chain tolerance."""
+    """MWML_RK_FUSE=1 + MWML_FCT_PALLAS=1 (state stage update in the y
+    megakernel epilogue, tracer stage update + positivity clamp in the
+    final fct_scale_div pass, all tendency buffers donated through their
+    chains) reproduces the default path at the acc-chain tolerance.
+    kfct is a measured HBM-fit LOSS at 1024^2x100 (queue 7) and is now
+    opt-in only, but the fused path stays correctness-pinned here."""
     st, dy_x, _ = _setup("supercell", nx=16, ny=8, nz=10,
                          xlen=40000.0, ylen=40000.0, zlen=10000.0)
     dy_p = Dycore(ord=5, riemann_impl="pallas", opt_algebra=False)
