@@ -913,19 +913,11 @@ class Dycore:
                 rk=rk_full)
         return t.reshape(ntr, nens, nz, ny, nx)
 
-    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None,
-             x_aligned=False):
-        """Flux-corrected transport: scale outgoing tracer fluxes so no cell
-        can be driven negative (dynamics...h:498-516), rewritten functionally:
-        compute a per-cell multiplier, apply it to each face from the
-        upwind (outflow) side.
-
-        ``x_aligned``: Fx holds nx ALIGNED left faces of a periodic
-        whole-axis x (face i of cell i; the seam face nx pre-scale equals
-        face 0).  Scaling then preserves the reference's duplicated-seam
-        semantics exactly -- each seam copy is scaled only from its
-        outflow cell's side -- by returning (left_faces, seam) with the
-        seam copy scaled separately."""
+    def _fct_mult(self, grid, tr, positive, Fx, Fy, Fz, dt,
+                  x_aligned=False):
+        """Per-cell FCT multiplier (the ``mult`` of dynamics...h:498-509):
+        1 where the cell's outgoing tracer mass fits its available mass,
+        mass_avail/mass_out where it would overdraw."""
         dx, dy, dz = grid.dx, grid.dy, grid.dz
         vol = dx * dy * dz
         mass_avail = jnp.maximum(tr, 0.0) * vol
@@ -946,43 +938,64 @@ class Dycore:
         need = mass_out > mass_avail
         mult = jnp.where(need, mass_avail / jnp.maximum(mass_out, 1e-300 if tr.dtype == jnp.float64 else 1e-30), 1.0)
         pos = jnp.asarray(positive, bool)[:, None, None, None, None]
-        mult = jnp.where(pos, mult, 1.0)
+        return jnp.where(pos, mult, 1.0)
 
-        def scale(F, axis, ncells):
-            mesh_ax = spmd.get(axis) if spmd is not None else None
-            if mesh_ax is not None:
-                from ..parallel.halo import exchange_face_scalar
-                name, ns = mesh_ax
-                left, right = exchange_face_scalar(mult, axis, name, ns)
-            else:
-                ones_shape = list(mult.shape)
-                ones_shape[axis] = 1
-                left = right = jnp.ones(ones_shape, mult.dtype)
-            mult_left = jnp.concatenate([left, mult], axis=axis)   # face f <- cell f-1
-            mult_right = jnp.concatenate([mult, right], axis=axis)  # face f <- cell f
-            return F * jnp.where(F > 0, mult_left, jnp.where(F < 0, mult_right, 1.0))
-
-        if x_aligned:
-            # Reference outflow-side-only scaling on the aligned array:
-            # face 0's copy is never left-scaled (its left cell is the
-            # neighbor copy's business), the seam copy (face nx) is scaled
-            # only by cell nx-1's multiplier when flux is outward.
-            mult_prev = jnp.roll(mult, 1, axis=_AX_X)
-            at0 = jnp.arange(grid.nx) == 0
-            mult_left = jnp.where(at0, 1.0, mult_prev)
-            LF = Fx * jnp.where(Fx > 0, mult_left,
-                                jnp.where(Fx < 0, mult, 1.0))
-            seam_v = _slice_axis(Fx, _AX_X, 0, 1)
-            seam = seam_v * jnp.where(seam_v > 0,
-                                      _slice_axis(mult, _AX_X,
-                                                  grid.nx - 1, grid.nx),
-                                      1.0)
-            Fx = (LF, seam)
+    def _fct_scale_dir(self, grid, mult, F, axis, spmd=None):
+        """Apply the FCT multiplier to one direction's (n+1)-face array
+        from the upwind (outflow) side."""
+        mesh_ax = spmd.get(axis) if spmd is not None else None
+        if mesh_ax is not None:
+            from ..parallel.halo import exchange_face_scalar
+            name, ns = mesh_ax
+            left, right = exchange_face_scalar(mult, axis, name, ns)
         else:
-            Fx = scale(Fx, _AX_X, grid.nx)
-        Fz = scale(Fz, _AX_Z, grid.nz)
+            ones_shape = list(mult.shape)
+            ones_shape[axis] = 1
+            left = right = jnp.ones(ones_shape, mult.dtype)
+        mult_left = jnp.concatenate([left, mult], axis=axis)   # face f <- cell f-1
+        mult_right = jnp.concatenate([mult, right], axis=axis)  # face f <- cell f
+        return F * jnp.where(F > 0, mult_left, jnp.where(F < 0, mult_right, 1.0))
+
+    def _fct_scale_x_aligned(self, grid, mult, Fx):
+        """Reference outflow-side-only scaling on the ALIGNED x array:
+        face 0's copy is never left-scaled (its left cell is the
+        neighbor copy's business), the seam copy (face nx) is scaled
+        only by cell nx-1's multiplier when flux is outward.  Returns
+        (left_faces, seam)."""
+        mult_prev = jnp.roll(mult, 1, axis=_AX_X)
+        at0 = jnp.arange(grid.nx) == 0
+        mult_left = jnp.where(at0, 1.0, mult_prev)
+        LF = Fx * jnp.where(Fx > 0, mult_left,
+                            jnp.where(Fx < 0, mult, 1.0))
+        seam_v = _slice_axis(Fx, _AX_X, 0, 1)
+        seam = seam_v * jnp.where(seam_v > 0,
+                                  _slice_axis(mult, _AX_X,
+                                              grid.nx - 1, grid.nx),
+                                  1.0)
+        return LF, seam
+
+    def _fct(self, grid, tr, positive, Fx, Fy, Fz, dt, spmd=None,
+             x_aligned=False):
+        """Flux-corrected transport: scale outgoing tracer fluxes so no cell
+        can be driven negative (dynamics...h:498-516), rewritten functionally:
+        compute a per-cell multiplier, apply it to each face from the
+        upwind (outflow) side.
+
+        ``x_aligned``: Fx holds nx ALIGNED left faces of a periodic
+        whole-axis x (face i of cell i; the seam face nx pre-scale equals
+        face 0).  Scaling then preserves the reference's duplicated-seam
+        semantics exactly -- each seam copy is scaled only from its
+        outflow cell's side -- by returning (left_faces, seam) with the
+        seam copy scaled separately."""
+        mult = self._fct_mult(grid, tr, positive, Fx, Fy, Fz, dt,
+                              x_aligned=x_aligned)
+        if x_aligned:
+            Fx = self._fct_scale_x_aligned(grid, mult, Fx)
+        else:
+            Fx = self._fct_scale_dir(grid, mult, Fx, _AX_X, spmd)
+        Fz = self._fct_scale_dir(grid, mult, Fz, _AX_Z, spmd)
         if Fy is not None:
-            Fy = scale(Fy, _AX_Y, grid.ny)
+            Fy = self._fct_scale_dir(grid, mult, Fy, _AX_Y, spmd)
         return Fx, Fy, Fz
 
     def _tendencies(self, grid, consts, hy, immersed, positive, spmd, s, tr,
@@ -1117,23 +1130,34 @@ class Dycore:
                                           FOx, FOy, FOz, dt, rk=tr_rk)
         else:
             x_aligned = ntracers > 0 and TFx.shape[-1] == grid.nx
-            TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy, TFz, dt,
-                                      spmd, x_aligned=x_aligned)
             # MWML_TR_SEQ 0/1/auto (default auto: >= _ACC_CELLS): sequence
-            # the per-direction tracer divergences the way MWML_DIR_SEQ
-            # sequences the state side -- each barrier makes the next
-            # direction's scaled faces depend on the accumulated tendency,
-            # so buffer assignment holds ONE div temp live instead of
-            # three (~2.3G at 1024^2x100 with 3 tracers; the temps are
-            # items 2-4 of measurements/r04_oom_table_1024x100_dirseq.txt's
-            # successor table).  Replaces the kfct kernels as the
-            # tracer-side fit lever (see _kfct_on: those relayout-copy
-            # their way to a net fit LOSS).
+            # the per-direction tracer scale+divergence passes the way
+            # MWML_DIR_SEQ sequences the state side.  The barriers carry
+            # the UNSCALED faces + the shared multiplier (both already
+            # materialized) so each direction's scale fuses into its
+            # divergence-accumulate AFTER the barrier -- barriering the
+            # scaled faces instead forces ~1.26G-per-direction extra
+            # materializations and measured a net fit LOSS (queue 11,
+            # 19.39G vs 16.26G at 1024^2x100).  One div temp live instead
+            # of three.  Replaces the kfct kernels as the tracer-side fit
+            # lever (see _kfct_on: those relayout-copy their way to a net
+            # fit LOSS too).
             trseq_env = _os.environ.get("MWML_TR_SEQ", "auto")
             trseq = (ntracers > 0 and not sim2d
                      and (trseq_env == "1"
                           or (trseq_env == "auto"
                               and n_cells >= _ACC_CELLS)))
+            if trseq:
+                mult = self._fct_mult(grid, tr, positive, TFx, TFy, TFz,
+                                      dt, x_aligned=x_aligned)
+                TFx = (self._fct_scale_x_aligned(grid, mult, TFx)
+                       if x_aligned
+                       else self._fct_scale_dir(grid, mult, TFx, _AX_X,
+                                                spmd))
+            else:
+                TFx, TFy, TFz = self._fct(grid, tr, positive, TFx, TFy,
+                                          TFz, dt, spmd,
+                                          x_aligned=x_aligned)
             if x_aligned:
                 # cell i's right face is LF[i+1] (periodic roll), except
                 # cell nx-1 whose right face is the separately-scaled seam
@@ -1145,11 +1169,16 @@ class Dycore:
             else:
                 t_tend = div(TFx, _AX_X, grid.nx, grid.dx)
             if trseq:
-                TFz, t_tend = jax.lax.optimization_barrier((TFz, t_tend))
+                TFz, mult, t_tend = jax.lax.optimization_barrier(
+                    (TFz, mult, t_tend))
+                TFz = self._fct_scale_dir(grid, mult, TFz, _AX_Z, spmd)
             t_tend = t_tend + div(TFz, _AX_Z, grid.nz, grid.dz)
             if not sim2d:
                 if trseq:
-                    TFy, t_tend = jax.lax.optimization_barrier((TFy, t_tend))
+                    TFy, mult, t_tend = jax.lax.optimization_barrier(
+                        (TFy, mult, t_tend))
+                    TFy = self._fct_scale_dir(grid, mult, TFy, _AX_Y,
+                                              spmd)
                 t_tend = t_tend + div(TFy, _AX_Y, grid.ny, grid.dy)
 
         if rk is not None:
